@@ -1,0 +1,8 @@
+"""Operator modules. Importing this package registers every declared query
+(SURVEY.md §2) into :mod:`wx20222_bigdata_spark.registry`."""
+
+from wx20222_bigdata_spark.operators import (  # noqa: F401
+    metrics,
+    relational,
+    projections,
+)

@@ -1,0 +1,305 @@
+"""Projections, predicates, and the scalar function surface
+(SURVEY.md §2.2, §2.8) — all pure, narrow transformations: no shuffle, fully
+pipelined inside whole-stage codegen, filters eligible for parquet pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from wx20222_bigdata_spark.catalog import load_table
+from wx20222_bigdata_spark.registry import query
+
+
+@query(
+    "p1_flatten_concat",
+    oracle="""
+SELECT doc_id,
+       array_to_string(list_transform(string_split(text, ' '), x -> upper(x)), ' ') AS flat_text,
+       len(string_split(text, ' ')) AS n_tokens
+FROM documents
+""",
+)
+def p1_flatten_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 flatten-concat of a nested text collection — the ocr[]->text merge
+    (``data_helper.py:31-35``): split to array, per-element transform,
+    concat back. Higher-order functions run JVM-side in codegen, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.transform(toks, lambda x: F.upper(x))).alias("flat_text"),
+        F.size(toks).alias("n_tokens"),
+    )
+
+
+@query(
+    "p2_derive_drop",
+    oracle="""
+SELECT doc_id,
+       lang,
+       n_chars,
+       len(string_split(text, ' ')) AS n_words,
+       n_chars >= 200 AS is_long
+FROM documents
+""",
+)
+def p2_derive_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 derive-and-drop (``data_helper.py:27-39`` pops ``category_id``,
+    attaches derived columns): add ``n_words``/``is_long``, drop
+    ``text``/``source`` — Catalyst prunes the dropped columns out of the
+    scan entirely."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_words", F.size(F.split(F.col("text"), " ")))
+        .withColumn("is_long", F.col("n_chars") >= 200)
+        .drop("text", "source")
+    )
+
+
+@query(
+    "p3_dict_encode",
+    oracle="""
+WITH dim(label, code) AS (
+  VALUES (0,'C00'),(1,'C01'),(2,'C02'),(3,'C03'),(4,'C04'),
+         (5,'C05'),(6,'C06'),(7,'C07'),(8,'C08'),(9,'C09')
+)
+SELECT e.vec_id, d.code
+FROM embeddings e JOIN dim d ON e.label = d.label
+""",
+)
+def p3_dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 dictionary encode (``category_id_map.py:39-41``): broadcast join
+    against an in-memory dimension — the Spark-native form of a dict lookup.
+    At 100 TB the dim is broadcast once per executor, never shuffled."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = spark.createDataFrame(
+        [(i, f"C{i:02d}") for i in range(10)], "label int, code string"
+    )
+    return emb.join(F.broadcast(dim), "label").select("vec_id", "code")
+
+
+@query(
+    "p4_dict_decode",
+    oracle="""
+WITH dim(label, code) AS (
+  VALUES (0,'C00'),(1,'C01'),(2,'C02'),(3,'C03'),(4,'C04'),
+         (5,'C05'),(6,'C06'),(7,'C07'),(8,'C08'),(9,'C09')
+),
+encoded AS (
+  SELECT e.vec_id, d.code FROM embeddings e JOIN dim d ON e.label = d.label
+)
+SELECT enc.vec_id, d.label AS decoded_label
+FROM encoded enc JOIN dim d ON enc.code = d.code
+""",
+)
+def p4_dict_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 dictionary decode (``category_id_map.py:44-46``, used at
+    ``inference.py:52``): the inverse broadcast join — encode then decode
+    round-trips the label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = spark.createDataFrame(
+        [(i, f"C{i:02d}") for i in range(10)], "label int, code string"
+    )
+    encoded = emb.join(F.broadcast(dim), "label").select("vec_id", "code")
+    return encoded.join(F.broadcast(dim), "code").select(
+        "vec_id", F.col("label").alias("decoded_label")
+    )
+
+
+@query(
+    "p5_prefix_projection",
+    oracle="""
+SELECT substring(o_orderpriority, 1, 1) AS priority_code,
+       CAST(substring(o_orderpriority, 1, 1) AS INT) AS priority_num,
+       COUNT(*) AS n
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def p5_prefix_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 prefix projection — ``int(category_id[0:2])``
+    (``category_id_map.py:34-36``) as substring+cast, here on the
+    '1-URGENT'-style priority code."""
+    orders = load_table(spark, sf_dir, "orders")
+    code = F.substring("o_orderpriority", 1, 1)
+    return orders.groupBy(
+        code.alias("priority_code"), code.cast("int").alias("priority_num")
+    ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "p7_substring_predicates",
+    oracle="""
+SELECT p_partkey, p_type, p_brand
+FROM part
+WHERE contains(p_type, 'BRASS') AND NOT contains(p_name, 'green') AND p_size >= 10
+""",
+)
+def p7_substring_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 substring-containment predicates with negation + conjunction —
+    the parameter-name partition of ``util.py:34-48`` ('bias' in n, layer
+    match, negation) as relational filters."""
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_type").contains("BRASS")
+        & ~F.col("p_name").contains("green")
+        & (F.col("p_size") >= 10)
+    ).select("p_partkey", "p_type", "p_brand")
+
+
+@query(
+    "p8_conditional_gates",
+    oracle="""
+SELECT doc_id,
+       n_chars,
+       CASE
+         WHEN n_chars > 400 THEN 'truncate_both'
+         WHEN n_chars > 250 THEN 'truncate_tail'
+         WHEN n_chars > 100 THEN 'keep'
+         ELSE 'pad'
+       END AS budget_action,
+       CASE WHEN n_chars > 400 THEN n_chars - 400 ELSE 0 END AS overflow
+FROM documents
+""",
+)
+def p8_conditional_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 conditional length gates — the budgeted-truncation decision
+    cascade of ``data_helper.py:63-70`` (`need_cut > 0 and l2 > min_asr_len`)
+    as a when/otherwise ladder."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.when(F.col("n_chars") > 400, "truncate_both")
+        .when(F.col("n_chars") > 250, "truncate_tail")
+        .when(F.col("n_chars") > 100, "keep")
+        .otherwise("pad")
+        .alias("budget_action"),
+        F.when(F.col("n_chars") > 400, F.col("n_chars") - 400)
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("overflow"),
+    )
+
+
+@query(
+    "s1_json_roundtrip",
+    oracle="""
+SELECT event_id,
+       event_type,
+       CAST(json_extract(props, '$.k') AS INT) AS prop_k
+FROM events
+""",
+)
+def s1_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 JSON scan semantics (``json.load`` at ``data_helper.py:89-90``)
+    without touching disk: serialize each row to a JSON document with
+    ``to_json``, re-parse with ``from_json`` under an explicit schema
+    (production JSON reads always declare schemas — SURVEY §1.2), and
+    extract a nested field from the embedded ``props`` JSON."""
+    events = load_table(spark, sf_dir, "events")
+    doc_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    as_json = events.select(
+        F.to_json(F.struct("event_id", "event_type", "props")).alias("js")
+    )
+    parsed = as_json.select(F.from_json("js", doc_schema).alias("r")).select("r.*")
+    return parsed.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+@query(
+    "s4_csv_line_parse",
+    oracle="""
+WITH lines AS (
+  SELECT CONCAT(CAST(vec_id AS VARCHAR), ',', CAST(label AS VARCHAR)) AS line
+  FROM embeddings
+)
+SELECT CAST(string_split(trim(line), ',')[1] AS BIGINT) AS vid,
+       CAST(string_split(trim(line), ',')[2] AS INT) AS category_id
+FROM lines
+""",
+)
+def s4_csv_line_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S5 CSV line semantics: the reference writes ``f'{vid},{cat}'``
+    lines (``inference.py:49-53``) and parses them with
+    ``line.strip().split(',')`` (``evaluate.py:8-10``). Round-trip both
+    directions in-plan; the file-backed csv source lives in
+    ``sources/csv_source.py`` (tested in tests/)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lines = emb.select(
+        F.concat_ws(",", F.col("vec_id").cast("string"), F.col("label").cast("string")).alias(
+            "line"
+        )
+    )
+    parts = F.split(F.trim(F.col("line")), ",")
+    return lines.select(
+        parts.getItem(0).cast("bigint").alias("vid"),
+        parts.getItem(1).cast("int").alias("category_id"),
+    )
+
+
+@query(
+    "f_string_surface",
+    oracle="""
+SELECT doc_id,
+       upper(substring(text, 1, 10)) AS head10,
+       length(text) AS text_len,
+       length(replace(text, ' ', '')) AS len_no_spaces,
+       trim(CONCAT('  ', lang, '  ')) AS lang_trimmed,
+       CONCAT(lang, ':', source) AS lang_source
+FROM documents
+""",
+)
+def f_string_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F6 string scalar surface in one projection: concat, substring,
+    replace (``data_helper.py:194-196``), trim/strip (``evaluate.py:9``),
+    length, case."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 10)).alias("head10"),
+        F.length("text").alias("text_len"),
+        F.length(F.regexp_replace("text", " ", "")).alias("len_no_spaces"),
+        F.trim(F.concat(F.lit("  "), F.col("lang"), F.lit("  "))).alias("lang_trimmed"),
+        F.concat_ws(":", "lang", "source").alias("lang_source"),
+    )
+
+
+@query(
+    "f16_datetime_json",
+    oracle="""
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d') AS event_date,
+       CAST(EXTRACT(hour FROM ts) AS INT) AS event_hour,
+       CAST(EXTRACT(dow FROM ts) AS INT) AS day_of_week,
+       CAST(json_extract(props, '$.k') AS INT) AS prop_k,
+       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+FROM events
+""",
+)
+def f16_datetime_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 date/time + JSON scalars (``time.strftime`` at ``main.py:216-218``;
+    fixture ``props`` JSON): formatting, field extraction, epoch conversion.
+    Output is strings/ints only — timestamps never cross the oracle boundary
+    raw (tz-safety, SURVEY §7)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        F.hour("ts").cast("int").alias("event_hour"),
+        (F.dayofweek("ts") - 1).cast("int").alias("day_of_week"),
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.unix_timestamp("ts").cast("bigint").alias("epoch_s"),
+    )

@@ -1,0 +1,368 @@
+"""Relational core — scans, joins, unions, sorts, limits (SURVEY.md §2.1-2.3,
+§2.6-2.7).
+
+Scale notes baked into each query:
+- small dimensions are joined with an explicit ``broadcast()`` hint (J2 —
+  the 200-row category dict of ``category_id_map.py:29-30``); Catalyst would
+  auto-broadcast under the threshold, the hint documents intent;
+- fact-fact joins shuffle on the join key; filters are applied *before* the
+  join so pushdown shrinks the shuffle;
+- money aggregates go through DECIMAL so the result is exact and
+  order-independent (safe under any partitioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wx20222_bigdata_spark.catalog import load_table
+from wx20222_bigdata_spark.registry import query
+
+
+@query(
+    "a4_pricing_summary",
+    oracle="""
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def a4_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: the A4 scalar-mean family
+    (``main.py:137``) generalized to grouped sums/averages. The shipdate
+    filter is pushed into the parquet scan; the groupBy has map-side partial
+    aggregation, so the shuffle carries |groups| rows per partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(
+                F.sum(dec("l_quantity")).cast("double") / F.count("*"), 6
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(dec("l_discount")).cast("double") / F.count("*"), 6
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "j2_broadcast_dim_join",
+    oracle="""
+SELECT r.r_name AS region_name, COUNT(*) AS n_nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def j2_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 small-dimension equi-join, the Spark form of the reference's
+    200-entry category-dict lookup (``category_id_map.py:29-30,39-46``):
+    explicit broadcast hash join — zero shuffle of the fact side."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(F.count("*").alias("n_nations"))
+    )
+
+
+@query(
+    "j3_inner_join_revenue",
+    oracle="""
+SELECT n.n_name AS nation_name,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY n.n_name
+""",
+)
+def j3_inner_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 hash inner join (``evaluate.py:12-22``'s pred⋈truth) as
+    orders⋈customer⋈nation revenue rollup. The status filter is applied
+    before the join (pushdown shrinks the shuffle); nation is broadcast."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
+    "j3_anti_join_integrity",
+    oracle="""
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def j3_anti_join_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/P6 anti-join integrity check (``evaluate.py:16-17``'s 'unknown vid'
+    guard): customers with no orders via LEFT ANTI — the dangling-key set."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "j3_semi_join",
+    oracle="""
+SELECT c.c_custkey, c.c_mktsegment
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+""",
+)
+def j3_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi complement of the anti check: customers having at least one
+    urgent order. Semi joins never duplicate the left side — the idiomatic
+    EXISTS plan, cheaper than join+distinct at scale."""
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "j1_positional_zip_join",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, n_chars, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn FROM documents
+),
+e AS (
+  SELECT vec_id, label, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM embeddings
+)
+SELECT d.rn AS pos, d.doc_id, e.vec_id, d.n_chars, e.label
+FROM d JOIN e ON d.rn = e.rn
+""",
+)
+def j1_positional_zip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 positional (zip) join — the reference aligns annotations[i] with
+    visual_feats[i] by list index (``data_helper.py:29-30``). Spark rows are
+    unordered, so the position must be *synthesized* from an explicit sort
+    key (``row_number`` over a documented ordering) and joined on. This is
+    the engine's contract for zip semantics: never rely on physical order."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    wd = Window.orderBy("doc_id")
+    we = Window.orderBy("vec_id")
+    d = docs.withColumn("rn", F.row_number().over(wd))
+    e = emb.withColumn("rn", F.row_number().over(we))
+    return d.join(e, "rn").select(
+        F.col("rn").alias("pos"), "doc_id", "vec_id", "n_chars", "label"
+    )
+
+
+@query(
+    "j4_file_key_join",
+    oracle="""
+WITH paths AS (
+  SELECT CONCAT('/features/', CAST(doc_id AS VARCHAR), '.npy') AS path, n_chars
+  FROM documents
+)
+SELECT CAST(regexp_extract(path, '([0-9]+)\\.npy', 1) AS BIGINT) AS file_key,
+       e.label,
+       p.n_chars
+FROM paths p
+JOIN embeddings e ON CAST(regexp_extract(p.path, '([0-9]+)\\.npy', 1) AS BIGINT) = e.vec_id
+""",
+)
+def j4_file_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 file-key join: the reference looks features up by path
+    ``{dir}/{id}.npy`` (``split_pretrain_data.py:31-33``). Spark form:
+    derive the key from the file path (in production
+    ``input_file_name()``; here a synthesized path column) with
+    ``regexp_extract`` and equi-join."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("/features/"), F.col("doc_id").cast("string"), F.lit(".npy")).alias(
+            "path"
+        ),
+        "n_chars",
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = F.regexp_extract(F.col("path"), r"([0-9]+)\.npy", 1).cast("bigint")
+    return (
+        docs.withColumn("file_key", key)
+        .join(emb, F.col("file_key") == emb.vec_id)
+        .select("file_key", "label", "n_chars")
+    )
+
+
+@query(
+    "u1_union_all",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM (
+  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_totalprice >= 150000
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_totalprice < 150000
+)
+GROUP BY o_orderstatus
+""",
+)
+def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 union-all by name (``np.concatenate`` of annotation lists,
+    ``pretrained_model.py:295-297``): split orders on a predicate, reunite
+    with ``unionByName``, verify nothing lost via the grouped totals."""
+    orders = load_table(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") >= 150000).select(
+        "o_orderstatus", "o_totalprice"
+    )
+    lo = orders.filter(F.col("o_totalprice") < 150000).select(
+        "o_orderstatus", "o_totalprice"
+    )
+    return (
+        hi.unionByName(lo)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@query(
+    "set_intersect_except",
+    oracle="""
+SELECT n_nationkey AS nationkey, 'both' AS side
+FROM (SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+      INTERSECT
+      SELECT DISTINCT s_nationkey FROM supplier)
+UNION ALL
+SELECT n_nationkey AS nationkey, 'customer_only' AS side
+FROM (SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+      EXCEPT
+      SELECT DISTINCT s_nationkey FROM supplier)
+""",
+)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops beyond the reference's anti-join (SURVEY §2.7 'absent' row):
+    nations with both customers and suppliers (INTERSECT) and
+    customer-only nations (EXCEPT)."""
+    cust_nations = (
+        load_table(spark, sf_dir, "customer").select(F.col("c_nationkey")).distinct()
+    )
+    supp_nations = (
+        load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey")).distinct()
+    )
+    both = cust_nations.intersect(
+        supp_nations.withColumnRenamed("s_nationkey", "c_nationkey")
+    ).select(F.col("c_nationkey").alias("nationkey"), F.lit("both").alias("side"))
+    only = cust_nations.exceptAll(
+        supp_nations.withColumnRenamed("s_nationkey", "c_nationkey")
+    ).select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer_only").alias("side")
+    )
+    return both.unionByName(only)
+
+
+@query(
+    "o4_top_k_orders",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 25
+""",
+)
+def o4_top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/O8 global sort + limit. Spark executes this as TakeOrderedAndProject
+    — a per-partition top-k then a driver merge, never a full global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_orderkey", "o_totalprice").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    ).limit(25)
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped 3-way join + grouped revenue + top-k: the composite
+    shape of the reference's scoring pipeline (join, aggregate, rank). All
+    three filters sit below the joins (scan-level pushdown); the
+    customer side is small after its segment filter, so AQE converts that
+    join to broadcast at runtime."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(18,2)")  # noqa: E731
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )

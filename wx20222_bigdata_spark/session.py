@@ -1,0 +1,64 @@
+"""SparkSession factory with scale-ready defaults.
+
+The reference pipeline hand-tunes physical execution (shard compaction,
+out-of-core eviction, micro-batching — SURVEY.md §4). On Spark all of that is
+configuration: AQE re-plans at runtime (partition coalescing, skew-join
+splitting), Arrow makes the pandas-UDF boundary columnar, and sane shuffle
+partition counts keep partitions memory-sized at large SF.
+
+These settings are chosen for a real cluster: they are safe on ``local[N]``
+and correct at 1000 executors.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Conf applied at session build time. Values are strings per Spark convention.
+DEFAULT_CONF: dict[str, str] = {
+    # Adaptive query execution: runtime re-planning is the single most
+    # important knob at 100 TB — coalesces small shuffle partitions,
+    # splits skewed ones, and converts sort-merge joins to broadcast
+    # when runtime stats allow.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow-accelerated pandas interchange: the pandas-UDF path (tokenizer,
+    # EMA, model scoring) moves data in columnar batches, not rows.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Deterministic timestamp semantics (testdata is naive/UTC).
+    "spark.sql.session.timeZone": "UTC",
+    # Partition sizing: 128 MiB input splits keep scan tasks balanced.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+}
+
+
+def get_spark(
+    app_name: str = "wx20222-bigdata-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``shuffle_partitions`` defaults to ``SPARK_GRAFT_CPUS`` (or 32): on a
+    real cluster this should be ~2-3x total cores; AQE coalescing makes
+    over-provisioning cheap, under-provisioning is what hurts.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master:
+        builder = builder.master(master)
+    conf = dict(DEFAULT_CONF)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
