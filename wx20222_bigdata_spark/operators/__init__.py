@@ -2,6 +2,7 @@
 (SURVEY.md §2) into :mod:`wx20222_bigdata_spark.registry`."""
 
 from wx20222_bigdata_spark.operators import (  # noqa: F401
+    arrays,
     metrics,
     relational,
     projections,
