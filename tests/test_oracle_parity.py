@@ -55,6 +55,13 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
         f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(duck_pdf.columns)}"
     )
+    # dtype parity: a strict driver may compare physical types too.
+    mismatched_dtypes = {
+        c: (str(spark_pdf[c].dtype), str(duck_pdf[c].dtype))
+        for c in spark_pdf.columns
+        if str(spark_pdf[c].dtype) != str(duck_pdf[c].dtype)
+    }
+    assert not mismatched_dtypes, f"{name}: dtype mismatches {mismatched_dtypes}"
     s = _canonical(spark_pdf)
     d = _canonical(duck_pdf)
     for c in s.columns:

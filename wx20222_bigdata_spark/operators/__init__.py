@@ -3,7 +3,11 @@
 
 from wx20222_bigdata_spark.operators import (  # noqa: F401
     arrays,
+    dedup,
     metrics,
     relational,
     projections,
+    sampling,
+    textstats,
+    windows,
 )

@@ -168,7 +168,7 @@ def o1_stride_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = F.expr("filter(embedding, (x, i) -> i % 4 = 0)")
     return emb.select(
         "vec_id",
-        F.size(sampled).alias("n_sampled"),
+        F.size(sampled).cast("bigint").alias("n_sampled"),
         F.round(
             F.expr(
                 "aggregate(filter(embedding, (x, i) -> i % 4 = 0), 0D, (a, x) -> a + double(x))"
@@ -213,8 +213,8 @@ def o3_pad_to_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        F.size(toks).alias("orig_len"),
-        F.size(padded).alias("padded_len"),
+        F.size(toks).cast("bigint").alias("orig_len"),
+        F.size(padded).cast("bigint").alias("padded_len"),
         F.expr(
             """CAST(aggregate(
                  CASE WHEN size(split(text, ' ')) >= 32 THEN slice(split(text, ' '), 1, 32)
@@ -252,9 +252,9 @@ def w4_head_tail_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        F.size(toks).alias("orig_len"),
+        F.size(toks).cast("bigint").alias("orig_len"),
         F.concat_ws(" ", truncated).alias("head_tail_text"),
-        F.size(truncated).alias("new_len"),
+        F.size(truncated).cast("bigint").alias("new_len"),
     )
 
 
@@ -352,7 +352,7 @@ def u2_sequence_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = F.concat(F.slice("embedding", 1, 8), F.slice("embedding", 2, 8))
     return emb.select(
         "vec_id",
-        F.size(merged).alias("seq_len"),
+        F.size(merged).cast("bigint").alias("seq_len"),
         F.round(
             F.expr(
                 "aggregate(concat(slice(embedding, 1, 8), slice(embedding, 2, 8)), 0D, (a, x) -> a + double(x))"

@@ -1,0 +1,309 @@
+"""Deduplication operators for training-data curation (SURVEY.md §2.11 E1/E2;
+BASELINE.json north-star: "dedup … designed for 100 TB scale").
+
+Four tiers, cheapest first — the standard large-corpus dedup ladder:
+
+1. **Exact** — content hash (md5) groupBy; one shuffle on the hash key.
+2. **N-gram Jaccard** — shingle-set overlap for candidate pairs; used here
+   pairwise (the verification step of any near-dup pipeline).
+3. **MinHash + LSH** — Broder resemblance sketches banded into buckets so
+   candidate generation is a *join on band keys*, never an O(n²) compare.
+   At 100 TB: tokens → k minhashes per doc (one narrow pass), band keys →
+   shuffle on (band, bucket) — skew-safe because bucket cardinality is
+   bounded by collision rate, and AQE splits hot buckets.
+4. **SimHash** — bitwise majority fingerprint; near-dups differ in few bits.
+
+All four are oracle-checked: the token hash is the cross-engine
+``char_hash`` (functions/hashing.py), so even the LSH bucket assignment is
+bit-identical in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wx20222_bigdata_spark.catalog import load_table
+from wx20222_bigdata_spark.functions.hashing import (
+    MINHASH_A,
+    MINHASH_B,
+    MOD,
+    duck_char_hash,
+    spark_char_hash,
+)
+from wx20222_bigdata_spark.registry import query
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = 4
+
+
+@query(
+    "e1_exact_dedup",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, source, md5(text) AS content_key FROM documents
+),
+survivors AS (
+  SELECT content_key, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+  FROM keyed GROUP BY content_key
+)
+SELECT k.source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT k.content_key) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT k.content_key) AS n_dupes
+FROM keyed k
+GROUP BY k.source
+""",
+)
+def e1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 exact dedup — md5 content key, keep-min-id policy, per-source
+    dup accounting. ``dropDuplicates(["content_key"])`` is the terse form;
+    the groupBy form shown here also yields the audit counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", "source", F.md5("text").alias("content_key"))
+    return keyed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("content_key").alias("n_unique"),
+        (F.count("*") - F.countDistinct("content_key")).alias("n_dupes"),
+    )
+
+
+@query(
+    "e1b_dedup_survivors",
+    oracle="""
+SELECT md5(text) AS content_key, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def e1b_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 survivor set: canonical doc per content key (min doc_id wins —
+    a deterministic keep policy, required for reproducible curation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("content_key")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+@query(
+    "e2_ngram_jaccard",
+    oracle="""
+WITH shingled AS (
+  SELECT doc_id,
+         list_distinct([substring(text, i, 3) for i in range(1, length(text) - 1)]) AS grams
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
+  FROM shingled a JOIN shingled b ON b.doc_id = a.doc_id + 1
+)
+SELECT id_a, id_b,
+       len(list_intersect(ga, gb)) AS n_common,
+       ROUND(CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+             / len(list_distinct(list_concat(ga, gb))), 6) AS jaccard
+FROM pairs
+""",
+)
+def e2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 n-gram Jaccard similarity — character 3-gram shingle sets,
+    ``|A∩B| / |A∪B|`` on consecutive doc pairs (the exact-verify step that
+    follows LSH candidate generation in a near-dup pipeline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = F.array_distinct(
+        F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+    )
+    sh = docs.select("doc_id", grams.alias("grams"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_distinct(F.concat("ga", "gb")))
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select(
+            "id_a",
+            "id_b",
+            inter.cast("bigint").alias("n_common"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+    )
+
+
+def _corpus_with_mutants_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ mutated copies (every 50th doc, ' extra' appended,
+    id+100000) — a seeded near-dup population so LSH recall is observable."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutants = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        )
+    )
+    return docs.unionByName(mutants)
+
+
+_CORPUS_DUCK = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' extra' AS text
+  FROM documents WHERE doc_id % 50 = 0
+"""
+
+
+def minhash_signatures(corpus: DataFrame) -> DataFrame:
+    """(doc_id, j, minhash) for j in 0..N_HASHES-1 via the universal-hash
+    family over cross-engine token hashes. Single pass: one explode over
+    the permutation index with the (a_j, b_j) parameters as array literals
+    — the token set is scanned once, and the per-permutation min is
+    map-side combinable."""
+    toks = corpus.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).filter(F.length("tok") > 0)
+    hashed = toks.select("doc_id", F.expr(spark_char_hash("tok")).alias("h"))
+    a_arr = F.array([F.lit(a) for a in MINHASH_A[:N_HASHES]])
+    b_arr = F.array([F.lit(b) for b in MINHASH_B[:N_HASHES]])
+    perms = hashed.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("j"),
+    )
+    hj = (
+        F.element_at(a_arr, F.col("j") + 1) * F.col("h")
+        + F.element_at(b_arr, F.col("j") + 1)
+    ) % MOD
+    return perms.select("doc_id", "j", hj.alias("hj")).groupBy("doc_id", "j").agg(
+        F.min("hj").alias("minhash")
+    )
+
+
+@query(
+    "e2b_minhash_lsh_pairs",
+    oracle=f"""
+WITH corpus AS ({_CORPUS_DUCK}),
+toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM corpus)
+  WHERE length(tok) > 0
+),
+hashed AS (
+  SELECT doc_id, {duck_char_hash('tok')} AS h FROM toks
+),
+perms AS (
+  SELECT j,
+         ([{','.join(str(a) for a in MINHASH_A[:N_HASHES])}])[j + 1] AS a_j,
+         ([{','.join(str(b) for b in MINHASH_B[:N_HASHES])}])[j + 1] AS b_j
+  FROM (SELECT unnest(range(0, {N_HASHES})) AS j)
+),
+sigs AS (
+  SELECT doc_id, j, MIN((a_j * h + b_j) % {MOD}) AS minhash
+  FROM hashed, perms
+  GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, j // {ROWS_PER_BAND} AS band,
+         string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY j) AS bucket_key
+  FROM sigs
+  GROUP BY doc_id, j // {ROWS_PER_BAND}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(DISTINCT a.band) AS n_shared_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket_key = b.bucket_key AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+""",
+)
+def e2b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 MinHash-LSH near-dup candidate pairs, end to end: distinct tokens
+    → cross-engine token hash → 16 minhashes → 4 bands of 4 → bucket join
+    on (band, bucket_key) → candidate pairs. Run over documents plus
+    seeded mutants so true near-dups exist and are recovered.
+
+    The pair join is self-equi-join on band keys — at 100 TB this is the
+    canonical formulation: no all-pairs compare, shuffle bounded by bucket
+    size."""
+    corpus = _corpus_with_mutants_spark(spark, sf_dir)
+    sigs = minhash_signatures(corpus)
+    bands = (
+        sigs.withColumn("band", F.expr(f"j div {ROWS_PER_BAND}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                "-",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("j", "minhash"))
+                    ),
+                    lambda s: s.minhash.cast("string"),
+                ),
+            ).alias("bucket_key")
+        )
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("band").alias("band_a"),
+        F.col("bucket_key").alias("bk_a"),
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("band").alias("band_b"),
+        F.col("bucket_key").alias("bk_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("band_a") == F.col("band_b"))
+        & (F.col("bk_a") == F.col("bk_b"))
+        & (F.col("id_a") < F.col("id_b")),
+    )
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.countDistinct("band_a").alias("n_shared_bands")
+    )
+
+
+@query(
+    "e2c_simhash",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents)
+  WHERE length(tok) > 0
+),
+hashed AS (
+  SELECT doc_id, {duck_char_hash('tok')} AS h FROM toks
+),
+bits AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS bal
+  FROM hashed, (SELECT unnest(range(0, 20)) AS j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN bal > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits
+GROUP BY doc_id
+""",
+)
+def e2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 SimHash document fingerprint (Charikar '02): per bit j, majority
+    vote of token-hash bit j (+1/-1), assemble a 20-bit fingerprint.
+    Near-dup docs land within small Hamming distance. Long-format groupBy —
+    the same two-shuffle shape as the ensemble reduce (A7)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).filter(F.length("tok") > 0)
+    hashed = toks.select("doc_id", F.expr(spark_char_hash("tok")).alias("h"))
+    exploded = hashed.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(19))).alias("j")
+    )
+    bits = exploded.groupBy("doc_id", "j").agg(
+        F.sum(
+            F.when(F.expr("(h div cast(pow(2, j) as bigint)) % 2 = 1"), 1).otherwise(-1)
+        ).alias("bal")
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("bal") > 0, F.pow(2, F.col("j")).cast("bigint")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )

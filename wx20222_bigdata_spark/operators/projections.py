@@ -31,7 +31,7 @@ def p1_flatten_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.concat_ws(" ", F.transform(toks, lambda x: F.upper(x))).alias("flat_text"),
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
     )
 
 
@@ -53,7 +53,7 @@ def p2_derive_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan entirely."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.withColumn("n_words", F.size(F.split(F.col("text"), " ")))
+        docs.withColumn("n_words", F.size(F.split(F.col("text"), " ")).cast("bigint"))
         .withColumn("is_long", F.col("n_chars") >= 200)
         .drop("text", "source")
     )
@@ -270,8 +270,8 @@ def f_string_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.upper(F.substring("text", 1, 10)).alias("head10"),
-        F.length("text").alias("text_len"),
-        F.length(F.regexp_replace("text", " ", "")).alias("len_no_spaces"),
+        F.length("text").cast("bigint").alias("text_len"),
+        F.length(F.regexp_replace("text", " ", "")).cast("bigint").alias("len_no_spaces"),
         F.trim(F.concat(F.lit("  "), F.col("lang"), F.lit("  "))).alias("lang_trimmed"),
         F.concat_ws(":", "lang", "source").alias("lang_source"),
     )

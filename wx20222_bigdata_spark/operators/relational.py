@@ -187,7 +187,7 @@ def j1_positional_zip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.withColumn("rn", F.row_number().over(wd))
     e = emb.withColumn("rn", F.row_number().over(we))
     return d.join(e, "rn").select(
-        F.col("rn").alias("pos"), "doc_id", "vec_id", "n_chars", "label"
+        F.col("rn").cast("bigint").alias("pos"), "doc_id", "vec_id", "n_chars", "label"
     )
 
 

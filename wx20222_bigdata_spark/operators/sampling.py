@@ -1,0 +1,77 @@
+"""Seeded sampling / shuffling operators (SURVEY.md §2.6 O2, O5, O7).
+
+These are the reference's randomized splits — stratified holdout
+(``data_helper.py:98-99``), random frame sampling with order restore
+(``data_helper.py:173-178``), epoch shuffles (``pretrained_model.py:356``) —
+re-expressed with *seeded* Spark randomness. Spark's ``rand(seed)`` is
+deterministic per (seed, partition layout), which is stable for a fixed
+input file set but NOT reproducible in DuckDB: these queries carry no
+oracle and get the driver's rows-only check (SURVEY §5c). Unit tests pin
+exact behavior instead (tests/test_sampling.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wx20222_bigdata_spark.catalog import load_table
+from wx20222_bigdata_spark.registry import query
+
+HOLDOUT_SEED = 42
+HOLDOUT_FRACTION = 0.9
+
+
+def stratified_split(
+    df: DataFrame, label_col: str, train_fraction: float, seed: int
+) -> tuple[DataFrame, DataFrame]:
+    """O5 stratified holdout — ``train_test_split(stratify=y)``
+    (``data_helper.py:98-99``): per-class Bernoulli sampling via
+    ``sampleBy`` + anti-join complement. Both halves are lazily derived
+    from one lineage; at scale prefer writing the split keys once."""
+    labels = [r[0] for r in df.select(label_col).distinct().collect()]
+    fractions = {lv: train_fraction for lv in labels}
+    train = df.sampleBy(label_col, fractions, seed)
+    holdout = df.join(train.select(df.columns[0]), df.columns[0], "left_anti")
+    return train, holdout
+
+
+@query("o5_stratified_holdout")
+def o5_stratified_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label train/holdout counts for the seeded stratified split.
+    Rows-only: Bernoulli draws depend on Spark's partition-seeded RNG."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    train, holdout = stratified_split(emb, "label", HOLDOUT_FRACTION, HOLDOUT_SEED)
+    t = train.groupBy("label").agg(F.count("*").alias("n_train"))
+    h = holdout.groupBy("label").agg(F.count("*").alias("n_holdout"))
+    return t.join(h, "label", "full_outer").select(
+        "label",
+        F.coalesce("n_train", F.lit(0)).alias("n_train"),
+        F.coalesce("n_holdout", F.lit(0)).alias("n_holdout"),
+    )
+
+
+@query("o2_sample_restore_order")
+def o2_sample_restore_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 random-sample-then-restore-order (``data_helper.py:173-178``:
+    shuffle → take k → sorted): rank by seeded random key, keep top 50,
+    re-sort by the original id. Rows-only (seeded)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = Window.orderBy(F.rand(HOLDOUT_SEED), "vec_id")
+    return (
+        emb.select("vec_id", "label", F.row_number().over(w).alias("draw"))
+        .filter(F.col("draw") <= 50)
+        .orderBy("vec_id")
+        .select("vec_id", "label")
+    )
+
+
+@query("o7_seeded_shuffle")
+def o7_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 epoch shuffle (``random.shuffle(train_files)``,
+    ``pretrained_model.py:356``): a seeded total reorder with the shuffle
+    rank materialized. Rows-only (seeded)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    w = Window.orderBy(F.rand(7), "doc_id")
+    return docs.select("doc_id", F.row_number().over(w).alias("shuffle_rank"))

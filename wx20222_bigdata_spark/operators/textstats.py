@@ -1,0 +1,250 @@
+"""Text analysis operators for corpus curation (SURVEY.md §2.11 E4;
+north-star: language-ID, quality scoring, token counting, fingerprinting).
+
+All pure column expressions — the full suite runs as one narrow pass over
+the corpus plus one grouped aggregate where noted. At 100 TB these are
+scan-bound; nothing here shuffles except the explicit groupBys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wx20222_bigdata_spark.catalog import load_table
+from wx20222_bigdata_spark.functions.hashing import duck_char_hash, spark_char_hash
+from wx20222_bigdata_spark.registry import query
+
+#: Marker stopwords per language for the n-gram/lexicon heuristic.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "und", "die", "das", "ein"],
+    "fr": ["le", "et", "la", "les", "un"],
+}
+
+
+@query(
+    "e4_group_stats",
+    oracle="""
+SELECT lang,
+       source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY lang, source
+""",
+)
+def e4_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 corpus composition: per (lang, source) doc counts and char-length
+    distribution — the first table any curation run produces."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(F.sum("n_chars").cast("double") / F.count("*"), 6).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "e4b_token_freq_topk",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+)
+SELECT tok, COUNT(*) AS freq
+FROM toks
+WHERE length(tok) > 0
+GROUP BY tok
+ORDER BY freq DESC, tok ASC
+LIMIT 20
+""",
+)
+def e4b_token_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/X3 token frequency top-k: explode(split()) → count → top 20.
+    The explode is the UDTF shape (ocr segments, ``data_helper.py:32-34``);
+    the count is map-side combinable so the shuffle carries |vocab| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+
+
+def _lang_score_spark(markers: list[str]):
+    arr = F.array([F.lit(m) for m in markers])
+    return F.size(F.array_intersect(F.array_distinct(F.split(F.lower("text"), " ")), arr))
+
+
+@query(
+    "e4c_language_id",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['the','and','of','to','a'])) AS s_en,
+         len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['der','und','die','das','ein'])) AS s_de,
+         len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['le','et','la','les','un'])) AS s_fr
+  FROM documents
+),
+pred AS (
+  SELECT doc_id, lang,
+         CASE
+           WHEN s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+           WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+           WHEN s_fr > 0 THEN 'fr'
+           ELSE 'und'
+         END AS pred_lang
+  FROM scored
+)
+SELECT lang, pred_lang, COUNT(*) AS n
+FROM pred
+GROUP BY lang, pred_lang
+""",
+)
+def e4c_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 language identification — lexicon/n-gram heuristic: score each
+    language by marker-stopword hits in the distinct token set, argmax with
+    a fixed precedence (en > de > fr), 'und' when no marker fires. Output
+    is the (actual, predicted) confusion table."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        _lang_score_spark(LANG_MARKERS["en"]).alias("s_en"),
+        _lang_score_spark(LANG_MARKERS["de"]).alias("s_de"),
+        _lang_score_spark(LANG_MARKERS["fr"]).alias("s_fr"),
+    )
+    pred = scored.select(
+        "lang",
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") > 0),
+            "en",
+        )
+        .when((F.col("s_de") >= F.col("s_fr")) & (F.col("s_de") > 0), "de")
+        .when(F.col("s_fr") > 0, "fr")
+        .otherwise("und")
+        .alias("pred_lang"),
+    )
+    return pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+
+
+@query(
+    "e4d_quality_score",
+    oracle="""
+WITH feats AS (
+  SELECT doc_id,
+         length(text) AS n_char,
+         len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n_words,
+         length(text) - length(replace(replace(replace(text, '.', ''), ',', ''), '!', '')) AS n_punct,
+         len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+             ['the','and','of','to','a','der','und','le','et'])) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       n_words,
+       ROUND(CAST(n_char AS DOUBLE) / n_words, 6) AS avg_word_len,
+       ROUND(CAST(n_punct AS DOUBLE) / n_char, 6) AS punct_ratio,
+       ROUND(CAST(n_stop AS DOUBLE) / n_words, 6) AS stop_density,
+       (n_words >= 20 AND n_words <= 1000
+        AND CAST(n_punct AS DOUBLE) / n_char < 0.1) AS passes_quality
+FROM feats
+""",
+)
+def e4d_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 quality scoring — Gopher/C4-style heuristic features (length
+    bounds, punctuation ratio, stopword density, mean word length) and a
+    boolean keep/drop gate. One narrow pass, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    stop_arr = F.array(
+        [F.lit(m) for m in ["the", "and", "of", "to", "a", "der", "und", "le", "et"]]
+    )
+    feats = docs.select(
+        "doc_id",
+        F.length("text").alias("n_char"),
+        F.size(words).cast("bigint").alias("n_words"),
+        (
+            F.length("text")
+            - F.length(
+                F.regexp_replace(F.regexp_replace(F.regexp_replace("text", r"\.", ""), ",", ""), "!", "")
+            )
+        ).alias("n_punct"),
+        F.size(
+            F.array_intersect(F.array_distinct(F.split(F.lower("text"), " ")), stop_arr)
+        ).alias("n_stop"),
+    )
+    return feats.select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("n_char").cast("double") / F.col("n_words"), 6).alias(
+            "avg_word_len"
+        ),
+        F.round(F.col("n_punct").cast("double") / F.col("n_char"), 6).alias(
+            "punct_ratio"
+        ),
+        F.round(F.col("n_stop").cast("double") / F.col("n_words"), 6).alias(
+            "stop_density"
+        ),
+        (
+            (F.col("n_words") >= 20)
+            & (F.col("n_words") <= 1000)
+            & (F.col("n_punct").cast("double") / F.col("n_char") < 0.1)
+        ).alias("passes_quality"),
+    )
+
+
+@query(
+    "e4e_doc_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       CAST({duck_char_hash("lower(text)")} AS BIGINT) AS fingerprint,
+       length(text) AS n_char
+FROM documents
+""",
+)
+def e4e_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 document fingerprint — the rolling polynomial hash of the
+    normalized text (cross-engine ``char_hash``), the cheap content id
+    used by incremental pipelines to skip unchanged docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(spark_char_hash("lower(text)")).alias("fingerprint"),
+        F.length("text").cast("bigint").alias("n_char"),
+    )
+
+
+@query(
+    "e4f_token_count",
+    oracle="""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS ws_tokens,
+       len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> length(x) > 0)) AS word_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_bpe_tokens
+FROM documents
+""",
+)
+def e4f_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 token counting three ways: whitespace tokens, regex word tokens
+    (the BPE-ish pre-tokenization split), and the chars/4 BPE
+    approximation used for budget estimates."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    words = F.filter(F.split("text", "[^a-zA-Z0-9]+"), lambda x: F.length(x) > 0)
+    return docs.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("ws_tokens"),
+        F.size(words).cast("bigint").alias("word_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("approx_bpe_tokens"),
+    )

@@ -1,0 +1,248 @@
+"""Window / ordered operators (SURVEY.md §2.5, §2.4 A9-A10, §2.6 O6).
+
+The reference's ordered computations — step schedules (``main.py:204,215``),
+EMA state (``main.py:95-103``), SWA snapshot averages (``main.py:166-208``),
+k-fold assignment (``data_helper.py:104-112``) — map to Spark ``Window``
+functions and per-group ordered folds.
+
+Scale notes: every window here is ``partitionBy(user_id | label)`` — state
+is bounded per key and the shuffle is a single hash exchange on the
+partition key. Nothing uses a global (unpartitioned) window except where the
+result is provably tiny. EMA is a per-key ordered fold: 100 TB of events
+still folds locally per user after one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wx20222_bigdata_spark.catalog import load_table
+from wx20222_bigdata_spark.registry import query
+
+
+@query(
+    "w1_row_number_gap",
+    oracle="""
+SELECT event_id,
+       user_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+       CAST(COALESCE(floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))), -1) AS BIGINT) AS gap_s
+FROM events
+""",
+)
+def w1_row_number_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 row numbering + lag delta: per-user event sequencing (the implicit
+    list index of ``data_helper.py:29-30``) with the inter-event gap in
+    whole seconds; first event gets -1."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")
+    prev_epoch = F.unix_timestamp(F.lag("ts").over(w))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.coalesce(epoch - prev_epoch, F.lit(-1)).cast("bigint").alias("gap_s"),
+    )
+
+
+@query(
+    "w2_step_schedule",
+    oracle="""
+WITH seq AS (
+  SELECT event_id, user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step
+  FROM events
+)
+SELECT event_id, user_id, step,
+       (step % 5 = 0) AS is_print_step,
+       (step > 10 AND (step - 10) % 3 = 0) AS is_swa_step
+FROM seq
+WHERE step % 5 = 0 OR (step > 10 AND (step - 10) % 3 = 0)
+""",
+)
+def w2_step_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 step-based schedules — ``step % print_steps == 0`` and the SWA
+    gate ``step > swa_start and (step-swa_start) % gap == 0``
+    (``main.py:204,215``) as modulo predicates over an ordered window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_id", "user_id", "value", F.row_number().over(w).cast("bigint").alias("step")
+    )
+    is_print = F.col("step") % 5 == 0
+    is_swa = (F.col("step") > 10) & ((F.col("step") - 10) % 3 == 0)
+    return seq.filter(is_print | is_swa).select(
+        "event_id",
+        "user_id",
+        "step",
+        is_print.alias("is_print_step"),
+        is_swa.alias("is_swa_step"),
+    )
+
+
+@query(
+    "a9_ema_ordered_fold",
+    oracle="""
+SELECT user_id,
+       ROUND(list_reduce(list(value ORDER BY ts, event_id), (a, x) -> 0.9 * a + 0.1 * x), 6) AS ema,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+""",
+)
+def a9_ema_ordered_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 exponential moving average — ``e = d*e + (1-d)*m`` per step
+    (``main.py:95-103``, decay 0.9 here) as a per-key ORDERED FOLD:
+    collect the per-user sequence in (ts, event_id) order, seed the
+    accumulator with the first element, fold the rest. SURVEY §2.4 marks
+    EMA ✗-SQL *as recursion*; per-group it is exactly
+    ``aggregate(slice(...), init, step)`` — deterministic, no UDF.
+
+    At scale: one shuffle on user_id, fold is local; per-user sequences are
+    assumed memory-bounded (same contract as any sessionization)."""
+    ev = load_table(spark, sf_dir, "events")
+    grouped = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias("seq"),
+        F.count("*").alias("n_events"),
+    )
+    vals = F.expr("transform(seq, x -> x.value)")
+    ema = F.expr(
+        """aggregate(
+             slice(transform(seq, x -> x.value), 2, size(seq) - 1),
+             double(transform(seq, x -> x.value)[0]),
+             (a, x) -> 0.9 * a + 0.1 * x)"""
+    )
+    return grouped.select(
+        "user_id", F.round(ema, 6).alias("ema"), "n_events"
+    )
+
+
+@query(
+    "a10_swa_snapshot_avg",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_snapshots,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS swa_avg
+FROM seq
+WHERE step % 5 = 0
+GROUP BY user_id
+""",
+)
+def a10_swa_snapshot_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 SWA — average of every gap-th snapshot (``main.py:166-208``):
+    ordered step number, modulo filter, grouped mean (decimal-exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "value", F.row_number().over(w).alias("step"))
+    return (
+        seq.filter(F.col("step") % 5 == 0)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_snapshots"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("swa_avg"),
+        )
+    )
+
+
+@query(
+    "w3_running_total",
+    oracle="""
+SELECT event_id,
+       user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM events
+""",
+)
+def w3_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 running aggregate over an ordered frame (the cumulative-state
+    shape EMA generalizes — ``rowsBetween(unboundedPreceding, currentRow)``).
+    Decimal-cast so the running sum is exact under any frame evaluation
+    strategy (Spark accumulates; DuckDB may use a segment tree)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias(
+            "running_total"
+        ),
+    )
+
+
+@query(
+    "o6_ntile_kfold",
+    oracle="""
+WITH folds AS (
+  SELECT label,
+         NTILE(10) OVER (PARTITION BY label ORDER BY vec_id) AS fold
+  FROM embeddings
+)
+SELECT label, fold, COUNT(*) AS n
+FROM folds
+GROUP BY label, fold
+""",
+)
+def o6_ntile_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 stratified k-fold — ``StratifiedKFold(n_splits=10)``
+    (``data_helper.py:104-112``): ntile(10) within each label over a
+    deterministic ordering; fold f's validation set is ``fold == f``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    return (
+        emb.select("label", F.ntile(10).over(w).cast("bigint").alias("fold"))
+        .groupBy("label", "fold")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "w_sliding_avg",
+    oracle="""
+SELECT event_id,
+       user_id,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg3
+FROM events
+""",
+)
+def w_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 3-row mean per user — the bounded-frame complement of
+    W3's unbounded frame (and the batch shape of the streaming sliding
+    window, §2.9)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count("*").over(w),
+            6,
+        ).alias("avg3"),
+    )
