@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...}, "sf": <sf>}
+
+Each query executes to completion through the noop sink (full plan runs,
+nothing collected to the driver). One warmup action initializes the JVM/
+codegen so measured times reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = str(Path(__file__).resolve().parent)
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+#: Headline suite: one representative per operator family (SURVEY.md §2).
+HEADLINE = [
+    "a4_pricing_summary",         # scan + grouped decimal aggregates
+    "q3_shipping_priority",       # 3-way join + group + top-k
+    "flagship_two_level_metrics", # metric rollup (joins of small aggs)
+    "a7_ensemble_argmax",         # explode + wide groupBy + window
+    "a9_ema_ordered_fold",        # collect_list ordered fold per key
+    "w3_running_total",           # partitioned running window
+    "o6_ntile_kfold",             # stratified ntile
+    "e1_exact_dedup",             # md5 dedup accounting
+    "e2b_minhash_lsh_pairs",      # full MinHash-LSH pipeline
+    "e2c_simhash",                # simhash fingerprints
+    "e3_cosine_topk",             # brute-force ANN baseline
+    "e3b_lsh_bucket_ann",         # bucketed ANN
+    "e4b_token_freq_topk",        # explode + count + top-k
+    "e4d_quality_score",          # narrow text-feature pass
+    "f8_budget_cascade",          # budgeted truncation cascade
+    "x4_map_in_pandas_scoring",   # Arrow-batched model inference
+    "s9_tumbling_window",         # tumbling window agg
+    "s9c_session_windows",        # session windows
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from wx20222_bigdata_spark.registry import all_queries
+    from wx20222_bigdata_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="wx20222-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # warmup: initialize codegen/arrow paths outside the measurement
+    queries["j2_broadcast_dim_join"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    result = {
+        "metric": "headline_suite_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""S-family source/sink round-trips on tmp fixtures (SURVEY.md §2.1)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+FIXTURE_ANNS = [
+    {
+        "id": f"v{i:04d}",
+        "title": f"title {i} words here",
+        "asr": f"asr transcript {i} " + "tok " * (i % 5),
+        "ocr": [{"text": f"ocr{i}a"}, {"text": f"ocr{i}b"}],
+        "category_id": f"{i % 4:02d}{i % 2:02d}",
+    }
+    for i in range(20)
+]
+
+
+def test_annotations_json_roundtrip(spark, tmp_path):
+    from wx20222_bigdata_spark.sources import read_annotations_json
+
+    p = tmp_path / "anns.json"
+    p.write_text(json.dumps(FIXTURE_ANNS, ensure_ascii=False))
+    df = read_annotations_json(spark, str(p))
+    assert df.count() == 20
+    row = df.filter(F.col("id") == "v0003").first()
+    assert row.title == "title 3 words here"
+    assert [o.text for o in row.ocr] == ["ocr3a", "ocr3b"]
+    assert row.category_id == "0301"
+
+
+def test_predictions_csv_roundtrip(spark, tmp_path):
+    from wx20222_bigdata_spark.sources import (
+        read_predictions_csv,
+        write_predictions_csv,
+    )
+
+    df = spark.createDataFrame(
+        [(f"v{i}", f"{i % 3:04d}") for i in range(50)], "vid string, category_id string"
+    )
+    out = tmp_path / "preds"
+    write_predictions_csv(df, str(out), single_file=True)
+    back = read_predictions_csv(spark, str(out))
+    assert back.count() == 50
+    assert back.schema.simpleString() == "struct<vid:string,category_id:string>"
+    # ordered single-file output: first data line is the min vid
+    part = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(part) == 1
+    first_line = (out / part[0]).read_text().splitlines()[0]
+    assert first_line == "v0,0000"
+
+
+def test_keyed_binary_scan(spark, tmp_path):
+    from wx20222_bigdata_spark.sources import read_keyed_binary_dir
+
+    d = tmp_path / "feats"
+    d.mkdir()
+    for i in range(5):
+        (d / f"vid{i}.npy").write_bytes(bytes([i]) * (10 + i))
+    df = read_keyed_binary_dir(spark, str(d))
+    rows = {r.key: r.n_bytes for r in df.collect()}
+    assert rows == {f"vid{i}": 10 + i for i in range(5)}
+
+
+def test_sharded_parquet_sink(spark, tmp_path):
+    from wx20222_bigdata_spark.sources import write_sharded_parquet
+
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    out = tmp_path / "shards"
+    write_sharded_parquet(df, str(out), n_shards=4, max_records_per_file=100)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    # 4 shards x (250 rows / 100 cap) -> at least 12 files, none over cap
+    assert len(files) >= 12
+    back = spark.read.parquet(str(out))
+    assert back.count() == 1000
+    assert back.agg(F.sum("v")).first()[0] == 999 * 1000
+
+
+def test_json_manifest_sink(tmp_path):
+    from wx20222_bigdata_spark.sources import write_json_manifest
+
+    p = tmp_path / "manifest.json"
+    write_json_manifest({"run": 1, "seed": 42}, str(p))
+    assert json.loads(p.read_text()) == {"run": 1, "seed": 42}

@@ -1,0 +1,97 @@
+"""Streaming surface tests: drive each job through a real micro-batch
+(file source → availableNow trigger → memory sink) and compare against the
+batch-mode twin on the same data (the only streaming oracle available).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events rows re-written as a clean parquet dir (micros timestamps —
+    the raw testdata file is TIMESTAMP(NANOS), unreadable by a stream
+    source without the catalog shim)."""
+    from wx20222_bigdata_spark.catalog import load_table
+
+    d = tmp_path_factory.mktemp("stream") / "events"
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.coalesce(2).write.mode("overwrite").parquet(str(d))
+    return str(d)
+
+
+def _run(spark, stream_df, name, mode="update"):
+    from wx20222_bigdata_spark.streaming.jobs import run_stream_to_memory
+
+    run_stream_to_memory(stream_df, name, output_mode=mode)
+    return spark.table(name)
+
+
+def test_tumbling_counts_stream_matches_batch(spark, events_dir):
+    from wx20222_bigdata_spark.streaming.jobs import read_events_stream, tumbling_counts
+
+    stream = tumbling_counts(read_events_stream(spark, events_dir))
+    got = _run(spark, stream, "t_tumbling", mode="append").toPandas()
+    batch = (
+        tumbling_counts(spark.read.parquet(events_dir))
+        .toPandas()
+    )
+    g = got.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    b = batch.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    # append mode with watermark emits only finalized windows; every emitted
+    # window must match the batch result exactly, and most windows finalize.
+    merged = g.merge(b, on=["window_start", "event_type"], suffixes=("_s", "_b"))
+    assert len(merged) == len(g) > 0
+    assert (merged["n_s"] == merged["n_b"]).all()
+    assert (abs(merged["value_sum_s"] - merged["value_sum_b"]) < 1e-9).all()
+
+
+def test_session_windows_stream_runs(spark, events_dir):
+    from wx20222_bigdata_spark.streaming.jobs import (
+        read_events_stream,
+        session_window_counts,
+    )
+
+    stream = session_window_counts(read_events_stream(spark, events_dir))
+    got = _run(spark, stream, "t_sessions", mode="append").toPandas()
+    assert len(got) > 0
+    assert (got["n_events"] > 0).all()
+
+
+def test_stateful_ema_matches_batch_fold(spark, events_dir):
+    from wx20222_bigdata_spark.streaming.jobs import read_events_stream, stateful_ema
+
+    stream = stateful_ema(read_events_stream(spark, events_dir))
+    got = _run(spark, stream, "t_ema", mode="update").toPandas()
+    # single availableNow pass -> one state update per user; compare to the
+    # batch ordered fold (a9) on the same rows.
+    ev = spark.read.parquet(events_dir)
+    batch = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias("seq"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.expr(
+                """aggregate(
+                     slice(transform(seq, x -> x.value), 2, size(seq) - 1),
+                     double(transform(seq, x -> x.value)[0]),
+                     (a, x) -> 0.9 * a + 0.1 * x)"""
+            ).alias("ema"),
+            "n_events",
+        )
+        .toPandas()
+    )
+    g = got.groupby("user_id").last().reset_index()  # last update per user
+    m = g.merge(batch, on="user_id", suffixes=("_s", "_b"))
+    assert len(m) == len(batch) > 0
+    assert (m["n_events_s"] == m["n_events_b"]).all()
+    assert (abs(m["ema_s"] - m["ema_b"]) < 1e-9).all()

@@ -4,10 +4,15 @@
 from wx20222_bigdata_spark.operators import (  # noqa: F401
     arrays,
     dedup,
+    etl,
+    inference,
     metrics,
+    multimodal,
     relational,
     projections,
     sampling,
+    similarity,
+    streaming_batch,
     textstats,
     windows,
 )

@@ -151,16 +151,42 @@ _CORPUS_DUCK = """
 """
 
 
+#: 3-token shingles — word *sequences*, not bags: single-word shingling
+#: collapses any small-vocabulary corpus into one LSH bucket (candidate
+#: generation goes quadratic); order-sensitive shingles keep unrelated docs
+#: apart while near-dups still collide. Docs under 3 tokens get one
+#: whole-text shingle.
+_SPARK_SHINGLES = """
+CASE WHEN size(toks) >= 3
+     THEN transform(sequence(1, size(toks) - 2),
+                    i -> concat(element_at(toks, i), ' ',
+                                element_at(toks, i + 1), ' ',
+                                element_at(toks, i + 2)))
+     ELSE array(concat_ws(' ', toks)) END
+"""
+
+_DUCK_SHINGLES = """
+CASE WHEN len(t) >= 3
+     THEN [t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] for i in range(1, len(t) - 1)]
+     ELSE [array_to_string(t, ' ')] END
+"""
+
+
 def minhash_signatures(corpus: DataFrame) -> DataFrame:
     """(doc_id, j, minhash) for j in 0..N_HASHES-1 via the universal-hash
-    family over cross-engine token hashes. Single pass: one explode over
+    family over cross-engine shingle hashes. Single pass: one explode over
     the permutation index with the (a_j, b_j) parameters as array literals
-    — the token set is scanned once, and the per-permutation min is
+    — the shingle set is scanned once, and the per-permutation min is
     map-side combinable."""
     toks = corpus.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    ).filter(F.length("tok") > 0)
-    hashed = toks.select("doc_id", F.expr(spark_char_hash("tok")).alias("h"))
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> length(x) > 0)").alias("toks"),
+    )
+    shingles = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(_SPARK_SHINGLES))).alias("tok"),
+    )
+    hashed = shingles.select("doc_id", F.expr(spark_char_hash("tok")).alias("h"))
     a_arr = F.array([F.lit(a) for a in MINHASH_A[:N_HASHES]])
     b_arr = F.array([F.lit(b) for b in MINHASH_B[:N_HASHES]])
     perms = hashed.select(
@@ -181,10 +207,12 @@ def minhash_signatures(corpus: DataFrame) -> DataFrame:
     "e2b_minhash_lsh_pairs",
     oracle=f"""
 WITH corpus AS ({_CORPUS_DUCK}),
+toksrc AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+  FROM corpus
+),
 toks AS (
-  SELECT doc_id, tok
-  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM corpus)
-  WHERE length(tok) > 0
+  SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES})) AS tok FROM toksrc
 ),
 hashed AS (
   SELECT doc_id, {duck_char_hash('tok')} AS h FROM toks

@@ -1,0 +1,176 @@
+"""The reference's signature ETL: multi-field text combination under a token
+budget (SURVEY.md §2.8 F8, §3.1 step 2 — ``data_helper.py:41-86``).
+
+``combine_text`` concatenates title + asr + ocr into one fixed-budget token
+sequence: the budget cascades field-to-field (title first, then asr, then
+ocr gets what remains), and any field over its cap is truncated
+*head+tail* — keep the first ⌈k/2⌉ and last ⌊k/2⌋ tokens, drop the middle
+(``cut_min``, ``data_helper.py:44-50``).
+
+Implemented as pure array expressions (slice/concat with computed bounds) —
+one narrow pass, no UDF, no shuffle. The oracle mirrors the same cascade in
+DuckDB list functions, so every branch of the gnarly when-ladder is
+hash-checked (SURVEY §7 hard-part (d): highest test density here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wx20222_bigdata_spark.catalog import load_table
+from wx20222_bigdata_spark.registry import query
+
+BUDGET = 40  #: total token budget (reference: 256, config.py:53)
+
+
+def head_tail_spark(arr: str, cap: str) -> str:
+    """Spark SQL: keep first ⌈cap/2⌉ + last ⌊cap/2⌋ of ``arr`` when over
+    ``cap``; identity when within budget; empty when cap <= 0."""
+    return f"""
+    CASE
+      WHEN size({arr}) <= ({cap}) THEN {arr}
+      WHEN ({cap}) <= 0 THEN array()
+      ELSE concat(
+        slice({arr}, 1, cast(ceil(({cap}) / 2.0) as int)),
+        CASE WHEN cast(floor(({cap}) / 2.0) as int) > 0
+             THEN slice({arr}, -cast(floor(({cap}) / 2.0) as int), cast(floor(({cap}) / 2.0) as int))
+             ELSE array() END)
+    END"""
+
+
+def head_tail_duck(arr: str, cap: str) -> str:
+    return f"""
+    CASE
+      WHEN len({arr}) <= ({cap}) THEN {arr}
+      WHEN ({cap}) <= 0 THEN []
+      ELSE list_concat(
+        list_slice({arr}, 1, cast(ceil(({cap}) / 2.0) as int)),
+        CASE WHEN cast(floor(({cap}) / 2.0) as int) > 0
+             THEN list_slice({arr}, -cast(floor(({cap}) / 2.0) as int), -1)
+             ELSE [] END)
+    END"""
+
+
+#: Field split: synthesize (title, asr, ocr) from the document token stream
+#: — title = tokens 1..10, asr = 11..30, ocr = rest (stand-ins for the A1
+#: annotation fields).
+_SPARK_FIELDS = {
+    "title": "slice(toks, 1, 10)",
+    "asr": "slice(toks, 11, 20)",
+    "ocr": "CASE WHEN size(toks) > 30 THEN slice(toks, 31, size(toks) - 30) ELSE array() END",
+}
+_DUCK_FIELDS = {
+    "title": "list_slice(toks, 1, 10)",
+    "asr": "list_slice(toks, 11, 30)",
+    "ocr": "CASE WHEN len(toks) > 30 THEN list_slice(toks, 31, len(toks)) ELSE [] END",
+}
+
+
+def _cascade_sql(fields: dict[str, str], head_tail, size_fn: str, b: int) -> dict[str, str]:
+    """Build the cascade expressions: caps and kept arrays per field."""
+    t, a, o = fields["title"], fields["asr"], fields["ocr"]
+    cap_t = f"least({size_fn}({t}), {b})"
+    cap_a = f"least({size_fn}({a}), {b} - ({cap_t}))"
+    cap_o = f"least({size_fn}({o}), {b} - ({cap_t}) - ({cap_a}))"
+    return {
+        "keep_t": head_tail(t, cap_t),
+        "keep_a": head_tail(a, cap_a),
+        "keep_o": head_tail(o, cap_o),
+    }
+
+
+@query(
+    "f8_budget_cascade",
+    oracle=f"""
+WITH toksrc AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+  FROM documents
+),
+kept AS (
+  SELECT doc_id,
+         {_cascade_sql(_DUCK_FIELDS, head_tail_duck, 'len', BUDGET)['keep_t']} AS keep_t,
+         {_cascade_sql(_DUCK_FIELDS, head_tail_duck, 'len', BUDGET)['keep_a']} AS keep_a,
+         {_cascade_sql(_DUCK_FIELDS, head_tail_duck, 'len', BUDGET)['keep_o']} AS keep_o
+  FROM toksrc
+)
+SELECT doc_id,
+       len(keep_t) AS n_title,
+       len(keep_a) AS n_asr,
+       len(keep_o) AS n_ocr,
+       len(keep_t) + len(keep_a) + len(keep_o) AS n_total,
+       array_to_string(list_concat(list_concat(keep_t, keep_a), keep_o), ' ') AS combined
+FROM kept
+""",
+)
+def f8_budget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 budgeted truncation cascade (``data_helper.py:41-70``): title
+    keeps up to the full budget, asr gets what title left, ocr the rest;
+    each field head+tail-truncated to its cap. ``n_total <= BUDGET``
+    always — the invariant the reference asserts (``data_helper.py:76-78``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> length(x) > 0)").alias("toks"),
+    )
+    c = _cascade_sql(_SPARK_FIELDS, head_tail_spark, "size", BUDGET)
+    kept = toks.select(
+        "doc_id",
+        F.expr(c["keep_t"]).alias("keep_t"),
+        F.expr(c["keep_a"]).alias("keep_a"),
+        F.expr(c["keep_o"]).alias("keep_o"),
+    )
+    return kept.select(
+        "doc_id",
+        F.size("keep_t").cast("bigint").alias("n_title"),
+        F.size("keep_a").cast("bigint").alias("n_asr"),
+        F.size("keep_o").cast("bigint").alias("n_ocr"),
+        (F.size("keep_t") + F.size("keep_a") + F.size("keep_o"))
+        .cast("bigint")
+        .alias("n_total"),
+        F.concat_ws(" ", F.concat(F.concat("keep_t", "keep_a"), "keep_o")).alias(
+            "combined"
+        ),
+    )
+
+
+def prepare_text_features(
+    annotations: DataFrame, budget: int = 256, vocab_mod: int = 30522
+) -> DataFrame:
+    """The full §3.1-step-2 ETL DAG on real annotation-shaped input
+    (A1 schema: id, title, asr, ocr array<struct<text>>, category_id):
+
+    ocr flatten (P1) → per-field tokenization → budget cascade (F8) →
+    hash-token ids (F7 simplified) → pad to ``budget`` with mask (F9/O3).
+
+    Returns columns: id, input_ids array<int>, attention_mask array<int>,
+    n_tokens. Used by tests/test_etl.py on reference-shaped fixtures; the
+    cascade core is oracle-checked via ``f8_budget_cascade``."""
+    flat_ocr = F.concat_ws(" ", F.expr("transform(ocr, x -> x.text)"))
+    toks = lambda c: F.expr(  # noqa: E731
+        f"filter(split({c}, ' '), x -> length(x) > 0)"
+    )
+    fields = {
+        "title": "filter(split(title, ' '), x -> length(x) > 0)",
+        "asr": "filter(split(asr, ' '), x -> length(x) > 0)",
+        "ocr": "filter(split(ocr_flat, ' '), x -> length(x) > 0)",
+    }
+    c = _cascade_sql(fields, head_tail_spark, "size", budget)
+    combined = f"concat(concat({c['keep_t']}, {c['keep_a']}), {c['keep_o']})"
+    token_ids = (
+        f"transform({combined}, t -> cast(aggregate(transform(sequence(1, length(t)), "
+        f"i -> ascii(substring(t, i, 1))), 0L, (a, ch) -> (a * 31 + ch) % {vocab_mod}) as int))"
+    )
+    padded = (
+        f"concat({token_ids}, array_repeat(0, {budget} - size({combined})))"
+    )
+    mask = (
+        f"concat(array_repeat(1, size({combined})), "
+        f"array_repeat(0, {budget} - size({combined})))"
+    )
+    return annotations.withColumn("ocr_flat", flat_ocr).select(
+        "id",
+        F.expr(padded).alias("input_ids"),
+        F.expr(mask).alias("attention_mask"),
+        F.expr(f"size({combined})").cast("int").alias("n_tokens"),
+    )

@@ -1,0 +1,154 @@
+"""Multimodal column handling (SURVEY.md §2.11 E5; north-star: image/audio/
+video as opaque binary columns with typed metadata).
+
+The reference carries per-video frame-feature tensors beside text
+(``data_helper.py:29-30``); the generalization is a ``binary`` payload
+column plus a metadata struct, processed by Arrow-batched kernels:
+
+- payload columns are *opaque bytes* to the engine — parquet stores them
+  column-wise, scans prune them unless projected (critical at 100 TB:
+  metadata-only queries never touch the bytes);
+- decode / feature-extract runs in ``mapInPandas`` so bytes stream through
+  Arrow in batches, never row-at-a-time Python;
+- real codecs (PIL/ffmpeg) are not in this container — the decode kernel
+  is STUBBED behind ``fake=`` (deterministic bytes-derived features) and
+  raises ``NotImplementedError`` otherwise. The Spark-side plumbing
+  (schema, batching, partitioning) is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wx20222_bigdata_spark.catalog import load_table
+from wx20222_bigdata_spark.registry import query
+
+
+def with_fake_payload(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic binary 'image' payload + typed metadata.
+
+    Payload = md5(text) bytes (16 bytes); metadata derived from n_chars.
+    Stand-in for a real parquet binary column — same schema shape."""
+    return docs.select(
+        "doc_id",
+        F.unhex(F.md5("text")).alias("payload"),
+        F.struct(
+            (F.col("n_chars") % 64 + 1).cast("int").alias("width"),
+            (F.col("n_chars") % 48 + 1).cast("int").alias("height"),
+            F.lit("fake/rgb8").alias("format"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "e5_multimodal_manifest",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(from_hex(md5(text))) AS BIGINT) AS n_bytes,
+       CAST(n_chars % 64 + 1 AS INT) AS width,
+       CAST(n_chars % 48 + 1 AS INT) AS height,
+       'fake/rgb8' AS format,
+       CAST((n_chars % 64 + 1) * (n_chars % 48 + 1) * 3 AS BIGINT) AS decoded_size
+FROM documents
+""",
+)
+def e5_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 manifest scan: binary payload sizes + typed metadata WITHOUT
+    decoding — the metadata-only plan that must never read pixel bytes at
+    scale (column pruning drops ``payload`` from the scan here)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mm = with_fake_payload(docs)
+    return mm.select(
+        "doc_id",
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.format").alias("format"),
+        (F.col("meta.width") * F.col("meta.height") * 3)
+        .cast("bigint")
+        .alias("decoded_size"),
+    )
+
+
+@query(
+    "e5b_multimodal_join",
+    oracle="""
+SELECT d.doc_id,
+       CAST(octet_length(from_hex(md5(d.text))) AS BIGINT) AS n_bytes,
+       e.label,
+       ROUND(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) AS emb_sum
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+""",
+)
+def e5b_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 modality join — binary/text modality ⋈ vector modality by id
+    (the annotations↔frame-features alignment, J1's keyed form)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    mm = with_fake_payload(docs)
+    return (
+        mm.join(emb, mm.doc_id == emb.vec_id)
+        .select(
+            "doc_id",
+            F.octet_length("payload").cast("bigint").alias("n_bytes"),
+            "label",
+            F.round(
+                F.expr("aggregate(embedding, 0D, (a, x) -> a + double(x))"), 6
+            ).alias("emb_sum"),
+        )
+    )
+
+
+def decode_features(mm: DataFrame, fake: bool = False) -> DataFrame:
+    """E5 decode kernel: binary payload → fixed-length feature vector via
+    ``mapInPandas`` (Arrow-batched). Real decode needs an image codec that
+    is not installed — STUB: ``fake=True`` derives features from the raw
+    bytes deterministically; ``fake=False`` raises NotImplementedError.
+
+    Output schema: (doc_id, n_bytes, feat array<double> len 4)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            raise NotImplementedError(
+                "real image decode requires PIL/ffmpeg (not in container); "
+                "pass fake=True for the deterministic stub"
+            )
+        for pdf in batches:
+            payloads = pdf["payload"]
+            feats = payloads.map(
+                lambda b: [
+                    float(len(b)),
+                    float(b[0]),
+                    float(b[-1]),
+                    float(sum(b) % 997),
+                ]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "feat": feats,
+                }
+            )
+
+    return mm.mapInPandas(kernel, "doc_id bigint, n_bytes bigint, feat array<double>")
+
+
+@query("e5c_decode_features_stub")
+def e5c_decode_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 decode plumbing (rows-only): fake-decode the binary payloads and
+    reduce the feature vectors. Validates schema/batch shape of the
+    mapInPandas decode path end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    mm = with_fake_payload(docs).select("doc_id", "payload")
+    feats = decode_features(mm, fake=True)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.expr("aggregate(feat, 0D, (a, x) -> a + x)"), 6).alias("feat_sum"),
+    )

@@ -1,0 +1,229 @@
+"""Embedding similarity search (SURVEY.md §2.11 E3; north-star ANN surface).
+
+Three tiers:
+
+- **Brute-force cosine top-k** — exact baseline. Query side is broadcast
+  (it is small by construction); candidates stream. At 100 TB of vectors
+  this is the per-bucket inner loop, never the global plan.
+- **Random-hyperplane LSH (SimHash-for-vectors)** — deterministic planes
+  bucket vectors by sign pattern; search only joins equal buckets. The
+  bucket join is an equi-join: shuffle on bucket id, skew handled by AQE.
+- **IVF (inverted-file) probe** — coarse-quantize to centroids, search the
+  nearest partitions only (rows-only: float centroid means are not
+  bit-reproducible across engines).
+
+Dot products use the ``zip_with``/``aggregate`` fold (F11) — element order
+fixed, math in double, cosine rounded to 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wx20222_bigdata_spark.catalog import load_table
+from wx20222_bigdata_spark.registry import query
+
+N_QUERIES = 10  #: queries are vec_id < N_QUERIES
+TOP_K = 5
+N_PLANES = 8
+
+#: deterministic hyperplane weights: w_j[i] = ((j*64 + i) % 13) - 6
+_PLANE = "((({j} * 64 + i) % 13) - 6)"
+
+
+def _dot(ea: str, eb: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({ea}, {eb}, (x, y) -> double(x) * double(y)), 0D, (a, x) -> a + x)"
+    )
+
+
+def _norm(e: str) -> F.Column:
+    return F.sqrt(F.expr(f"aggregate({e}, 0D, (a, x) -> a + double(x) * double(x))"))
+
+
+@query(
+    "e3_cosine_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS cand_id, embedding AS ce FROM embeddings
+),
+scored AS (
+  SELECT query_id, cand_id,
+         list_sum([CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) for i in range(1, 65)])
+         / (sqrt(list_sum([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) for i in range(1, 65)]))
+            * sqrt(list_sum([CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) for i in range(1, 65)]))) AS cosine
+  FROM q, c
+  WHERE query_id <> cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, cand_id, CAST(rnk AS BIGINT) AS rnk, ROUND(cosine, 6) AS cosine
+FROM ranked WHERE rnk <= {TOP_K}
+""",
+)
+def e3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 brute-force cosine top-k: broadcast the query set against the
+    candidate stream, rank per query. The exact-search baseline every ANN
+    variant is measured against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
+    cosine = _dot("qe", "ce") / (_norm("qe") * _norm("ce"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "cand_id", "rnk", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _bucket_expr_spark() -> F.Column:
+    """LSH bucket id: 8-bit sign pattern of dot(embedding, plane_j)."""
+    terms = []
+    for j in range(N_PLANES):
+        plane = _PLANE.format(j=j)
+        dot_j = (
+            f"aggregate(zip_with(embedding, transform(sequence(0, 63), i -> {plane}),"
+            f" (x, w) -> double(x) * w), 0D, (a, v) -> a + v)"
+        )
+        terms.append(f"CASE WHEN ({dot_j}) > 0 THEN {2 ** j} ELSE 0 END")
+    return F.expr(" + ".join(terms)).cast("bigint")
+
+
+def _bucket_expr_duck(col: str) -> str:
+    terms = []
+    for j in range(N_PLANES):
+        plane = _PLANE.format(j=j)
+        dot_j = (
+            f"list_sum([CAST({col}[i + 1] AS DOUBLE) * {plane} for i in range(0, 64)])"
+        )
+        terms.append(f"CASE WHEN ({dot_j}) > 0 THEN {2 ** j} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "e3b_lsh_bucket_ann",
+    oracle=f"""
+WITH sig AS (
+  SELECT vec_id, embedding, CAST({_bucket_expr_duck('embedding')} AS BIGINT) AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM sig WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS cand_id, embedding AS ce, bucket FROM sig),
+cand AS (
+  SELECT query_id, cand_id, q.bucket,
+         list_sum([CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) for i in range(1, 65)])
+         / (sqrt(list_sum([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) for i in range(1, 65)]))
+            * sqrt(list_sum([CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) for i in range(1, 65)]))) AS cosine
+  FROM q JOIN c USING (bucket)
+  WHERE query_id <> cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, bucket, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+  FROM cand
+)
+SELECT query_id, cand_id, bucket, ROUND(cosine, 6) AS cosine
+FROM ranked WHERE rnk = 1
+""",
+)
+def e3b_lsh_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 LSH-bucketed ANN — random-hyperplane signatures with fixed
+    deterministic planes; candidates restricted to the query's bucket, so
+    the search is an equi-join on bucket id (the 100 TB-scale path: no
+    cross join anywhere). Returns each query's best in-bucket neighbor;
+    queries whose bucket has no other member legitimately return nothing
+    (probe-multiple-buckets is the standard recall fix)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = emb.select("vec_id", "embedding", _bucket_expr_spark().alias("bucket"))
+    q = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
+    )
+    c = sig.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"), "bucket"
+    )
+    cosine = _dot("qe", "ce") / (_norm("qe") * _norm("ce"))
+    cand = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", "bucket", cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("query_id", "cand_id", "bucket", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+@query("e3c_ivf_probe_ann")
+def e3c_ivf_probe_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 IVF-style probe (rows-only: float centroid means are not
+    bit-reproducible cross-engine): coarse centroids = per-label mean
+    vectors; each query probes its 2 nearest centroids and searches only
+    those inverted lists. The scale shape: centroids tiny → broadcast;
+    candidate search shuffles on list id only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # centroids: per-label elementwise mean — aggregate posexploded dims.
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(F.avg("v").alias("cv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cv"))).alias("pairs"))
+        .select(
+            F.col("label").alias("list_id"),
+            F.expr("transform(pairs, p -> p.cv)").alias("centroid"),
+        )
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    qc = q.crossJoin(F.broadcast(cent))
+    d2 = F.expr(
+        "aggregate(zip_with(qe, centroid, (x, c) -> (double(x) - c) * (double(x) - c)), 0D, (a, v) -> a + v)"
+    )
+    w = Window.partitionBy("query_id").orderBy(d2.asc(), F.col("list_id").asc())
+    probes = qc.withColumn("probe_rank", F.row_number().over(w)).filter(
+        F.col("probe_rank") <= 2
+    ).select("query_id", "qe", "list_id")
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("list_id"),
+    )
+    cosine = _dot("qe", "ce") / (_norm("qe") * _norm("ce"))
+    cand = (
+        probes.join(c, "list_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", "list_id", cosine.alias("cosine"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "cand_id", "list_id", "rnk", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,141 @@
+"""Batch-mode forms of the streaming window aggregates (SURVEY.md §2.9).
+
+Structured Streaming's windowed aggregations use the exact same
+``window()`` / ``session_window()`` expressions in batch mode — these
+queries oracle-check the window semantics in DuckDB (date_trunc for
+tumbling, a shifted-start unnest for sliding, gap+cumsum for sessions);
+the true streaming forms (streaming/jobs.py) are covered by micro-batch
+tests against these same results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wx20222_bigdata_spark.catalog import load_table
+from wx20222_bigdata_spark.registry import query
+
+
+@query(
+    "s9_tumbling_window",
+    oracle="""
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+""",
+)
+def s9_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate — the batch twin of
+    ``streaming.jobs.tumbling_counts`` (same ``window()`` expression)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.unix_timestamp("w.start").cast("bigint").alias("window_start"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+@query(
+    "s9b_sliding_window",
+    oracle="""
+WITH assigned AS (
+  SELECT unnest([
+           date_trunc('hour', ts) - INTERVAL 1 HOUR,
+           date_trunc('hour', ts)
+         ]) AS wstart,
+         value
+  FROM events
+)
+SELECT CAST(floor(epoch(wstart)) AS BIGINT) AS window_start,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) * 1000000 AS BIGINT) // COUNT(*) AS value_avg_micros
+FROM assigned
+GROUP BY 1
+""",
+)
+def s9b_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h/1h window aggregate: every event lands in two windows —
+    Spark's ``window(ts, '2 hours', '1 hour')`` materializes exactly the
+    two shifted hour-starts the oracle unnests. The mean is emitted in
+    integer micro-units: a decimal sum that lands exactly on a half-micro
+    tie rounds differently in Spark (BigDecimal HALF_UP on the shortest
+    decimal repr) vs DuckDB (binary-double nearest) — floor-div on exact
+    integers sidesteps rounding entirely."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(
+                "CAST(SUM(CAST(value AS DECIMAL(18,2))) * 1000000 AS BIGINT) div COUNT(*)"
+            ).alias("value_avg_micros"),
+        )
+        .select(
+            F.unix_timestamp("w.start").cast("bigint").alias("window_start"),
+            "n",
+            "value_avg_micros",
+        )
+    )
+
+
+@query(
+    "s9c_session_windows",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM seq
+)
+SELECT user_id,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def s9c_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) in batch — ``session_window()``
+    merges events closer than the gap; the oracle derives identical
+    sessions with the classic lag-gap-cumsum construction, which doubles
+    as proof of the window semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").cast("bigint").alias("session_start"),
+            "n_events",
+            "value_sum",
+        )
+    )

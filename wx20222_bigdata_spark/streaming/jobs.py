@@ -1,0 +1,140 @@
+"""Streaming jobs over the events schema.
+
+All transformations are source-agnostic: they accept any streaming (or
+batch — the APIs are shared) DataFrame with the events schema, so the same
+code runs against Kafka/files in production and the file-source tests here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-based micro-batch source (parquet dir). In production this is
+    a Kafka/queue source; file streams are the test/backfill path."""
+    return spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(path)
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling 1-hour windows with a late-data watermark: per (window,
+    event_type) counts + value sums. Watermark bounds state: windows older
+    than max(ts) - watermark are finalized and evicted."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("value_sum"))
+        .select(
+            F.unix_timestamp("w.start").cast("bigint").alias("window_start"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+def sliding_avg(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Sliding 2h windows every 1h: each event contributes to 2 windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.avg("value").alias("value_avg"))
+        .select(
+            F.unix_timestamp("w.start").cast("bigint").alias("window_start"),
+            "n",
+            "value_avg",
+        )
+    )
+
+
+def session_window_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows: events within ``gap`` of each other merge; state is
+    per (user, open session) and closes via watermark."""
+    return (
+        events.withWatermark("ts", gap)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("value_sum"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").cast("bigint").alias("session_start"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+_EMA_STATE_SCHEMA = "ema double, n bigint"
+_EMA_OUT_SCHEMA = "user_id bigint, ema double, n_events bigint"
+
+
+def stateful_ema(events: DataFrame) -> DataFrame:
+    """``applyInPandasWithState`` EMA per user — the reference's EMA
+    accumulator (``main.py:95-103``) as explicit streaming state: fold
+    each micro-batch's (ts-ordered) values into the carried (ema, n)
+    pair. State lives in the state store, sized O(users), checkpointed.
+
+    The kernel is a nested closure (not a module-level function) so
+    cloudpickle ships it by value — executors never need this package on
+    their sys.path."""
+
+    def ema_fn(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        if state.exists:
+            ema, n = state.get
+        else:
+            ema, n = None, 0
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"]:
+                ema = v if ema is None else 0.9 * ema + 0.1 * v
+                n += 1
+        state.update((ema, n))
+        yield pd.DataFrame({"user_id": [key[0]], "ema": [ema], "n_events": [n]})
+
+    return (
+        events.withWatermark("ts", "1 minute")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            ema_fn,
+            outputStructType=_EMA_OUT_SCHEMA,
+            stateStructType=_EMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "update"):
+    """Drive a streaming DataFrame through one full pass of available data
+    into an in-memory table (test/debug harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
