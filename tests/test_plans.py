@@ -1,0 +1,78 @@
+"""Physical-plan assertions: the plans we ship are the plans we designed.
+
+Each test pins a scale-critical property — losing predicate pushdown,
+column pruning, a broadcast, or top-k pushdown is a performance regression
+that correctness tests cannot see.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_ORACLE
+
+from wx20222_bigdata_spark.plans import (
+    formatted_plan,
+    has_broadcast_join,
+    has_cartesian,
+    has_take_ordered,
+    pushed_filters,
+    read_schemas,
+)
+
+
+def _q(name):
+    from wx20222_bigdata_spark.registry import all_queries
+
+    return all_queries()[name]
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = _q("a4_pricing_summary")(spark, SF_ORACLE)
+    filters = pushed_filters(df)
+    assert any("l_shipdate" in f for f in filters), filters
+
+
+def test_column_pruning(spark):
+    df = _q("p2_derive_drop")(spark, SF_ORACLE)
+    schemas = read_schemas(df)
+    assert schemas, "no file scan found"
+    # text is needed (n_words derives from it) but source must be pruned
+    assert all("source" not in s for s in schemas), schemas
+
+
+def test_pruning_drops_payload_for_metadata_plan(spark):
+    # e5 manifest never materializes text-derived payload beyond what the
+    # expressions need; documents scan must not read lang/source.
+    df = _q("e5_multimodal_manifest")(spark, SF_ORACLE)
+    schemas = read_schemas(df)
+    assert all("lang" not in s and "source" not in s for s in schemas), schemas
+
+
+def test_small_dim_joins_broadcast(spark):
+    for name in ["j2_broadcast_dim_join", "p3_dict_encode", "j3_inner_join_revenue"]:
+        df = _q(name)(spark, SF_ORACLE)
+        assert has_broadcast_join(df), f"{name} lost its broadcast join"
+
+
+def test_topk_is_take_ordered(spark):
+    df = _q("o4_top_k_orders")(spark, SF_ORACLE)
+    assert has_take_ordered(df), formatted_plan(df)[:2000]
+
+
+def test_no_unintended_cartesian(spark):
+    # every query except the two intentional broadcast cross joins
+    # (brute-force ANN baseline + IVF centroid probe) must be
+    # cartesian-free; those two must use *broadcast* nested loop, never a
+    # shuffled CartesianProduct.
+    from wx20222_bigdata_spark.registry import all_queries
+
+    for name, fn in all_queries().items():
+        df = fn(spark, SF_ORACLE)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, f"{name} has a CartesianProduct"
+
+
+def test_semi_anti_join_operators(spark):
+    plan = formatted_plan(_q("j3_semi_join")(spark, SF_ORACLE))
+    assert "LeftSemi" in plan
+    plan = formatted_plan(_q("j3_anti_join_integrity")(spark, SF_ORACLE))
+    assert "LeftAnti" in plan

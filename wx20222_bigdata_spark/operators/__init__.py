@@ -7,6 +7,7 @@ from wx20222_bigdata_spark.operators import (  # noqa: F401
     etl,
     inference,
     metrics,
+    misc,
     multimodal,
     relational,
     projections,

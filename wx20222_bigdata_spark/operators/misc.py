@@ -1,0 +1,222 @@
+"""Remaining inventory coverage (SURVEY.md §2.4 A11, §2.8 F13-F14, §2.11):
+distincts, seeded corruption masks, batch permutation labels, embedding
+near-dup, and the Spark ML LSH library path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wx20222_bigdata_spark.catalog import load_table
+from wx20222_bigdata_spark.registry import query
+
+
+@query(
+    "a11_distinct",
+    oracle="""
+SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n_customers
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def a11_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 distinct/dedup aggregation (``os.listdir`` as model set,
+    ``inference_kfold.py:66``): exact grouped count-distinct."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+@query("a12_approx_distinct")
+def a12_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct (SURVEY §2.4 'absent' row — free in
+    Spark). Rows-only: HLL sketches are engine-specific; the companion
+    exact count in ``a11_distinct`` is the oracle-checked truth. At 100 TB
+    approx_count_distinct is the only affordable distinct over high-
+    cardinality keys (no exact shuffle of the key space)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custkeys"),
+        F.countDistinct("o_custkey").alias("exact_custkeys"),
+    )
+
+
+@query("f13_mlm_corruption")
+def f13_mlm_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 seeded MLM 80/10/10 corruption (``pretrained_model.py:28-57``):
+    per token draw r ~ rand(seed); r < 0.15 selects the token, of which
+    80% → [MASK], 10% → random vocab id, 10% → keep. Rows-only (Spark's
+    per-partition RNG is not DuckDB-reproducible); aggregate corruption
+    rates per doc are the output, pinned by tests for stability."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    r = F.rand(42)
+    decided = toks.select(
+        "doc_id",
+        F.when(r >= 0.15, "keep")
+        .when(r < 0.15 * 0.8, "mask")
+        .when(r < 0.15 * 0.9, "random")
+        .otherwise("identity")
+        .alias("action"),
+    )
+    return (
+        decided.groupBy("doc_id")
+        .pivot("action", ["keep", "mask", "random", "identity"])
+        .count()
+        .select(
+            "doc_id",
+            F.coalesce("keep", F.lit(0)).alias("n_keep"),
+            F.coalesce("mask", F.lit(0)).alias("n_mask"),
+            F.coalesce("random", F.lit(0)).alias("n_random"),
+            F.coalesce("identity", F.lit(0)).alias("n_identity"),
+        )
+    )
+
+
+@query(
+    "f14_batch_permutation",
+    oracle="""
+WITH batched AS (
+  SELECT vec_id, label,
+         CAST((ROW_NUMBER() OVER (ORDER BY vec_id) - 1) // 10 AS BIGINT) AS batch_id,
+         CAST((ROW_NUMBER() OVER (ORDER BY vec_id) - 1) % 10 AS BIGINT) AS pos
+  FROM embeddings
+),
+shuffled AS (
+  SELECT *, CASE WHEN pos < 5 THEN pos ELSE 14 - pos END AS src_pos
+  FROM batched
+)
+SELECT s.batch_id, s.pos, s.vec_id,
+       b.vec_id AS paired_vec_id,
+       (s.pos = s.src_pos) AS is_match
+FROM shuffled s
+JOIN batched b ON b.batch_id = s.batch_id AND b.pos = s.src_pos
+""",
+)
+def f14_batch_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 ITM batch permutation (``pretrained_model.py:77-89``
+    ShuffleVideo): within each batch of 10, the second half is reversed
+    and the match label is pos == permuted pos. Batches are explicit
+    row_number ranges — the engine's contract that 'batch' is a computed
+    key, never physical row order."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = Window.orderBy("vec_id")
+    batched = emb.select(
+        "vec_id",
+        "label",
+        F.expr("CAST((row_number() OVER (ORDER BY vec_id) - 1) div 10 AS BIGINT)").alias(
+            "batch_id"
+        ),
+        F.expr("CAST((row_number() OVER (ORDER BY vec_id) - 1) % 10 AS BIGINT)").alias(
+            "pos"
+        ),
+    )
+    shuffled = batched.withColumn(
+        "src_pos",
+        F.when(F.col("pos") < 5, F.col("pos")).otherwise(F.lit(14) - F.col("pos")),
+    )
+    right = batched.select(
+        F.col("batch_id").alias("b_batch"),
+        F.col("pos").alias("b_pos"),
+        F.col("vec_id").alias("paired_vec_id"),
+    )
+    return (
+        shuffled.join(
+            right,
+            (F.col("batch_id") == F.col("b_batch"))
+            & (F.col("src_pos") == F.col("b_pos")),
+        )
+        .select(
+            "batch_id",
+            "pos",
+            "vec_id",
+            "paired_vec_id",
+            (F.col("pos") == F.col("src_pos")).alias("is_match"),
+        )
+    )
+
+
+@query(
+    "e2e_cosine_neardup",
+    oracle="""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, 65)])
+         / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) for i in range(1, 65)]))
+            * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, 65)]))) AS cosine
+  FROM embeddings a JOIN embeddings b
+    ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 25 AND a.label = b.label
+)
+SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
+FROM pairs
+WHERE cosine > 0.25
+""",
+)
+def e2e_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 embedding-cosine near-dup detection: candidate pairs blocked by
+    (label, bounded id-band) — the blocking join that replaces all-pairs —
+    then thresholded cosine (threshold calibrated to the corpus: these
+    synthetic embeddings are near-orthogonal, max in-block cosine ≈0.38).
+    At scale the blocking key is the LSH bucket (e3b); the band form here
+    keeps the oracle exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), F.col("label").alias("la")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), F.col("label").alias("lb")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> double(x) * double(y)), 0D, (a, x) -> a + x)"
+    )
+    na = F.sqrt(F.expr("aggregate(ea, 0D, (a, x) -> a + double(x) * double(x))"))
+    nb = F.sqrt(F.expr("aggregate(eb, 0D, (a, x) -> a + double(x) * double(x))"))
+    cosine = dot / (na * nb)
+    return (
+        a.join(
+            b,
+            (F.col("id_b") > F.col("id_a"))
+            & (F.col("id_b") <= F.col("id_a") + 25)
+            & (F.col("la") == F.col("lb")),
+        )
+        .select("id_a", "id_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") > 0.25)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+@query("e2f_ml_minhash_lsh")
+def e2f_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 via the Spark ML library path (``pyspark.ml.feature.MinHashLSH``):
+    binary term vectors (HashingTF binary mode) → seeded MinHashLSH →
+    approxSimilarityJoin under a Jaccard-distance threshold. Rows-only:
+    ML hash families are not DuckDB-reproducible; the hand-rolled
+    oracle-checked pipeline is ``e2b_minhash_lsh_pairs``."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutants = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" extra")).alias("text"),
+    )
+    corpus = docs.unionByName(mutants)
+    tok = Tokenizer(inputCol="text", outputCol="words")
+    tf = HashingTF(inputCol="words", outputCol="features", numFeatures=1 << 16, binary=True)
+    feats = tf.transform(tok.transform(corpus))
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.3, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )

@@ -1,0 +1,65 @@
+"""Physical-plan inspection and assertion utilities.
+
+"Would this plan survive a 100× scale-up?" is checked here, not guessed:
+tests assert that filters reach the parquet scan (PushedFilters), scans
+read only needed columns (ReadSchema), small dims broadcast, sorts+limits
+become TakeOrderedAndProject, and no unintended CartesianProduct appears.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def _explain(df: DataFrame, mode: str) -> str:
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return _explain(df, "formatted")
+
+
+def simple_plan(df: DataFrame) -> str:
+    return _explain(df, "simple")
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters entries across every parquet scan in the plan."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df)):
+        entry = m.group(1).strip()
+        if entry:
+            out.extend(p.strip() for p in entry.split(","))
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema strings of every file scan (column-pruning evidence)."""
+    return re.findall(r"ReadSchema: (struct<[^\n]*)", formatted_plan(df))
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
+
+
+def has_cartesian(df: DataFrame) -> bool:
+    return "CartesianProduct" in formatted_plan(df)
+
+
+def has_take_ordered(df: DataFrame) -> bool:
+    return "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the final plan (AQE may reduce at
+    runtime; this counts the static plan)."""
+    return formatted_plan(df).count("Exchange hashpartitioning") + formatted_plan(
+        df
+    ).count("Exchange rangepartitioning")
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    return len(re.findall(r"WholeStageCodegen", formatted_plan(df)))
