@@ -13,6 +13,7 @@ from wx20222_bigdata_spark.operators import (  # noqa: F401
     projections,
     sampling,
     similarity,
+    skew,
     streaming_batch,
     textstats,
     windows,

@@ -124,18 +124,20 @@ def a7_ensemble_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    m1 = emb.select("vec_id", F.expr("transform(embedding, x -> double(x))").alias("s"))
-    m2 = emb.select(
-        "vec_id", F.expr("transform(reverse(embedding), x -> double(x))").alias("s")
+    # one scan: the 3 model score vectors are generated per row and
+    # exploded together (a union of 3 selects would read the table 3x).
+    models = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.expr("transform(embedding, x -> double(x))"),
+                F.expr("transform(reverse(embedding), x -> double(x))"),
+                F.expr("transform(embedding, x -> -0.5 * double(x))"),
+            )
+        ).alias("s"),
     )
-    m3 = emb.select(
-        "vec_id", F.expr("transform(embedding, x -> -0.5 * double(x))").alias("s")
-    )
-    long = (
-        m1.unionByName(m2)
-        .unionByName(m3)
-        .select("vec_id", F.posexplode("s").alias("pos0", "score"))
-        .select("vec_id", (F.col("pos0") + 1).alias("pos"), "score")
+    long = models.select("vec_id", F.posexplode("s").alias("pos0", "score")).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"), "score"
     )
     summed = long.groupBy("vec_id", "pos").agg(F.sum("score").alias("score"))
     w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("pos").asc())
