@@ -74,6 +74,33 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # ETL throughput: the reference's §3.1-step-2 pipeline (flatten →
+    # budget cascade → tokenize → pad/mask) over annotation-shaped rows
+    # synthesized from documents (BASELINE.md 'ETL throughput' row).
+    from pyspark.sql import functions as F
+
+    from wx20222_bigdata_spark.catalog import load_table
+    from wx20222_bigdata_spark.operators.etl import prepare_text_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    anns = docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 10)).alias("title"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 11, 20)).alias("asr"),
+        F.array(
+            F.struct(
+                F.concat_ws(" ", F.expr("slice(split(text, ' '), 31, 1000)")).alias(
+                    "text"
+                )
+            )
+        ).alias("ocr"),
+    )
+    t0 = time.perf_counter()
+    prepare_text_features(anns, budget=256).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings["etl_prepare_features"] = round(time.perf_counter() - t0, 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)

@@ -85,3 +85,26 @@ def test_json_manifest_sink(tmp_path):
     p = tmp_path / "manifest.json"
     write_json_manifest({"run": 1, "seed": 42}, str(p))
     assert json.loads(p.read_text()) == {"run": 1, "seed": 42}
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Date-partitioned layout: a day filter must become a PartitionFilter
+    (directory pruning), not a data filter."""
+    from tests.conftest import SF_ORACLE
+
+    from wx20222_bigdata_spark.catalog import load_table
+    from wx20222_bigdata_spark.plans import formatted_plan
+    from wx20222_bigdata_spark.sources import write_sharded_parquet
+
+    ev = load_table(spark, SF_ORACLE, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out = tmp_path / "events_by_day"
+    write_sharded_parquet(ev, str(out), partition_by=["day"])
+    back = spark.read.parquet(str(out)).filter(F.col("day") == "2024-01-05")
+    plan = formatted_plan(back)
+    assert "PartitionFilters: [isnotnull(day" in plan, plan[:2000]
+    assert back.count() > 0
+    # pruned scan reads only the one day directory
+    n_all = spark.read.parquet(str(out)).count()
+    assert back.count() < n_all

@@ -95,3 +95,25 @@ def test_stateful_ema_matches_batch_fold(spark, events_dir):
     assert len(m) == len(batch) > 0
     assert (m["n_events_s"] == m["n_events_b"]).all()
     assert (abs(m["ema_s"] - m["ema_b"]) < 1e-9).all()
+
+
+def test_streaming_dedup_with_watermark(spark, events_dir):
+    """Streaming exact dedup (the E1 ladder's streaming form): duplicate
+    event_ids across micro-batches are dropped with watermark-bounded
+    state."""
+    from wx20222_bigdata_spark.streaming.jobs import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = (
+        read_events_stream(spark, events_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .groupBy()
+        .count()
+    )
+    run_stream_to_memory(stream, "t_dedup", output_mode="complete")
+    got = spark.table("t_dedup").collect()[0][0]
+    expected = spark.read.parquet(events_dir).select("event_id").distinct().count()
+    assert got == expected

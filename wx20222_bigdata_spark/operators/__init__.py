@@ -15,6 +15,7 @@ from wx20222_bigdata_spark.operators import (  # noqa: F401
     similarity,
     skew,
     streaming_batch,
+    temporal,
     textstats,
     windows,
 )

@@ -1,0 +1,210 @@
+"""Temporal / multi-dimensional operators beyond the reference's surface:
+as-of join, range (theta) join, multi-granularity time rollup, cube, pivot
+(SURVEY.md §2.3 'absent' row and §2.4 'absent' row — supplied by the
+engine because a training-data pipeline needs them; brief: as-of join,
+range join, hypertable rollup).
+
+As-of join is implemented with the union-and-window technique — the
+scalable formulation: tag both sides, union, one window pass per key
+carrying the last right-side value forward. One shuffle on (key), no
+nested-loop, no per-row probe. DuckDB's native ASOF JOIN is the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wx20222_bigdata_spark.catalog import load_table
+from wx20222_bigdata_spark.registry import query
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` within the same ``on`` key.
+
+    Union-and-window: right rows become carriers, left rows become probes;
+    a per-key window ordered by (ts, side) forward-fills the last carrier
+    values onto each probe. Cost: one shuffle on ``on`` + one sort per
+    partition — independent of how many right rows precede each left row
+    (a nested-loop/backward-scan would be O(n·m) per key)."""
+    l_tag = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        "*",
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in value_cols],
+    )
+    r_tag = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema.fields],
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+    )
+    unioned = l_tag.unionByName(r_tag)
+    # carriers sort before probes at equal ts (side 0 < 1) → ties are
+    # matched (right_ts == left_ts counts as "already happened").
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    keep = [f.name for f in left.schema.fields] + [f"asof_{c}" for c in value_cols]
+    return filled.filter(F.col("_side") == 1).select(*keep)
+
+
+@query(
+    "t1_asof_join",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.event_id, ROUND(p.value, 6) AS asof_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
+)
+def t1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the user's latest preceding purchase
+    value (NULL if none yet). Oracle: DuckDB's native ASOF LEFT JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts", value_cols=["value"]
+    )
+    return joined.select(
+        "user_id", "event_id", F.round("asof_value", 6).alias("asof_value")
+    )
+
+
+@query(
+    "t2_range_join",
+    oracle="""
+WITH tiers(tier, lo, hi) AS (
+  VALUES ('low', 0.0, 5.0), ('mid', 5.0, 20.0), ('high', 20.0, 1e9)
+)
+SELECT t.tier, COUNT(*) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+GROUP BY t.tier
+""",
+)
+def t2_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: events banded into value tiers via interval
+    containment. The tier table is tiny → broadcast nested loop with the
+    range predicate — the correct physical plan; a shuffled theta join
+    would be the scale bug."""
+    ev = load_table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 5.0), ("mid", 5.0, 20.0), ("high", 20.0, 1e9)],
+        "tier string, lo double, hi double",
+    )
+    return (
+        ev.join(
+            F.broadcast(tiers),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@query(
+    "t3_time_rollup",
+    oracle="""
+SELECT CAST(CASE WHEN GROUPING(strftime(ts, '%Y-%m-%d')) = 0 THEN strftime(ts, '%Y-%m-%d') END AS VARCHAR) AS day,
+       CAST(CASE WHEN GROUPING(strftime(ts, '%Y-%m-%d %H')) = 0 THEN strftime(ts, '%Y-%m-%d %H') END AS VARCHAR) AS hour,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events
+GROUP BY GROUPING SETS ((strftime(ts, '%Y-%m-%d')), (strftime(ts, '%Y-%m-%d'), strftime(ts, '%Y-%m-%d %H')), ())
+""",
+)
+def t3_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: one pass produces the
+    grand total, per-day, and per-(day, hour) aggregates via GROUPING SETS
+    — the continuous-aggregate shape, computed with a single shuffle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
+        "value",
+    )
+    return ev.rollup("day", "hour").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+@query(
+    "t4_cube",
+    oracle="""
+SELECT CAST(CASE WHEN GROUPING(o_orderstatus) = 0 THEN o_orderstatus END AS VARCHAR) AS o_orderstatus,
+       CAST(CASE WHEN GROUPING(o_orderpriority) = 0 THEN o_orderpriority END AS VARCHAR) AS o_orderpriority,
+       COUNT(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def t4_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping combinations in one
+    pass (SURVEY §2.4 'absent — free in Spark' row, made explicit)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+
+
+@query(
+    "t5_pivot",
+    oracle="""
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS error
+FROM events
+GROUP BY user_id
+""",
+)
+def t5_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type → per-user counts with an explicit value list
+    (explicit values keep the schema static — at scale an inferred pivot
+    does an extra distinct pass and produces unstable schemas)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(c, F.lit(0)).alias(c) for c in ["click", "view", "purchase", "signup", "error"]],
+    )
