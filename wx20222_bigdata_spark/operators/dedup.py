@@ -203,6 +203,54 @@ def minhash_signatures(corpus: DataFrame) -> DataFrame:
     )
 
 
+def minhash_band_keys(corpus: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket_key) in ONE shuffle: instead of aggregating
+    per (doc_id, j) and re-grouping per (doc_id, band), group directly on
+    (doc_id, band) with one conditional min per in-band slot — the fusion
+    noted in SCALE.md. Identical bucket keys, half the shuffles."""
+    toks = corpus.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> length(x) > 0)").alias("toks"),
+    )
+    shingles = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(_SPARK_SHINGLES))).alias("tok"),
+    )
+    hashed = shingles.select("doc_id", F.expr(spark_char_hash("tok")).alias("h"))
+    a_arr = F.array([F.lit(a) for a in MINHASH_A[:N_HASHES]])
+    b_arr = F.array([F.lit(b) for b in MINHASH_B[:N_HASHES]])
+    perms = hashed.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("j"),
+    )
+    hj = (
+        F.element_at(a_arr, F.col("j") + 1) * F.col("h")
+        + F.element_at(b_arr, F.col("j") + 1)
+    ) % MOD
+    long = perms.select(
+        "doc_id",
+        F.expr(f"j div {ROWS_PER_BAND}").alias("band"),
+        (F.col("j") % ROWS_PER_BAND).alias("slot"),
+        hj.alias("hj"),
+    )
+    slot_mins = [
+        F.min(F.when(F.col("slot") == r, F.col("hj"))).alias(f"_s{r}")
+        for r in range(ROWS_PER_BAND)
+    ]
+    return (
+        long.groupBy("doc_id", "band")
+        .agg(*slot_mins)
+        .select(
+            "doc_id",
+            "band",
+            F.concat_ws(
+                "-", *[F.col(f"_s{r}").cast("string") for r in range(ROWS_PER_BAND)]
+            ).alias("bucket_key"),
+        )
+    )
+
+
 @query(
     "e2b_minhash_lsh_pairs",
     oracle=f"""
@@ -250,22 +298,7 @@ def e2b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical formulation: no all-pairs compare, shuffle bounded by bucket
     size."""
     corpus = _corpus_with_mutants_spark(spark, sf_dir)
-    sigs = minhash_signatures(corpus)
-    bands = (
-        sigs.withColumn("band", F.expr(f"j div {ROWS_PER_BAND}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                "-",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("j", "minhash"))
-                    ),
-                    lambda s: s.minhash.cast("string"),
-                ),
-            ).alias("bucket_key")
-        )
-    )
+    bands = minhash_band_keys(corpus)
     a = bands.select(
         F.col("doc_id").alias("id_a"),
         F.col("band").alias("band_a"),

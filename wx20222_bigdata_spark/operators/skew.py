@@ -74,8 +74,20 @@ def zip_with_global_index(df: DataFrame, order_col: str) -> DataFrame:
     Two passes over the data, no single-partition bottleneck — the 100 TB
     replacement for ``row_number().over(Window.orderBy(...))`` (J1). The
     ordering column must be totally ordered (ties broken deterministically
-    upstream)."""
-    parts = df.repartitionByRange(df.sparkSession.sparkContext.defaultParallelism, order_col)
+    upstream).
+
+    The range-partitioned frame MUST be persisted: repartitionByRange
+    derives its boundaries from a random sample *per execution*, so the
+    counts job and the output job would otherwise see different
+    partitionings and the offsets would be wrong (observed at sf0.1 —
+    invisible at smaller scale). Persisting pins one partitioning for
+    both passes; at cluster scale use MEMORY_AND_DISK or write the
+    partitioned data out once instead."""
+    from pyspark import StorageLevel
+
+    parts = df.repartitionByRange(
+        df.sparkSession.sparkContext.defaultParallelism, order_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     with_pid = parts.withColumn("_pid", F.spark_partition_id())
     # tiny: one row per partition
     counts = dict(
