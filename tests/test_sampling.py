@@ -1,0 +1,67 @@
+"""Pin the seeded sampling operators' exact behavior (rows-only queries —
+no DuckDB oracle, so unit tests carry the correctness burden;
+SURVEY.md §5c)."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_ORACLE
+
+
+def _q(name):
+    from wx20222_bigdata_spark.registry import all_queries
+
+    return all_queries()[name]
+
+
+def test_stratified_holdout_fractions_and_partition(spark):
+    out = _q("o5_stratified_holdout")(spark, SF_ORACLE).toPandas()
+    assert len(out) == 10  # one row per label
+    total = out.n_train + out.n_holdout
+    # per-label totals must equal the true label counts (split is a partition)
+    from wx20222_bigdata_spark.catalog import load_table
+
+    truth = (
+        load_table(spark, SF_ORACLE, "embeddings")
+        .groupBy("label")
+        .count()
+        .toPandas()
+        .set_index("label")["count"]
+    )
+    for _, row in out.iterrows():
+        assert row.n_train + row.n_holdout == truth[row.label]
+        # Bernoulli(0.9) per class: loose but real bounds
+        assert 0.7 <= row.n_train / truth[row.label] <= 1.0
+
+
+def test_holdout_is_disjoint_complement(spark):
+    from wx20222_bigdata_spark.catalog import load_table
+    from wx20222_bigdata_spark.operators.sampling import (
+        HOLDOUT_FRACTION,
+        HOLDOUT_SEED,
+        stratified_split,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    train, holdout = stratified_split(emb, "label", HOLDOUT_FRACTION, HOLDOUT_SEED)
+    n_train, n_hold, n_all = train.count(), holdout.count(), emb.count()
+    assert n_train + n_hold == n_all
+    assert train.join(holdout, "vec_id", "inner").count() == 0
+
+
+def test_sample_restore_order(spark):
+    out = _q("o2_sample_restore_order")(spark, SF_ORACLE).toPandas()
+    assert len(out) == 50
+    # order restored: vec_id ascending after the random draw
+    assert (out.vec_id.to_numpy() == sorted(out.vec_id)).all()
+    # deterministic within a session
+    again = _q("o2_sample_restore_order")(spark, SF_ORACLE).toPandas()
+    assert out.equals(again)
+
+
+def test_seeded_shuffle_is_permutation(spark):
+    out = _q("o7_seeded_shuffle")(spark, SF_ORACLE).toPandas()
+    assert sorted(out.shuffle_rank) == list(range(1, len(out) + 1))
+    assert len(set(out.doc_id)) == len(out)
+    # a real shuffle: rank order differs from id order
+    assert (out.sort_values("shuffle_rank").doc_id.to_numpy()
+            != out.sort_values("doc_id").doc_id.to_numpy()).any()
