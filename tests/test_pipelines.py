@@ -1,0 +1,111 @@
+"""End-to-end pipeline tests (SURVEY.md §3): golden-value offline scoring,
+the finetune ETL DAG on A1 fixtures + feature files, and ensemble
+inference down to the submission CSV."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.test_sources import FIXTURE_ANNS
+
+
+def _write_csv(path, rows):
+    path.write_text("".join(f"{v},{c}\n" for v, c in rows))
+
+
+def test_evaluate_submission_golden_values(spark, tmp_path):
+    """Hand-computed golden metrics (SURVEY §5 practice 2: golden-file
+    scoring). 6 vids, categories '0101','0102','0201':
+    preds wrong on v3 (0102->0101, same lv1) and v6 (0201->0101, lv1 miss).
+
+    lv2: acc = 4/6; per-class f1: 0101: tp=2,n_true=2,n_pred=4 -> 2/3;
+    0102: tp=1,n_true=2,n_pred=1 -> 2/3; 0201: tp=1,n_true=2,n_pred=1 -> 2/3
+    -> macro = 2/3. lv1: acc = 5/6; f1('01') = 10/11 (tp=5? no: n_true=4,
+    n_pred=5, tp=4 -> 8/9); f1('02'): tp=1,n_true=2,n_pred=1 -> 2/3
+    -> macro = (8/9 + 2/3)/2 = 7/9.
+    """
+    from wx20222_bigdata_spark.pipelines import evaluate_submission
+
+    truth = [("v1", "0101"), ("v2", "0101"), ("v3", "0102"), ("v4", "0102"),
+             ("v5", "0201"), ("v6", "0201")]
+    preds = [("v1", "0101"), ("v2", "0101"), ("v3", "0101"), ("v4", "0102"),
+             ("v5", "0201"), ("v6", "0101")]
+    tp, pp = tmp_path / "truth.csv", tmp_path / "preds.csv"
+    _write_csv(tp, truth)
+    _write_csv(pp, preds)
+    row = evaluate_submission(spark, str(pp), str(tp)).collect()[0]
+    assert row.lv2_acc == round(4 / 6, 6)
+    assert row.lv1_acc == round(5 / 6, 6)
+    assert row.lv2_f1_macro == round(2 / 3, 6)
+    assert row.lv1_f1_macro == round((8 / 9 + 2 / 3) / 2, 6)
+    assert row.mean_f1 == round((4 / 6 + 5 / 6 + 2 / 3 + (8 / 9 + 2 / 3) / 2) / 4, 6)
+
+
+def test_evaluate_submission_integrity_failures(spark, tmp_path):
+    from wx20222_bigdata_spark.pipelines import (
+        SubmissionIntegrityError,
+        evaluate_submission,
+    )
+
+    truth = [("v1", "0101"), ("v2", "0102")]
+    _write_csv(tmp_path / "t.csv", truth)
+    # dangling vid
+    _write_csv(tmp_path / "p1.csv", [("v1", "0101"), ("vX", "0101")])
+    with pytest.raises(SubmissionIntegrityError, match="not in ground truth"):
+        evaluate_submission(spark, str(tmp_path / "p1.csv"), str(tmp_path / "t.csv"))
+    # count mismatch
+    _write_csv(tmp_path / "p2.csv", [("v1", "0101")])
+    with pytest.raises(SubmissionIntegrityError, match="count mismatch"):
+        evaluate_submission(spark, str(tmp_path / "p2.csv"), str(tmp_path / "t.csv"))
+
+
+@pytest.fixture()
+def ann_fixture_dir(tmp_path):
+    p = tmp_path / "anns.json"
+    p.write_text(json.dumps(FIXTURE_ANNS, ensure_ascii=False))
+    feats = tmp_path / "feats"
+    feats.mkdir()
+    for i in range(0, 20, 2):  # features for half the ids
+        (feats / f"v{i:04d}.npy").write_bytes(bytes([i % 251]) * (32 + i))
+    return str(p), str(feats)
+
+
+def test_finetune_data_pipeline(spark, ann_fixture_dir):
+    from wx20222_bigdata_spark.pipelines import finetune_data_pipeline
+
+    anns_path, feats_dir = ann_fixture_dir
+    train, holdout = finetune_data_pipeline(
+        spark, anns_path, feats_dir, budget=16, train_fraction=0.7, seed=11
+    )
+    t, h = train.toPandas(), holdout.toPandas()
+    assert len(t) + len(h) == len(FIXTURE_ANNS)
+    assert set(t.columns) == {
+        "id", "input_ids", "attention_mask", "n_tokens", "label", "feature_bytes",
+    }
+    # disjoint split
+    assert not (set(t.id) & set(h.id))
+    # feature join: even ids carry bytes, odd ids coalesce to 0
+    both = list(t.itertuples()) + list(h.itertuples())
+    for r in both:
+        i = int(r.id[1:])
+        assert r.feature_bytes == (32 + i if i % 2 == 0 else 0)
+        assert len(r.input_ids) == 16 and len(r.attention_mask) == 16
+
+
+def test_ensemble_inference_to_csv(spark, ann_fixture_dir, tmp_path):
+    from wx20222_bigdata_spark.pipelines import ensemble_inference_pipeline
+    from wx20222_bigdata_spark.sources import read_predictions_csv
+
+    anns_path, _ = ann_fixture_dir
+    out_dir = tmp_path / "submission"
+    out = ensemble_inference_pipeline(spark, anns_path, str(out_dir))
+    back = read_predictions_csv(spark, str(out_dir)).toPandas()
+    assert len(back) == len(FIXTURE_ANNS)
+    assert set(back.vid) == {r["id"] for r in FIXTURE_ANNS}
+    assert set(back.category_id) <= {"0101", "0102", "0201", "0202"}
+    # deterministic: re-running produces identical predictions
+    out2 = ensemble_inference_pipeline(spark, anns_path, str(tmp_path / "s2"))
+    assert out.orderBy("vid").collect() == out2.orderBy("vid").collect()

@@ -1,0 +1,167 @@
+"""End-to-end pipeline compositions — the reference's three entry points
+(SURVEY.md §3) rebuilt from the engine's operators. A user of the
+reference runs these shapes, not individual operators:
+
+- §3.4 ``evaluate_submission``: prediction/truth CSVs → integrity-checked
+  join → two-level metric row (``evaluate.py:5-24`` + ``util.py:136-156``).
+- §3.1 ``finetune_data_pipeline``: annotation JSON + per-key feature files
+  → text features + joined visual features → stratified train/holdout
+  (``data_helper.py:88-132``).
+- §3.2 ``ensemble_inference_pipeline``: same ETL → K-model scoring →
+  logit sum → argmax → category decode → ordered CSV
+  (``inference_kfold.py:13-98``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wx20222_bigdata_spark.operators.etl import prepare_text_features
+from wx20222_bigdata_spark.operators.metrics import macro_f1
+from wx20222_bigdata_spark.operators.sampling import stratified_split
+from wx20222_bigdata_spark.sources import (
+    read_annotations_json,
+    read_keyed_binary_dir,
+    read_predictions_csv,
+    write_predictions_csv,
+)
+
+
+class SubmissionIntegrityError(ValueError):
+    """Raised for dangling or duplicated vids — the reference hard-fails on
+    both (``evaluate.py:16-17,21-22``)."""
+
+
+def evaluate_submission(
+    spark: SparkSession, result_csv: str, truth_csv: str
+) -> DataFrame:
+    """§3.4 offline scorer: csv_scan ×2 → integrity join → metrics.
+
+    Returns one row: lv1_acc, lv2_acc, lv1_f1_macro, lv2_f1_macro,
+    mean_f1 (micro-F1 == accuracy for single-label multiclass, so the
+    mean-of-four uses the accuracies as micro terms — ``util.py:148-154``).
+    lv1 is the 2-char prefix of the 4-char category id
+    (``category_id_map.py:34-36``)."""
+    preds = read_predictions_csv(spark, result_csv)
+    truth = read_predictions_csv(spark, truth_csv).withColumnRenamed(
+        "category_id", "true_category_id"
+    )
+    # integrity: every predicted vid must exist in truth, counts must match
+    dangling = preds.join(truth, "vid", "left_anti").count()
+    if dangling:
+        raise SubmissionIntegrityError(f"{dangling} predicted vids not in ground truth")
+    n_pred, n_truth = preds.count(), truth.count()
+    if n_pred != n_truth:
+        raise SubmissionIntegrityError(f"row count mismatch: {n_pred} != {n_truth}")
+    if preds.select("vid").distinct().count() != n_pred:
+        raise SubmissionIntegrityError("duplicate vids in submission")
+
+    joined = preds.join(truth, "vid").select(
+        F.col("true_category_id").alias("lv2"),
+        F.col("category_id").alias("pred_lv2"),
+        F.substring("true_category_id", 1, 2).alias("lv1"),
+        F.substring("category_id", 1, 2).alias("pred_lv1"),
+    )
+    acc = joined.agg(
+        F.avg(F.when(F.col("lv1") == F.col("pred_lv1"), 1.0).otherwise(0.0)).alias(
+            "lv1_acc"
+        ),
+        F.avg(F.when(F.col("lv2") == F.col("pred_lv2"), 1.0).otherwise(0.0)).alias(
+            "lv2_acc"
+        ),
+    )
+    l1 = macro_f1(joined, "lv1", "pred_lv1").withColumnRenamed("f1", "lv1_f1")
+    l2 = macro_f1(joined, "lv2", "pred_lv2").withColumnRenamed("f1", "lv2_f1")
+    return (
+        acc.crossJoin(l1)
+        .crossJoin(l2)
+        .select(
+            F.round("lv1_acc", 6).alias("lv1_acc"),
+            F.round("lv2_acc", 6).alias("lv2_acc"),
+            F.round("lv1_f1", 6).alias("lv1_f1_macro"),
+            F.round("lv2_f1", 6).alias("lv2_f1_macro"),
+            F.round(
+                (F.col("lv1_acc") + F.col("lv2_acc") + F.col("lv1_f1") + F.col("lv2_f1"))
+                / 4,
+                6,
+            ).alias("mean_f1"),
+        )
+    )
+
+
+def finetune_data_pipeline(
+    spark: SparkSession,
+    annotations_json: str,
+    features_dir: str,
+    budget: int = 256,
+    train_fraction: float = 0.9,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """§3.1 ingest/ETL: the ``create_dataloaders`` stage as one lazy DAG.
+
+    JSON scan (S1) → text features (P1+F8+F7+F9) → per-key feature-file
+    join (S3/J4) → label attach (P2) → stratified split (O5).
+    Returns (train, holdout); both carry
+    (id, input_ids, attention_mask, n_tokens, feature_bytes, label)."""
+    anns = read_annotations_json(spark, annotations_json)
+    text_feats = prepare_text_features(anns, budget=budget)
+    labels = anns.select(
+        "id",
+        F.substring("category_id", 3, 2).cast("int").alias("label"),
+    )
+    feats = read_keyed_binary_dir(spark, features_dir).select(
+        F.col("key").alias("id"), F.col("n_bytes").alias("feature_bytes")
+    )
+    full = (
+        text_feats.join(labels, "id")
+        .join(feats, "id", "left")
+        .withColumn("feature_bytes", F.coalesce("feature_bytes", F.lit(0)))
+    )
+    return stratified_split(full, "label", train_fraction, seed)
+
+
+def ensemble_inference_pipeline(
+    spark: SparkSession,
+    annotations_json: str,
+    out_csv: str,
+    n_models: int = 3,
+    n_classes: int = 4,
+    budget: int = 64,
+) -> DataFrame:
+    """§3.2 ensemble inference: ETL → K deterministic linear 'checkpoints'
+    over the token-id features → logit sum (A7) → argmax (A8) → category
+    decode (P4) → ordered CSV (S5/O8).
+
+    The scorer is a self-contained mapInPandas closure (weights derived
+    from (model, class, position) — the stand-in for broadcast torch
+    weights, ``inference_kfold.py:66-90``)."""
+    anns = read_annotations_json(spark, annotations_json)
+    feats = prepare_text_features(anns, budget=budget)
+
+    def score_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = np.stack(pdf["input_ids"].to_numpy()).astype("float64")
+            total = np.zeros((len(pdf), n_classes))
+            for m in range(n_models):
+                for c in range(n_classes):
+                    w = np.array(
+                        [((m * 131 + c * 17 + i) % 11) - 5 for i in range(ids.shape[1])],
+                        dtype="float64",
+                    )
+                    total[:, c] += ids @ w
+            pred = total.argmax(axis=1)
+            yield pd.DataFrame({"vid": pdf["id"], "pred": pred.astype("int32")})
+
+    preds = feats.mapInPandas(score_batches, "vid string, pred int")
+    # decode dense class -> category id string (P4 broadcast dim join)
+    dim = spark.createDataFrame(
+        [(c, f"{c // 2 + 1:02d}{c % 2 + 1:02d}") for c in range(n_classes)],
+        "pred int, category_id string",
+    )
+    out = preds.join(F.broadcast(dim), "pred").select("vid", "category_id")
+    write_predictions_csv(out, out_csv, single_file=True)
+    return out
