@@ -69,10 +69,16 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = queries[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        # steady-state: min of two runs; the plan is rebuilt per run so
+        # Spark cannot reuse shuffle files across runs (skipped stages
+        # would understate real execution cost).
+        for _ in range(2):
+            df = queries[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     # ETL throughput: the reference's §3.1-step-2 pipeline (flatten →
     # budget cascade → tokenize → pad/mask) over annotation-shaped rows
