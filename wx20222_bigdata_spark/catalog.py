@@ -71,7 +71,7 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("o_custkey", T.LongType()),
             T.StructField("o_orderstatus", T.StringType()),
             T.StructField("o_totalprice", T.DoubleType()),
-            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderdate", T.TimestampNTZType()),
             T.StructField("o_orderpriority", T.StringType()),
         ]
     ),
@@ -87,7 +87,7 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_tax", T.DoubleType()),
             T.StructField("l_returnflag", T.StringType()),
             T.StructField("l_linestatus", T.StringType()),
-            T.StructField("l_shipdate", T.TimestampType()),
+            T.StructField("l_shipdate", T.TimestampNTZType()),
         ]
     ),
     "events": T.StructType(
@@ -136,8 +136,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _validate_schema(name, df)
+    return df
+
+
+def _validate_schema(name: str, df: DataFrame) -> None:
+    """Fail fast if a scan's schema drifts from the declared contract —
+    the catalog boundary is where a regenerated/malformed fixture should
+    break, not three operators downstream. Metadata-only (no data read).
+
+    Note the declared truth matches parquet reality: the testdata's
+    orderdate/shipdate columns are TIMESTAMP(isAdjustedToUTC=false) and
+    read as TIMESTAMP_NTZ; only events.ts (converted from raw nanos) is a
+    session-tz timestamp."""
+    expected = [(f.name, f.dataType.simpleString()) for f in SCHEMAS[name].fields]
+    actual = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    if expected != actual:
+        raise ValueError(
+            f"schema drift in table {name!r}: expected {expected}, got {actual}"
+        )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

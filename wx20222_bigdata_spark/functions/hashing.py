@@ -42,11 +42,3 @@ def duck_char_hash(col_expr: str) -> str:
         f"(a, c) -> (a * 31 + c) % {MOD})"
     )
 
-
-def minhash_expr_spark(hash_col: str, j: int) -> str:
-    """``(a_j * h + b_j) % p`` for permutation j (Spark SQL)."""
-    return f"({MINHASH_A[j]} * {hash_col} + {MINHASH_B[j]}) % {MOD}"
-
-
-def minhash_expr_duck(hash_col: str, j: int) -> str:
-    return f"({MINHASH_A[j]} * {hash_col} + {MINHASH_B[j]}) % {MOD}"

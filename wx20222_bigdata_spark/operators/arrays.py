@@ -283,12 +283,11 @@ def f11_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    dot = F.expr("aggregate(zip_with(ea, eb, (x, y) -> double(x) * double(y)), 0D, (a, x) -> a + x)")
-    na = F.sqrt(F.expr("aggregate(ea, 0D, (a, x) -> a + double(x) * double(x))"))
-    nb = F.sqrt(F.expr("aggregate(eb, 0D, (a, x) -> a + double(x) * double(x))"))
+    from wx20222_bigdata_spark.functions.vector import cosine
+
     return (
         a.join(b, F.col("id_b") == F.col("id_a") + 1)
-        .select("id_a", "id_b", F.round(dot / (na * nb), 6).alias("cosine"))
+        .select("id_a", "id_b", F.round(cosine("ea", "eb"), 6).alias("cosine"))
     )
 
 

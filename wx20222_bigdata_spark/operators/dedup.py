@@ -43,10 +43,6 @@ ROWS_PER_BAND = 4
     oracle="""
 WITH keyed AS (
   SELECT doc_id, source, md5(text) AS content_key FROM documents
-),
-survivors AS (
-  SELECT content_key, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-  FROM keyed GROUP BY content_key
 )
 SELECT k.source,
        COUNT(*) AS n_docs,
@@ -91,7 +87,9 @@ def e1b_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH shingled AS (
   SELECT doc_id,
-         list_distinct([substring(text, i, 3) for i in range(1, length(text) - 1)]) AS grams
+         list_distinct(CASE WHEN length(text) >= 3
+                            THEN [substring(text, i, 3) for i in range(1, length(text) - 1)]
+                            ELSE [text] END) AS grams
   FROM documents
 ),
 pairs AS (
@@ -110,8 +108,16 @@ def e2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``|A∩B| / |A∪B|`` on consecutive doc pairs (the exact-verify step that
     follows LSH candidate generation in a near-dup pipeline)."""
     docs = load_table(spark, sf_dir, "documents")
+    # guard length < 3: Spark's sequence(1, length-2) DESCENDS when the
+    # stop is below the start (sequence(1, 0) = [1, 0]) and would emit
+    # bogus shingles where DuckDB's range() yields none — short texts get
+    # one whole-text shingle on both engines instead.
     grams = F.array_distinct(
-        F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+        F.expr(
+            """CASE WHEN length(text) >= 3
+                    THEN transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))
+                    ELSE array(text) END"""
+        )
     )
     sh = docs.select("doc_id", grams.alias("grams"))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
@@ -172,12 +178,10 @@ CASE WHEN len(t) >= 3
 """
 
 
-def minhash_signatures(corpus: DataFrame) -> DataFrame:
-    """(doc_id, j, minhash) for j in 0..N_HASHES-1 via the universal-hash
-    family over cross-engine shingle hashes. Single pass: one explode over
-    the permutation index with the (a_j, b_j) parameters as array literals
-    — the shingle set is scanned once, and the per-permutation min is
-    map-side combinable."""
+def _permuted_shingle_hashes(corpus: DataFrame) -> tuple[DataFrame, "F.Column"]:
+    """Shared front half of every MinHash pipeline: tokenize → shingle →
+    cross-engine hash → explode the permutation index. Returns the
+    (doc_id, h, j) frame and the h_j = (a_j*h + b_j) mod p column."""
     toks = corpus.select(
         "doc_id",
         F.expr("filter(split(text, ' '), x -> length(x) > 0)").alias("toks"),
@@ -198,6 +202,14 @@ def minhash_signatures(corpus: DataFrame) -> DataFrame:
         F.element_at(a_arr, F.col("j") + 1) * F.col("h")
         + F.element_at(b_arr, F.col("j") + 1)
     ) % MOD
+    return perms, hj
+
+
+def minhash_signatures(corpus: DataFrame) -> DataFrame:
+    """(doc_id, j, minhash) signature rows — the generic MinHash output
+    for consumers that need raw signatures (similarity estimation).
+    The LSH query itself uses the fused ``minhash_band_keys``."""
+    perms, hj = _permuted_shingle_hashes(corpus)
     return perms.select("doc_id", "j", hj.alias("hj")).groupBy("doc_id", "j").agg(
         F.min("hj").alias("minhash")
     )
@@ -208,26 +220,7 @@ def minhash_band_keys(corpus: DataFrame) -> DataFrame:
     per (doc_id, j) and re-grouping per (doc_id, band), group directly on
     (doc_id, band) with one conditional min per in-band slot — the fusion
     noted in SCALE.md. Identical bucket keys, half the shuffles."""
-    toks = corpus.select(
-        "doc_id",
-        F.expr("filter(split(text, ' '), x -> length(x) > 0)").alias("toks"),
-    )
-    shingles = toks.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.expr(_SPARK_SHINGLES))).alias("tok"),
-    )
-    hashed = shingles.select("doc_id", F.expr(spark_char_hash("tok")).alias("h"))
-    a_arr = F.array([F.lit(a) for a in MINHASH_A[:N_HASHES]])
-    b_arr = F.array([F.lit(b) for b in MINHASH_B[:N_HASHES]])
-    perms = hashed.select(
-        "doc_id",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("j"),
-    )
-    hj = (
-        F.element_at(a_arr, F.col("j") + 1) * F.col("h")
-        + F.element_at(b_arr, F.col("j") + 1)
-    ) % MOD
+    perms, hj = _permuted_shingle_hashes(corpus)
     long = perms.select(
         "doc_id",
         F.expr(f"j div {ROWS_PER_BAND}").alias("band"),

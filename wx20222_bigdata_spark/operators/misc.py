@@ -56,12 +56,16 @@ def f13_mlm_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
-    r = F.rand(42)
-    decided = toks.select(
+    # rand() is nondeterministic per *evaluation*: referencing the same
+    # F.rand Column from several when-branches draws from desynchronized
+    # RNG streams (not CSE'd) and breaks the 80/10/10 split. Materialize
+    # one draw per token first.
+    drawn = toks.withColumn("r", F.rand(42))
+    decided = drawn.select(
         "doc_id",
-        F.when(r >= 0.15, "keep")
-        .when(r < 0.15 * 0.8, "mask")
-        .when(r < 0.15 * 0.9, "random")
+        F.when(F.col("r") >= 0.15, "keep")
+        .when(F.col("r") < 0.15 * 0.8, "mask")
+        .when(F.col("r") < 0.15 * 0.9, "random")
         .otherwise("identity")
         .alias("action"),
     )
@@ -172,12 +176,9 @@ def e2e_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = emb.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), F.col("label").alias("lb")
     )
-    dot = F.expr(
-        "aggregate(zip_with(ea, eb, (x, y) -> double(x) * double(y)), 0D, (a, x) -> a + x)"
-    )
-    na = F.sqrt(F.expr("aggregate(ea, 0D, (a, x) -> a + double(x) * double(x))"))
-    nb = F.sqrt(F.expr("aggregate(eb, 0D, (a, x) -> a + double(x) * double(x))"))
-    cosine = dot / (na * nb)
+    from wx20222_bigdata_spark.functions.vector import cosine as _cos
+
+    cosine = _cos("ea", "eb")
     return (
         a.join(
             b,
@@ -200,12 +201,9 @@ def e2f_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked pipeline is ``e2b_minhash_lsh_pairs``."""
     from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    mutants = docs.filter(F.col("doc_id") % 50 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat("text", F.lit(" extra")).alias("text"),
-    )
-    corpus = docs.unionByName(mutants)
+    from wx20222_bigdata_spark.operators.dedup import _corpus_with_mutants_spark
+
+    corpus = _corpus_with_mutants_spark(spark, sf_dir)
     tok = Tokenizer(inputCol="text", outputCol="words")
     tf = HashingTF(inputCol="words", outputCol="features", numFeatures=1 << 16, binary=True)
     feats = tf.transform(tok.transform(corpus))

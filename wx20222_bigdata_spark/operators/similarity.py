@@ -33,14 +33,8 @@ N_PLANES = 8
 _PLANE = "((({j} * 64 + i) % 13) - 6)"
 
 
-def _dot(ea: str, eb: str) -> F.Column:
-    return F.expr(
-        f"aggregate(zip_with({ea}, {eb}, (x, y) -> double(x) * double(y)), 0D, (a, x) -> a + x)"
-    )
-
-
-def _norm(e: str) -> F.Column:
-    return F.sqrt(F.expr(f"aggregate({e}, 0D, (a, x) -> a + double(x) * double(x))"))
+from wx20222_bigdata_spark.functions.vector import dot as _dot
+from wx20222_bigdata_spark.functions.vector import norm as _norm
 
 
 @query(

@@ -47,14 +47,32 @@ def evaluate_submission(
     truth = read_predictions_csv(spark, truth_csv).withColumnRenamed(
         "category_id", "true_category_id"
     )
-    # integrity: every predicted vid must exist in truth, counts must match
-    dangling = preds.join(truth, "vid", "left_anti").count()
-    if dangling:
-        raise SubmissionIntegrityError(f"{dangling} predicted vids not in ground truth")
-    n_pred, n_truth = preds.count(), truth.count()
-    if n_pred != n_truth:
-        raise SubmissionIntegrityError(f"row count mismatch: {n_pred} != {n_truth}")
-    if preds.select("vid").distinct().count() != n_pred:
+    # integrity (one pass, one action): per-vid counts full-outer joined,
+    # reduced to dangling/total/duplicate stats in a single aggregation —
+    # the naive form re-scans the CSVs once per check.
+    pc = preds.groupBy("vid").agg(F.count("*").alias("n_p"))
+    tc = truth.groupBy("vid").agg(F.count("*").alias("n_t"))
+    stats = (
+        pc.join(tc, "vid", "full_outer")
+        .agg(
+            F.sum(F.when(F.col("n_t").isNull(), F.col("n_p")).otherwise(0)).alias(
+                "dangling"
+            ),
+            F.sum(F.coalesce("n_p", F.lit(0))).alias("n_pred"),
+            F.sum(F.coalesce("n_t", F.lit(0))).alias("n_truth"),
+            F.sum(F.when(F.col("n_p") > 1, 1).otherwise(0)).alias("dup_vids"),
+        )
+        .collect()[0]
+    )
+    if stats.dangling:
+        raise SubmissionIntegrityError(
+            f"{stats.dangling} predicted vids not in ground truth"
+        )
+    if stats.n_pred != stats.n_truth:
+        raise SubmissionIntegrityError(
+            f"row count mismatch: {stats.n_pred} != {stats.n_truth}"
+        )
+    if stats.dup_vids:
         raise SubmissionIntegrityError("duplicate vids in submission")
 
     joined = preds.join(truth, "vid").select(
