@@ -12,7 +12,6 @@ from tests.conftest import SF_ORACLE
 from wx20222_bigdata_spark.plans import (
     formatted_plan,
     has_broadcast_join,
-    has_cartesian,
     has_take_ordered,
     pushed_filters,
     read_schemas,

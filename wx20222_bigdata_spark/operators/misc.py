@@ -7,7 +7,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from wx20222_bigdata_spark.catalog import load_table
 from wx20222_bigdata_spark.registry import query
@@ -110,7 +109,6 @@ def f14_batch_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number ranges — the engine's contract that 'batch' is a computed
     key, never physical row order."""
     emb = load_table(spark, sf_dir, "embeddings")
-    w = Window.orderBy("vec_id")
     batched = emb.select(
         "vec_id",
         "label",
@@ -217,4 +215,50 @@ def e2f_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("datasetB.doc_id").alias("id_b"),
             F.round("jaccard_dist", 6).alias("jaccard_dist"),
         )
+    )
+
+
+@query(
+    "x3_python_udtf_shingles",
+    oracle="""
+WITH toksrc AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 3
+                     THEN [t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] for i in range(1, len(t) - 1)]
+                     ELSE [] END) AS gram
+  FROM toksrc
+)
+SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT gram) AS n_distinct
+FROM grams
+GROUP BY doc_id
+""",
+)
+def x3_python_udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 one-row→many via a real Python UDTF (Spark 4 ``@udtf``) — the
+    table-function form of the ocr-segment explode (``data_helper.py:32-34``),
+    emitting 3-token shingles per doc. Counts per doc are oracle-checked
+    against the list-comprehension shingler. The UDTF runs Arrow-batched
+    like any Python worker; the lateral join keeps it partition-local."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="gram string")
+    class Trigrams:
+        def eval(self, text: str):  # noqa: D401 - Spark UDTF contract
+            toks = [t for t in (text or "").split(" ") if t]
+            for i in range(max(len(toks) - 2, 0)):
+                yield (" ".join(toks[i : i + 3]),)
+
+    spark.udtf.register("trigrams_udtf", Trigrams)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_docs_for_udtf")
+    grams = spark.sql(
+        """SELECT d.doc_id, g.gram
+           FROM _docs_for_udtf d, LATERAL trigrams_udtf(d.text) g"""
+    )
+    return grams.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.countDistinct("gram").alias("n_distinct"),
     )

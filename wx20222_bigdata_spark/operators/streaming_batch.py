@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from wx20222_bigdata_spark.catalog import load_table
 from wx20222_bigdata_spark.registry import query

@@ -12,7 +12,7 @@ nested-loop, no per-row probe. DuckDB's native ASOF JOIN is the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 

@@ -4,7 +4,6 @@ header (written ``inference.py:49-53``, parsed ``evaluate.py:7-19``)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 PREDICTION_SCHEMA = T.StructType(
