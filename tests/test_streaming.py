@@ -117,3 +117,26 @@ def test_streaming_dedup_with_watermark(spark, events_dir):
     got = spark.table("t_dedup").collect()[0][0]
     expected = spark.read.parquet(events_dir).select("event_id").distinct().count()
     assert got == expected
+
+
+def test_dedup_within_watermark(spark, events_dir):
+    """dropDuplicatesWithinWatermark: dedup state is evicted after the
+    watermark horizon — the bounded-state streaming dedup for keys that
+    can only repeat within a time window."""
+    from wx20222_bigdata_spark.streaming.jobs import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = (
+        read_events_stream(spark, events_dir)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy()
+        .count()
+    )
+    run_stream_to_memory(stream, "t_dedup_wm", output_mode="complete")
+    got = spark.table("t_dedup_wm").collect()[0][0]
+    # event_ids are globally unique here, so within-watermark dedup keeps all
+    expected = spark.read.parquet(events_dir).count()
+    assert got == expected

@@ -14,6 +14,7 @@ from wx20222_bigdata_spark.operators import (  # noqa: F401
     sampling,
     similarity,
     skew,
+    stats,
     streaming_batch,
     temporal,
     textstats,

@@ -246,3 +246,60 @@ def x4b_ensemble_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "vec_id bigint, pred int, ensemble_score double"
     return emb.mapInPandas(score_batches, schema)
+
+
+@query(
+    "x4c_broadcast_weights_scoring",
+    oracle=f"""
+WITH scored AS (
+  SELECT vec_id, label,
+         [{','.join(_duck_scores('embedding', c) for c in range(N_CLASSES))}] AS scores
+  FROM embeddings
+)
+SELECT vec_id, label,
+       CAST(list_position(scores, list_max(scores)) - 1 AS INT) AS pred,
+       ROUND(list_max(scores), 6) AS best_score
+FROM scored
+""",
+)
+def x4c_broadcast_weights_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 with the production weight-distribution pattern: the weight
+    matrix travels as a ``SparkContext.broadcast`` variable (one copy per
+    executor, not per task) and the kernel closes over only the broadcast
+    handle. Same scores/oracle as ``x4_map_in_pandas_scoring`` — this
+    variant exists to keep the broadcast idiom exercised end to end."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = np.array(
+        [[float(((c * N_DIMS + i) % 7) - 3) for i in range(N_DIMS)] for c in range(N_CLASSES)],
+        dtype="float64",
+    )
+    bw = spark.sparkContext.broadcast(w)
+    n_classes, n_dims = N_CLASSES, N_DIMS
+
+    def score_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        weights = bw.value  # (classes, dims), fetched once per executor
+        for pdf in batches:
+            mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            scores = np.zeros((len(pdf), n_classes), dtype="float64")
+            for c in range(n_classes):
+                acc = np.zeros(len(pdf), dtype="float64")
+                for i in range(n_dims):
+                    acc = acc + mat[:, i] * weights[c, i]
+                scores[:, c] = acc
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "pred": scores.argmax(axis=1).astype("int32"),
+                    "best_score": np.round(scores.max(axis=1), 6),
+                }
+            )
+
+    return emb.mapInPandas(
+        score_batches, "vec_id bigint, label int, pred int, best_score double"
+    )
