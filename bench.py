@@ -43,6 +43,11 @@ HEADLINE = [
     "x4_map_in_pandas_scoring",   # Arrow-batched model inference
     "s9_tumbling_window",         # tumbling window agg
     "s9c_session_windows",        # session windows
+    "q5_local_supplier_volume",   # 6-way star join
+    "q17_small_quantity_revenue", # decorrelated aggregate filter
+    "t1_asof_join",               # as-of join (union-and-window)
+    "t3_time_rollup",             # grouping-sets time rollup
+    "m1_upsert_merge",            # CDC merge
 ]
 
 

@@ -1,0 +1,93 @@
+"""Adversarial edge cases for the budget cascade + feature ETL
+(SURVEY.md §7 hard part (d): the truncation cascade carries the highest
+unit-test density). One Spark round-trip over a constructed fixture whose
+rows cross every branch boundary; expectations from the pure-Python spec.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from tests.test_etl import BUDGET, VOCAB, py_cascade, py_char_hash
+
+# every structural corner: empties, singletons, exact-budget boundaries,
+# over-budget on each field, unicode, whitespace runs
+EDGE_ANNS = [
+    {"id": "empty_all", "title": "", "asr": "", "ocr": [], "category_id": "0101"},
+    {"id": "title_only", "title": "a b c", "asr": "", "ocr": [], "category_id": "0101"},
+    {"id": "asr_only", "title": "", "asr": "x " * 30, "ocr": [], "category_id": "0102"},
+    {"id": "ocr_only", "title": "", "asr": "", "ocr": [{"text": "o " * 40}], "category_id": "0102"},
+    {"id": "one_tok", "title": "solo", "asr": "", "ocr": [], "category_id": "0201"},
+    {
+        "id": "exact_budget",
+        "title": " ".join(f"t{i}" for i in range(BUDGET)),
+        "asr": "",
+        "ocr": [],
+        "category_id": "0201",
+    },
+    {
+        "id": "budget_plus_one",
+        "title": " ".join(f"t{i}" for i in range(BUDGET + 1)),
+        "asr": "overflow tokens here",
+        "ocr": [{"text": "never kept"}],
+        "category_id": "0202",
+    },
+    {
+        "id": "title_half_asr_floods",
+        "title": " ".join(f"t{i}" for i in range(BUDGET // 2)),
+        "asr": " ".join(f"a{i}" for i in range(BUDGET * 2)),
+        "ocr": [{"text": "tail ocr"}],
+        "category_id": "0202",
+    },
+    {
+        "id": "multi_ocr_segments",
+        "title": "t1",
+        "asr": "a1 a2",
+        "ocr": [{"text": "s1 s2"}, {"text": "s3"}, {"text": "s4 s5 s6"}],
+        "category_id": "0301",
+    },
+    {
+        "id": "unicode_cn",
+        "title": "中文 标题 在这里",
+        "asr": "语音 转写",
+        "ocr": [{"text": "光学 识别 文本"}],
+        "category_id": "0301",
+    },
+    {
+        "id": "whitespace_runs",
+        "title": "a  b   c",
+        "asr": " leading and trailing ",
+        "ocr": [{"text": "  "}],
+        "category_id": "0302",
+    },
+]
+
+
+@pytest.fixture(scope="module")
+def edge_rows(spark, tmp_path_factory):
+    from wx20222_bigdata_spark.operators.etl import prepare_text_features
+    from wx20222_bigdata_spark.sources import read_annotations_json
+
+    p = tmp_path_factory.mktemp("edges") / "anns.json"
+    p.write_text(json.dumps(EDGE_ANNS, ensure_ascii=False))
+    df = prepare_text_features(
+        read_annotations_json(spark, str(p)), budget=BUDGET, vocab_mod=VOCAB
+    )
+    return {r.id: r for r in df.collect()}
+
+
+@pytest.mark.parametrize("rec", EDGE_ANNS, ids=[r["id"] for r in EDGE_ANNS])
+def test_edge_case_matches_python_spec(edge_rows, rec):
+    ocr_flat = " ".join(o["text"] for o in rec["ocr"])
+    expect_toks = py_cascade(rec["title"], rec["asr"], ocr_flat, BUDGET)
+    expect_ids = [py_char_hash(t, VOCAB) for t in expect_toks] + [0] * (
+        BUDGET - len(expect_toks)
+    )
+    expect_mask = [1] * len(expect_toks) + [0] * (BUDGET - len(expect_toks))
+    got = edge_rows[rec["id"]]
+    assert got.n_tokens == len(expect_toks)
+    assert got.n_tokens <= BUDGET
+    assert list(got.input_ids) == expect_ids
+    assert list(got.attention_mask) == expect_mask
