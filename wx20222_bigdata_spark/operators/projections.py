@@ -303,3 +303,49 @@ def f16_datetime_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
         F.unix_timestamp("ts").cast("bigint").alias("epoch_s"),
     )
+
+
+@query(
+    "f_null_semantics",
+    oracle="""
+WITH e AS (
+  SELECT event_id,
+         NULLIF(event_type, 'error') AS et_nullable,
+         CASE WHEN value < 1.0 THEN NULL ELSE value END AS v_nullable
+  FROM events
+)
+SELECT COUNT(*) AS n_rows,
+       COUNT(et_nullable) AS n_et_nonnull,
+       COUNT(v_nullable) AS n_v_nonnull,
+       CAST(SUM(CASE WHEN et_nullable IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_null,
+       ROUND(CAST(SUM(CAST(COALESCE(v_nullable, 0.0) AS DECIMAL(18,2))) AS DOUBLE), 2) AS v_sum_coalesced
+FROM e
+""",
+)
+def f_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL discipline in one query: NULLIF introduction, COUNT(col)'s
+    null-skipping vs COUNT(*), null-safe equality (<=> / IS NOT DISTINCT
+    FROM), and COALESCE defaulting — semantics every ETL depends on and
+    both engines must agree on exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        F.nullif(F.col("event_type"), F.lit("error")).alias("et_nullable"),
+        F.when(F.col("value") < 1.0, F.lit(None)).otherwise(F.col("value")).alias(
+            "v_nullable"
+        ),
+    )
+    return e.agg(
+        F.count("*").alias("n_rows"),
+        F.count("et_nullable").alias("n_et_nonnull"),
+        F.count("v_nullable").alias("n_v_nonnull"),
+        F.sum(
+            F.when(F.col("et_nullable").eqNullSafe(F.lit(None)), 1).otherwise(0)
+        ).alias("n_nullsafe_null"),
+        F.round(
+            F.sum(F.coalesce("v_nullable", F.lit(0.0)).cast("decimal(18,2)")).cast(
+                "double"
+            ),
+            2,
+        ).alias("v_sum_coalesced"),
+    )
