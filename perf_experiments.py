@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Targeted perf experiments backing SCALE.md claims with measurements:
+
+1. Arrow batch-size sweep for the mapInPandas scoring kernel (the
+   ``maxRecordsPerBatch`` ≙ DataLoader-batch analogy, SURVEY §4).
+2. Salted vs plain aggregation on a 90%-hot-key corpus (the skew story).
+
+Prints one JSON object; numbers get copied into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F
+
+from wx20222_bigdata_spark.session import get_spark
+
+
+def time_noop(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 2)
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="perf-experiments",
+        master="local[32]",
+        shuffle_partitions=32,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict = {}
+
+    # --- 1. Arrow batch sweep over a 100x-replicated embeddings table ---
+    from wx20222_bigdata_spark.catalog import load_table
+    from wx20222_bigdata_spark.operators.inference import (
+        N_CLASSES,
+        N_DIMS,
+        _make_linear_scorer,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    big = emb.crossJoin(spark.range(100).select(F.col("id").alias("rep"))).select(
+        (F.col("vec_id") + F.col("rep") * 1000).alias("vec_id"), "embedding", "label"
+    )
+    big.write.mode("overwrite").parquet("/tmp/perf_emb_x100")
+    big = spark.read.parquet("/tmp/perf_emb_x100")
+    scores_for = _make_linear_scorer(N_CLASSES, N_DIMS)
+
+    def score_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            s = scores_for(pdf["embedding"])
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "pred": s.argmax(axis=1).astype("int32"),
+                }
+            )
+
+    sweep = {}
+    for batch in [1000, 10000, 65536]:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch))
+        df = big.mapInPandas(score_batches, "vec_id bigint, pred int")
+        time_noop(df)  # warm
+        sweep[str(batch)] = time_noop(big.mapInPandas(score_batches, "vec_id bigint, pred int"))
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    results["arrow_batch_sweep_50k_rows_sec"] = sweep
+
+    # --- 2. salted vs plain aggregation on a 90%-hot-key corpus ---
+    from wx20222_bigdata_spark.operators.skew import salted_sum
+
+    n = 4_000_000
+    skewed = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, "hot").otherwise(
+            F.concat(F.lit("key"), (F.col("id") % 20).cast("string"))
+        ).alias("k"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    skewed.write.mode("overwrite").parquet("/tmp/perf_skewed")
+    skewed = spark.read.parquet("/tmp/perf_skewed")
+
+    plain = skewed.groupBy("k").agg(F.sum(F.col("v").cast("decimal(18,2)")).alias("s"))
+    salted = salted_sum(skewed, "k", F.col("v").cast("decimal(18,2)"), n_salts=32)
+    time_noop(plain)  # warm both paths
+    time_noop(salted)
+    results["skew_4m_rows_90pct_hot"] = {
+        "plain_groupby_sec": time_noop(
+            skewed.groupBy("k").agg(F.sum(F.col("v").cast("decimal(18,2)")).alias("s"))
+        ),
+        "salted_two_phase_sec": time_noop(
+            salted_sum(skewed, "k", F.col("v").cast("decimal(18,2)"), n_salts=32)
+        ),
+    }
+    print(json.dumps(results, indent=2))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

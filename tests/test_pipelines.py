@@ -62,14 +62,24 @@ def test_evaluate_submission_integrity_failures(spark, tmp_path):
         evaluate_submission(spark, str(tmp_path / "p2.csv"), str(tmp_path / "t.csv"))
 
 
+MAX_FRAMES = 4
+
+
 @pytest.fixture()
 def ann_fixture_dir(tmp_path):
+    import numpy as np
+
     p = tmp_path / "anns.json"
     p.write_text(json.dumps(FIXTURE_ANNS, ensure_ascii=False))
     feats = tmp_path / "feats"
     feats.mkdir()
-    for i in range(0, 20, 2):  # features for half the ids
-        (feats / f"v{i:04d}.npy").write_bytes(bytes([i % 251]) * (32 + i))
+    rng = np.random.default_rng(5)
+    for i in range(0, 20, 2):  # real npy frame features for half the ids
+        n_frames = 1 + i % 7
+        np.save(
+            feats / f"v{i:04d}.npy",
+            rng.standard_normal((n_frames, 3)).astype("float16"),
+        )
     return str(p), str(feats)
 
 
@@ -78,20 +88,27 @@ def test_finetune_data_pipeline(spark, ann_fixture_dir):
 
     anns_path, feats_dir = ann_fixture_dir
     train, holdout = finetune_data_pipeline(
-        spark, anns_path, feats_dir, budget=16, train_fraction=0.7, seed=11
+        spark, anns_path, feats_dir, budget=16, max_frames=MAX_FRAMES,
+        train_fraction=0.7, seed=11,
     )
     t, h = train.toPandas(), holdout.toPandas()
     assert len(t) + len(h) == len(FIXTURE_ANNS)
     assert set(t.columns) == {
-        "id", "input_ids", "attention_mask", "n_tokens", "label", "feature_bytes",
+        "id", "input_ids", "attention_mask", "n_tokens",
+        "frames", "frame_mask", "n_frames", "label",
     }
     # disjoint split
     assert not (set(t.id) & set(h.id))
-    # feature join: even ids carry bytes, odd ids coalesce to 0
+    # frame join: even ids carry decoded/padded frames, odd ids NULL
     both = list(t.itertuples()) + list(h.itertuples())
     for r in both:
         i = int(r.id[1:])
-        assert r.feature_bytes == (32 + i if i % 2 == 0 else 0)
+        if i % 2 == 0:
+            assert len(r.frames) == MAX_FRAMES
+            assert sum(r.frame_mask) == min(1 + i % 7, MAX_FRAMES)
+            assert r.n_frames == 1 + i % 7
+        else:
+            assert r.frames is None
         assert len(r.input_ids) == 16 and len(r.attention_mask) == 16
 
 

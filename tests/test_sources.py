@@ -108,3 +108,30 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # pruned scan reads only the one day directory
     n_all = spark.read.parquet(str(out)).count()
     assert back.count() < n_all
+
+
+def test_json_corrupt_record_modes(spark, tmp_path):
+    """Malformed JSON rows: PERMISSIVE (default) nulls the bad record and
+    keeps the scan alive; FAILFAST raises — the reliability contract for
+    100 TB ingest where a single bad row must not kill (or silently
+    corrupt) a day-long job."""
+    import pytest
+
+    from wx20222_bigdata_spark.sources.annotations import ANNOTATION_SCHEMA
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"id": "ok1", "title": "t", "asr": "a", "ocr": [{"text": "o"}], "category_id": "0101"}\n'
+        "{this is not json at all\n"
+        '{"id": "ok2", "title": "t2", "asr": "a2", "ocr": [], "category_id": "0102"}\n'
+    )
+    permissive = spark.read.schema(ANNOTATION_SCHEMA).json(str(p))
+    rows = permissive.collect()
+    assert len(rows) == 3
+    assert sorted(r.id for r in rows if r.id is not None) == ["ok1", "ok2"]
+
+    failfast = (
+        spark.read.schema(ANNOTATION_SCHEMA).option("mode", "FAILFAST").json(str(p))
+    )
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        failfast.collect()

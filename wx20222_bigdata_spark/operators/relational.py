@@ -467,3 +467,38 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
+
+
+@query(
+    "sql_frontdoor_topn_customers",
+    oracle="""
+SELECT c.c_custkey,
+       c.c_name,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lifetime_value
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY lifetime_value DESC, c.c_custkey ASC
+LIMIT 15
+""",
+)
+def sql_frontdoor_topn_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL front door: tables registered as views
+    (``catalog.register_views``) and the query expressed as plain
+    ``spark.sql`` — same Catalyst plan as the DataFrame API, proving the
+    two surfaces are interchangeable."""
+    from wx20222_bigdata_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey,
+               c.c_name,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lifetime_value
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY lifetime_value DESC, c.c_custkey ASC
+        LIMIT 15
+        """
+    )

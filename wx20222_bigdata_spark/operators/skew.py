@@ -26,10 +26,17 @@ def salted_sum(
 ) -> DataFrame:
     """Two-phase salted sum: groupBy(key, salt) → groupBy(key).
 
-    Use when one key dominates (power-law event streams): the hot key's
-    rows spread over ``n_salts`` reducers in phase 1; phase 2 merges
-    ``n_salts`` partials per key — bounded, tiny. AQE's skew-join handling
-    covers joins; this is the aggregation-side equivalent."""
+    Use when one key dominates AND the aggregate is not map-side
+    combinable (collect_list/collect_set, exact percentile, UDAF state):
+    the hot key's rows spread over ``n_salts`` reducers in phase 1;
+    phase 2 merges ``n_salts`` partials per key — bounded, tiny.
+
+    Measured caveat (perf_experiments.py, 4M rows 90% one key): for
+    ALGEBRAIC aggregates (sum/count/min/max) plain groupBy WINS (0.40s vs
+    0.53s) — partial aggregation already reduces the hot key to one row
+    per map partition before the shuffle, so salting only adds a second
+    exchange. Reach for salting on non-combinable aggregates and skewed
+    joins (where AQE's skew-join split is the first resort)."""
     salted = df.withColumn("_salt", (F.rand(7) * n_salts).cast("int"))
     partial = salted.groupBy(key, "_salt").agg(F.sum(value_col).alias("_partial"))
     return partial.groupBy(key).agg(F.sum("_partial").alias(out_col))

@@ -113,29 +113,32 @@ def finetune_data_pipeline(
     annotations_json: str,
     features_dir: str,
     budget: int = 256,
+    max_frames: int = 32,
     train_fraction: float = 0.9,
     seed: int = 42,
 ) -> tuple[DataFrame, DataFrame]:
     """§3.1 ingest/ETL: the ``create_dataloaders`` stage as one lazy DAG.
 
-    JSON scan (S1) → text features (P1+F8+F7+F9) → per-key feature-file
-    join (S3/J4) → label attach (P2) → stratified split (O5).
-    Returns (train, holdout); both carry
-    (id, input_ids, attention_mask, n_tokens, feature_bytes, label)."""
+    JSON scan (S1) → text features (P1+F8+F7+F9) → per-key npy frame
+    features decoded + stride/pad/masked (S2/S3/O1/O3, operators/frames)
+    → label attach (P2) → stratified split (O5). Returns (train, holdout);
+    rows carry (id, input_ids, attention_mask, n_tokens, frames,
+    frame_mask, n_frames, label) — the full training-example schema of
+    ``data_helper.py:212-222``. Videos without a feature file keep NULL
+    frames (left join), matching the reference's hard requirement only at
+    training time."""
+    from wx20222_bigdata_spark.operators.frames import load_frame_features
+
     anns = read_annotations_json(spark, annotations_json)
     text_feats = prepare_text_features(anns, budget=budget)
     labels = anns.select(
         "id",
         F.substring("category_id", 3, 2).cast("int").alias("label"),
     )
-    feats = read_keyed_binary_dir(spark, features_dir).select(
-        F.col("key").alias("id"), F.col("n_bytes").alias("feature_bytes")
+    frames = load_frame_features(spark, features_dir, max_frames=max_frames).select(
+        F.col("key").alias("id"), "frames", "frame_mask", "n_frames"
     )
-    full = (
-        text_feats.join(labels, "id")
-        .join(feats, "id", "left")
-        .withColumn("feature_bytes", F.coalesce("feature_bytes", F.lit(0)))
-    )
+    full = text_feats.join(labels, "id").join(frames, "id", "left")
     return stratified_split(full, "label", train_fraction, seed)
 
 
