@@ -126,3 +126,23 @@ def test_ensemble_inference_to_csv(spark, ann_fixture_dir, tmp_path):
     # deterministic: re-running produces identical predictions
     out2 = ensemble_inference_pipeline(spark, anns_path, str(tmp_path / "s2"))
     assert out.orderBy("vid").collect() == out2.orderBy("vid").collect()
+
+
+def test_pretrain_shard_pipeline(spark, ann_fixture_dir, tmp_path):
+    from wx20222_bigdata_spark.pipelines import pretrain_shard_pipeline
+
+    anns_path, _ = ann_fixture_dir
+    shard_dir, batches = pretrain_shard_pipeline(
+        spark, anns_path, str(tmp_path), n_shards=4, budget=8, seed=7
+    )
+    seen_pairs, seen_ids = [], set()
+    for pair, batch in batches:
+        pdf = batch.toPandas()
+        seen_pairs.append(pair)
+        seen_ids |= set(pdf.id)
+        assert set(pdf.shard.unique()) <= set(pair)
+        assert set(pdf.mlm_action.unique()) <= {"keep", "mask", "random", "identity"}
+        assert (pdf.n_real <= 8).all()
+    # 4 shards -> 2 pairs covering all shards, every record seen exactly once
+    assert seen_pairs == [(0, 2), (1, 3)]
+    assert len(seen_ids) == len(FIXTURE_ANNS)

@@ -6,6 +6,7 @@ from wx20222_bigdata_spark.operators import (  # noqa: F401
     dedup,
     etl,
     inference,
+    iterative,
     metrics,
     misc,
     multimodal,

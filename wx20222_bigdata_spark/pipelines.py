@@ -186,3 +186,64 @@ def ensemble_inference_pipeline(
     out = preds.join(F.broadcast(dim), "pred").select("vid", "category_id")
     write_predictions_csv(out, out_csv, single_file=True)
     return out
+
+
+def pretrain_shard_pipeline(
+    spark: SparkSession,
+    annotations_json: str,
+    work_dir: str,
+    n_shards: int = 22,
+    rows_per_shard: int | None = None,
+    budget: int = 64,
+    seed: int = 42,
+):
+    """§3.3 pretrain path (``split_pretrain_data.py`` + the shard loop of
+    ``pretrained_model.py:352-368``):
+
+    1. compact the corpus into ``n_shards`` parquet shards (S6 — the
+       1.125M-rows → 22 packed files move);
+    2. iterate shard PAIRS (i, i + n/2) like the reference's two-shards-
+       in-RAM loop — on Spark each pair is just a partition-pruned read,
+       no manual eviction (the executor spills, SURVEY §4);
+    3. per pair, derive text features and the seeded MLM corruption plan
+       (F13) — the pretraining view of the batch.
+
+    Returns (shard_dir, iterator of per-pair summary DataFrames). The
+    loop shape is generator-lazy: nothing reads shard j until the
+    training loop asks for it."""
+    from wx20222_bigdata_spark.sources import write_sharded_parquet
+
+    anns = read_annotations_json(spark, annotations_json)
+    feats = prepare_text_features(anns, budget=budget)
+    shard_dir = f"{work_dir}/pretrain_shards"
+    sharded = feats.withColumn(
+        "shard", F.abs(F.crc32(F.col("id").cast("binary"))) % n_shards
+    )
+    write_sharded_parquet(
+        sharded,
+        shard_dir,
+        max_records_per_file=rows_per_shard,
+        partition_by=["shard"],
+    )
+
+    def pair_batches():
+        half = n_shards // 2
+        for i in range(half):
+            pair = (i, i + half)
+            batch = spark.read.parquet(shard_dir).filter(
+                F.col("shard").isin(list(pair))
+            )
+            r = F.rand(seed + i)
+            masked = batch.withColumn("r", r).select(
+                "id",
+                "shard",
+                F.when(F.col("r") < 0.12, "mask")
+                .when(F.col("r") < 0.135, "random")
+                .when(F.col("r") < 0.15, "identity")
+                .otherwise("keep")
+                .alias("mlm_action"),
+                F.size(F.filter("attention_mask", lambda x: x == 1)).alias("n_real"),
+            )
+            yield pair, masked
+
+    return shard_dir, pair_batches()
