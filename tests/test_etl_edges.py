@@ -91,3 +91,52 @@ def test_edge_case_matches_python_spec(edge_rows, rec):
     assert got.n_tokens <= BUDGET
     assert list(got.input_ids) == expect_ids
     assert list(got.attention_mask) == expect_mask
+
+
+def test_cascade_fuzz_200_random_docs(spark, tmp_path):
+    """Fuzz: 200 random annotation shapes (token counts 0..3*budget,
+    token lengths 1..12, 0..4 ocr segments) must all match the pure-Python
+    spec in one batched Spark pass."""
+    import json
+
+    import numpy as np
+
+    from wx20222_bigdata_spark.operators.etl import prepare_text_features
+    from wx20222_bigdata_spark.sources import read_annotations_json
+
+    rng = np.random.default_rng(123)
+
+    def rand_text(max_toks):
+        n = int(rng.integers(0, max_toks + 1))
+        return " ".join(
+            "".join(rng.choice(list("abcdefgh"), size=int(rng.integers(1, 13))))
+            for _ in range(n)
+        )
+
+    anns = [
+        {
+            "id": f"fz{i}",
+            "title": rand_text(BUDGET),
+            "asr": rand_text(2 * BUDGET),
+            "ocr": [
+                {"text": rand_text(BUDGET)} for _ in range(int(rng.integers(0, 5)))
+            ],
+            "category_id": "0101",
+        }
+        for i in range(200)
+    ]
+    p = tmp_path / "fuzz.json"
+    p.write_text(json.dumps(anns))
+    out = prepare_text_features(
+        read_annotations_json(spark, str(p)), budget=BUDGET, vocab_mod=VOCAB
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert len(rows) == 200
+    for rec in anns:
+        ocr_flat = " ".join(o["text"] for o in rec["ocr"])
+        expect = py_cascade(rec["title"], rec["asr"], ocr_flat, BUDGET)
+        got = rows[rec["id"]]
+        assert got.n_tokens == len(expect), rec["id"]
+        assert list(got.input_ids) == [py_char_hash(t, VOCAB) for t in expect] + [0] * (
+            BUDGET - len(expect)
+        ), rec["id"]
