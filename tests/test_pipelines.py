@@ -146,3 +146,23 @@ def test_pretrain_shard_pipeline(spark, ann_fixture_dir, tmp_path):
     # 4 shards -> 2 pairs covering all shards, every record seen exactly once
     assert seen_pairs == [(0, 2), (1, 3)]
     assert len(seen_ids) == len(FIXTURE_ANNS)
+
+
+def test_pretrain_odd_shard_count_covers_all(spark, ann_fixture_dir, tmp_path):
+    """Odd n_shards: the final singleton batch must still be yielded —
+    no shard silently dropped from the epoch."""
+    from wx20222_bigdata_spark.pipelines import pretrain_shard_pipeline
+
+    anns_path, _ = ann_fixture_dir
+    _, batches = pretrain_shard_pipeline(
+        spark, anns_path, str(tmp_path), n_shards=5, budget=8, seed=7
+    )
+    pairs, seen_ids, seen_shards = [], set(), set()
+    for pair, batch in batches:
+        pairs.append(pair)
+        pdf = batch.toPandas()
+        seen_ids |= set(pdf.id)
+        seen_shards |= set(int(s) for s in pdf.shard.unique())
+    assert pairs == [(0, 3), (1, 4), (2,)]
+    assert len(seen_ids) == len(FIXTURE_ANNS)
+    assert seen_shards <= set(range(5))

@@ -394,3 +394,41 @@ def f10_mask_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("additive_mask_sum"),
     )
+
+
+@query(
+    "f_array_breadth",
+    oracle="""
+WITH a AS (
+  SELECT vec_id, embedding[1:8] AS e FROM embeddings
+)
+SELECT vec_id,
+       ROUND(CAST(list_sort(list_transform(e, x -> CAST(x AS DOUBLE)))[1] AS DOUBLE), 6) AS sorted_first,
+       len(list_filter(e, x -> x > 0)) AS n_positive,
+       list_sum(list_transform(e, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)) > 0 AS any_positive,
+       len(list_filter(e, x -> x > 0)) = len(e) AS all_positive,
+       len(flatten([e, e])) AS doubled_len,
+       [x for x in range(1, 4)] = [1, 2, 3] AS seq_check
+FROM a
+""",
+)
+def f_array_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function breadth in one projection: sort, filter,
+    exists/forall quantifiers, flatten, sequence — the remaining builtin
+    surface the ETL layer leans on (all codegen, no shuffle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.slice("embedding", 1, 8)
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.expr("sort_array(transform(slice(embedding, 1, 8), x -> double(x)))")[0],
+            6,
+        ).alias("sorted_first"),
+        F.size(F.filter(e, lambda x: x > 0)).cast("bigint").alias("n_positive"),
+        F.exists(e, lambda x: x > 0).alias("any_positive"),
+        F.forall(e, lambda x: x > 0).alias("all_positive"),
+        F.size(F.flatten(F.array(e, e))).cast("bigint").alias("doubled_len"),
+        (F.sequence(F.lit(1), F.lit(3)) == F.array(F.lit(1), F.lit(2), F.lit(3))).alias(
+            "seq_check"
+        ),
+    )

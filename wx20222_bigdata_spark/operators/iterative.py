@@ -30,11 +30,16 @@ def power_iteration_scores(
     Each round: one join (ranks ⋈ edges on src — broadcast when ranks are
     small, shuffle otherwise) + one groupBy(dst) sum. Deterministic given
     deterministic inputs; results converge independent of partitioning."""
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # loop invariants persisted ONCE: every round's action re-executes the
+    # full lineage otherwise (edge scan + distinct shuffle + outdeg agg
+    # per iteration).
+    edges = edges.persist()
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
     prev = None
@@ -63,6 +68,13 @@ def power_iteration_scores(
         if prev is not None:
             prev.unpersist()
         prev = ranks
+    # final iterate is cached; pin it independently of the invariants so
+    # their caches can be released (recompute-on-eviction stays correct).
+    ranks = ranks.localCheckpoint(eager=True)
+    for df in (edges, out_deg, nodes):
+        df.unpersist()
+    if prev is not None:
+        prev.unpersist()
     return ranks
 
 

@@ -502,3 +502,38 @@ def sql_frontdoor_topn_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 15
         """
     )
+
+
+@query(
+    "j5_outer_join_family",
+    oracle="""
+SELECT n.n_name AS nation_name,
+       CAST(COUNT(c.c_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(s.s_suppkey) AS BIGINT) AS n_suppliers,
+       (COUNT(c.c_custkey) = 0) AS customer_desert,
+       (COUNT(s.s_suppkey) = 0) AS supplier_desert
+FROM nation n
+LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def j5_outer_join_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-join coverage: LEFT joins preserving every nation, with
+    COUNT(col)'s null-skipping turning unmatched sides into zero counts —
+    the dimension-completeness report shape (every nation appears even
+    with no customers/suppliers)."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .join(s, s.s_nationkey == n.n_nationkey, "left")
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.count("s_suppkey").alias("n_suppliers"),
+            (F.count("c_custkey") == 0).alias("customer_desert"),
+            (F.count("s_suppkey") == 0).alias("supplier_desert"),
+        )
+    )

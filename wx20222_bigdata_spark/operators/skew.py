@@ -112,12 +112,19 @@ def zip_with_global_index(df: DataFrame, order_col: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     local_w = Window.partitionBy("_pid").orderBy(order_col)
-    return (
+    out = (
         with_pid.withColumn("_local", F.row_number().over(local_w) - 1)
         .join(F.broadcast(offset_df), "_pid")
         .withColumn("zip_index", (F.col("_local") + F.col("_offset")).cast("bigint"))
         .drop("_pid", "_local", "_offset")
     )
+    # materialize the result eagerly (localCheckpoint) so the pinned
+    # range-partitioned input can be released here instead of leaking for
+    # the session lifetime; the checkpointed blocks are GC'd with the
+    # returned DataFrame by the ContextCleaner.
+    out = out.localCheckpoint(eager=True)
+    parts.unpersist()
+    return out
 
 
 @query(

@@ -36,19 +36,28 @@ def asof_join(
     values onto each probe. Cost: one shuffle on ``on`` + one sort per
     partition — independent of how many right rows precede each left row
     (a nested-loop/backward-scan would be O(n·m) per key)."""
+    # the carried payload is ONE struct of all value columns: last(...,
+    # ignorenulls) then skips only left rows (whose struct is NULL), never
+    # a right row that happens to carry NULL values — so the "latest right
+    # row" contract holds even for NULL payloads, and multi-column values
+    # always come from the same right row.
+    rv_struct = F.struct(*[F.col(c) for c in value_cols])
+    null_struct = F.lit(None).cast(
+        "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols) + ">"
+    )
     l_tag = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         "*",
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in value_cols],
+        null_struct.alias("_rv"),
     )
     r_tag = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema.fields],
-        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+        rv_struct.alias("_rv"),
     )
     unioned = l_tag.unionByName(r_tag)
     # carriers sort before probes at equal ts (side 0 < 1) → ties are
@@ -58,14 +67,10 @@ def asof_join(
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        "*",
-        *[
-            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in value_cols
-        ],
-    )
-    keep = [f.name for f in left.schema.fields] + [f"asof_{c}" for c in value_cols]
+    filled = unioned.withColumn("_rv_last", F.last("_rv", ignorenulls=True).over(w))
+    keep = [f.name for f in left.schema.fields] + [
+        F.col(f"_rv_last.{c}").alias(f"asof_{c}") for c in value_cols
+    ]
     return filled.filter(F.col("_side") == 1).select(*keep)
 
 

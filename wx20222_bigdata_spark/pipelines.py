@@ -127,14 +127,25 @@ def finetune_data_pipeline(
     ``data_helper.py:212-222``. Videos without a feature file keep NULL
     frames (left join), matching the reference's hard requirement only at
     training time."""
+    from pyspark.sql.window import Window
+
     from wx20222_bigdata_spark.operators.frames import load_frame_features
 
     anns = read_annotations_json(spark, annotations_json)
     text_feats = prepare_text_features(anns, budget=budget)
-    labels = anns.select(
-        "id",
-        F.substring("category_id", 3, 2).cast("int").alias("label"),
+    # dense label = enumeration of the FULL category id (the reference's
+    # CATEGORY_ID_TO_LV2ID, category_id_map.py:29): a prefix/suffix slice
+    # would collide distinct categories (e.g. '0101' vs '0201') into one
+    # label. The dictionary is tiny (|categories|) -> global window is fine.
+    cat_dim = (
+        anns.select("category_id")
+        .distinct()
+        .withColumn(
+            "label",
+            (F.row_number().over(Window.orderBy("category_id")) - 1).cast("int"),
+        )
     )
+    labels = anns.join(F.broadcast(cat_dim), "category_id").select("id", "label")
     frames = load_frame_features(spark, features_dir, max_frames=max_frames).select(
         F.col("key").alias("id"), "frames", "frame_mask", "n_frames"
     )
@@ -227,9 +238,11 @@ def pretrain_shard_pipeline(
     )
 
     def pair_batches():
-        half = n_shards // 2
+        # ceil-half so an odd shard count still covers every shard: the
+        # last "pair" is a singleton instead of silently dropping shard n-1.
+        half = (n_shards + 1) // 2
         for i in range(half):
-            pair = (i, i + half)
+            pair = tuple(s for s in (i, i + half) if s < n_shards)
             batch = spark.read.parquet(shard_dir).filter(
                 F.col("shard").isin(list(pair))
             )
