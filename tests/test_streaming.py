@@ -140,3 +140,29 @@ def test_dedup_within_watermark(spark, events_dir):
     # event_ids are globally unique here, so within-watermark dedup keeps all
     expected = spark.read.parquet(events_dir).count()
     assert got == expected
+
+
+def test_foreach_batch_idempotent_sink(spark, events_dir, tmp_path):
+    """foreachBatch exactly-once pattern: write each micro-batch to a
+    batch-id-named path (idempotent on retry — a re-run of the same epoch
+    overwrites the same directory instead of duplicating rows)."""
+    import os
+
+    from wx20222_bigdata_spark.streaming.jobs import read_events_stream
+
+    out_root = str(tmp_path / "epochs")
+
+    def write_epoch(batch_df, epoch_id):
+        batch_df.write.mode("overwrite").parquet(f"{out_root}/epoch={epoch_id}")
+
+    q = (
+        read_events_stream(spark, events_dir)
+        .writeStream.foreachBatch(write_epoch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    written = spark.read.parquet(f"{out_root}/epoch=*")
+    assert written.count() == spark.read.parquet(events_dir).count()
+    assert os.path.isdir(f"{out_root}/epoch=0")
