@@ -126,3 +126,13 @@ def test_query_parity(spark, duck, name):
         return
     duck_pdf = duck.execute(oracle).fetchdf()
     compare_frames(name, spark_pdf, duck_pdf)
+
+
+def test_production_lsh_recalls_mutants(spark):
+    """The xxhash64 LSH tier must recover the same seeded near-dups as the
+    oracle-checked char-hash tier."""
+    from wx20222_bigdata_spark.registry import all_queries
+
+    pairs = all_queries()["e2g_minhash_lsh_production"](spark, SF_ORACLE).toPandas()
+    mutants = pairs[pairs.id_b == pairs.id_a + 100000]
+    assert len(mutants) == 10  # doc_id % 50 == 0 in 0..499
