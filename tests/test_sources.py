@@ -135,3 +135,24 @@ def test_json_corrupt_record_modes(spark, tmp_path):
     )
     with pytest.raises(Exception, match="(?i)malformed|failfast"):
         failfast.collect()
+
+
+def test_annotations_jsonl_roundtrip(spark, tmp_path):
+    """write_annotations_json emits JSON-lines (splittable at scale);
+    read back via the JSONL reader, schema and values preserved."""
+    from wx20222_bigdata_spark.sources import (
+        read_annotations_json,
+        write_annotations_json,
+    )
+    from wx20222_bigdata_spark.sources.annotations import read_annotations_jsonl
+
+    src = tmp_path / "anns.json"
+    src.write_text(json.dumps(FIXTURE_ANNS, ensure_ascii=False))
+    df = read_annotations_json(spark, str(src))
+    out = tmp_path / "out_jsonl"
+    write_annotations_json(df, str(out))
+    back = read_annotations_jsonl(spark, str(out))
+    assert back.count() == len(FIXTURE_ANNS)
+    a = {r.id: (r.title, [o.text for o in (r.ocr or [])]) for r in df.collect()}
+    b = {r.id: (r.title, [o.text for o in (r.ocr or [])]) for r in back.collect()}
+    assert a == b

@@ -70,7 +70,9 @@ def power_iteration_scores(
         prev = ranks
     # final iterate is cached; pin it independently of the invariants so
     # their caches can be released (recompute-on-eviction stays correct).
-    ranks = ranks.localCheckpoint(eager=True)
+    from wx20222_bigdata_spark.plans.caching import materialize
+
+    ranks = materialize(ranks)
     for df in (edges, out_deg, nodes):
         df.unpersist()
     if prev is not None:

@@ -118,11 +118,13 @@ def zip_with_global_index(df: DataFrame, order_col: str) -> DataFrame:
         .withColumn("zip_index", (F.col("_local") + F.col("_offset")).cast("bigint"))
         .drop("_pid", "_local", "_offset")
     )
-    # materialize the result eagerly (localCheckpoint) so the pinned
-    # range-partitioned input can be released here instead of leaking for
-    # the session lifetime; the checkpointed blocks are GC'd with the
-    # returned DataFrame by the ContextCleaner.
-    out = out.localCheckpoint(eager=True)
+    # materialize the result eagerly so the pinned range-partitioned input
+    # can be released here instead of leaking for the session lifetime; the
+    # checkpointed blocks are GC'd with the returned DataFrame by the
+    # ContextCleaner.
+    from wx20222_bigdata_spark.plans.caching import materialize
+
+    out = materialize(out)
     parts.unpersist()
     return out
 
