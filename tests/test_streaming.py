@@ -166,3 +166,52 @@ def test_foreach_batch_idempotent_sink(spark, events_dir, tmp_path):
     written = spark.read.parquet(f"{out_root}/epoch=*")
     assert written.count() == spark.read.parquet(events_dir).count()
     assert os.path.isdir(f"{out_root}/epoch=0")
+
+
+def test_stateful_ema_multi_chunk_ordering(spark, events_dir, tmp_path):
+    """Regression: a user whose micro-batch spans multiple Arrow chunks
+    must fold in global (ts, event_id) order, not chunk-local order.
+    Force tiny chunks via arrow.maxRecordsPerBatch."""
+    from wx20222_bigdata_spark.streaming.jobs import read_events_stream, stateful_ema
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        stream = stateful_ema(read_events_stream(spark, events_dir))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("t_ema_chunks")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = (
+            spark.table("t_ema_chunks")
+            .toPandas()
+            .groupby("user_id")
+            .last()
+            .reset_index()
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias("seq")
+        )
+        .select(
+            "user_id",
+            F.expr(
+                """aggregate(
+                     slice(transform(seq, x -> x.value), 2, size(seq) - 1),
+                     double(transform(seq, x -> x.value)[0]),
+                     (a, x) -> 0.9 * a + 0.1 * x)"""
+            ).alias("ema"),
+        )
+        .toPandas()
+    )
+    m = got.merge(batch, on="user_id", suffixes=("_s", "_b"))
+    assert len(m) > 0
+    assert (abs(m["ema_s"] - m["ema_b"]) < 1e-9).all()

@@ -213,17 +213,19 @@ def o3_pad_to_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             toks, F.array_repeat(F.lit("<pad>"), 32 - F.size(toks))
         )
     )
+    # attention_len folds over the SAME padded Column (one definition of
+    # the truncate-or-pad logic; a duplicated expression string would
+    # silently desynchronize if the budget/sentinel changed).
+    attention_len = F.aggregate(
+        padded,
+        F.lit(0),
+        lambda a, x: a + F.when(x == "<pad>", 0).otherwise(1),
+    ).cast("int")
     return docs.select(
         "doc_id",
         F.size(toks).cast("bigint").alias("orig_len"),
         F.size(padded).cast("bigint").alias("padded_len"),
-        F.expr(
-            """CAST(aggregate(
-                 CASE WHEN size(split(text, ' ')) >= 32 THEN slice(split(text, ' '), 1, 32)
-                      ELSE concat(split(text, ' '), array_repeat('<pad>', 32 - size(split(text, ' '))))
-                 END,
-                 0, (a, x) -> a + CASE WHEN x = '<pad>' THEN 0 ELSE 1 END) AS INT)"""
-        ).alias("attention_len"),
+        attention_len.alias("attention_len"),
         F.concat_ws(" ", F.slice(padded, -3, 3)).alias("tail3"),
     )
 

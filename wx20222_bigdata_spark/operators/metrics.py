@@ -46,11 +46,7 @@ def predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("lv2"),
         _pred().alias("pred_lv2"),
         F.expr("label div 5").cast("int").alias("lv1"),
-        F.expr(
-            "(case when vec_id % 7 = 0 then (label + 1) % 10 else label end) div 5"
-        )
-        .cast("int")
-        .alias("pred_lv1"),
+        F.floor(_pred() / 5).cast("int").alias("pred_lv1"),
     )
 
 

@@ -24,16 +24,25 @@ HOLDOUT_FRACTION = 0.9
 
 
 def stratified_split(
-    df: DataFrame, label_col: str, train_fraction: float, seed: int
+    df: DataFrame,
+    label_col: str,
+    train_fraction: float,
+    seed: int,
+    key_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """O5 stratified holdout — ``train_test_split(stratify=y)``
     (``data_helper.py:98-99``): per-class Bernoulli sampling via
     ``sampleBy`` + anti-join complement. Both halves are lazily derived
-    from one lineage; at scale prefer writing the split keys once."""
+    from one lineage; at scale prefer writing the split keys once.
+
+    ``key_col`` MUST uniquely identify rows (the anti-join complement is
+    keyed on it); defaults to the first column, which is only safe for
+    id-first tables."""
+    key = key_col or df.columns[0]
     labels = [r[0] for r in df.select(label_col).distinct().collect()]
     fractions = {lv: train_fraction for lv in labels}
     train = df.sampleBy(label_col, fractions, seed)
-    holdout = df.join(train.select(df.columns[0]), df.columns[0], "left_anti")
+    holdout = df.join(train.select(key), key, "left_anti")
     return train, holdout
 
 

@@ -121,7 +121,12 @@ def s9c_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-minute gap) in batch — ``session_window()``
     merges events closer than the gap; the oracle derives identical
     sessions with the classic lag-gap-cumsum construction, which doubles
-    as proof of the window semantics."""
+    as proof of the window semantics.
+
+    Boundary semantics verified empirically: Spark MERGES two events
+    exactly gap apart (session end = last_ts + gap is inclusive of an
+    event AT that instant), so the oracle's break condition is strict
+    ``>`` — do not "fix" it to >=."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")

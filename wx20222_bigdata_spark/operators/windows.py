@@ -70,7 +70,7 @@ def w2_step_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
-        "event_id", "user_id", "value", F.row_number().over(w).cast("bigint").alias("step")
+        "event_id", "user_id", F.row_number().over(w).cast("bigint").alias("step")
     )
     is_print = F.col("step") % 5 == 0
     is_swa = (F.col("step") > 10) & ((F.col("step") - 10) % 3 == 0)
@@ -108,7 +108,6 @@ def a9_ema_ordered_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias("seq"),
         F.count("*").alias("n_events"),
     )
-    vals = F.expr("transform(seq, x -> x.value)")
     ema = F.expr(
         """aggregate(
              slice(transform(seq, x -> x.value), 2, size(seq) - 1),

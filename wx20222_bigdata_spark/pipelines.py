@@ -150,7 +150,7 @@ def finetune_data_pipeline(
         F.col("key").alias("id"), "frames", "frame_mask", "n_frames"
     )
     full = text_feats.join(labels, "id").join(frames, "id", "left")
-    return stratified_split(full, "label", train_fraction, seed)
+    return stratified_split(full, "label", train_fraction, seed, key_col="id")
 
 
 def ensemble_inference_pipeline(

@@ -56,9 +56,10 @@ def has_take_ordered(df: DataFrame) -> bool:
 def shuffle_count(df: DataFrame) -> int:
     """Number of shuffle exchanges in the final plan (AQE may reduce at
     runtime; this counts the static plan)."""
-    return formatted_plan(df).count("Exchange hashpartitioning") + formatted_plan(
-        df
-    ).count("Exchange rangepartitioning")
+    plan = formatted_plan(df)
+    return plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
 
 
 def codegen_stage_count(df: DataFrame) -> int:

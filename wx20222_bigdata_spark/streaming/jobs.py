@@ -105,8 +105,15 @@ def stateful_ema(events: DataFrame) -> DataFrame:
             ema, n = state.get
         else:
             ema, n = None, 0
-        for pdf in batches:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # a user's micro-batch may arrive as MULTIPLE Arrow chunks (rows >
+        # arrow.maxRecordsPerBatch) in arbitrary order — concatenate and
+        # sort ONCE so the fold follows global (ts, event_id) order, not
+        # chunk-local order.
+        chunks = list(batches)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
             for v in pdf["value"]:
                 ema = v if ema is None else 0.9 * ema + 0.1 * v
                 n += 1
