@@ -33,7 +33,8 @@ HEADLINE = [
     "w3_running_total",           # partitioned running window
     "o6_ntile_kfold",             # stratified ntile
     "e1_exact_dedup",             # md5 dedup accounting
-    "e2b_minhash_lsh_pairs",      # full MinHash-LSH pipeline
+    "e2b_minhash_lsh_pairs",      # full MinHash-LSH pipeline (oracle-tier hash)
+    "e2g_minhash_lsh_production", # same pipeline, JVM xxhash64 tier
     "e2c_simhash",                # simhash fingerprints
     "e3_cosine_topk",             # brute-force ANN baseline
     "e3b_lsh_bucket_ann",         # bucketed ANN
