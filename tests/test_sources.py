@@ -156,3 +156,21 @@ def test_annotations_jsonl_roundtrip(spark, tmp_path):
     a = {r.id: (r.title, [o.text for o in (r.ocr or [])]) for r in df.collect()}
     b = {r.id: (r.title, [o.text for o in (r.ocr or [])]) for r in back.collect()}
     assert a == b
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC sink/source (Spark-native columnar alternative; S-family
+    breadth — DuckDB has no ORC reader, so this stays a library test)."""
+    from tests.conftest import SF_ORACLE
+
+    from wx20222_bigdata_spark.catalog import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = tmp_path / "docs_orc"
+    docs.write.mode("overwrite").orc(str(out))
+    back = spark.read.orc(str(out))
+    assert back.count() == docs.count()
+    assert back.schema == docs.schema
+    a = docs.agg(F.sum("n_chars")).first()[0]
+    b = back.agg(F.sum("n_chars")).first()[0]
+    assert a == b

@@ -405,3 +405,47 @@ def e2g_minhash_lsh_production(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.countDistinct("band_a").alias("n_shared_bands"))
     )
+
+
+@query(
+    "e2h_levenshtein_fuzzy",
+    oracle="""
+WITH heads AS (
+  SELECT doc_id, substring(text, 1, 40) AS head FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         levenshtein(a.head, b.head) AS edit_dist,
+         greatest(length(a.head), length(b.head)) AS max_len
+  FROM heads a JOIN heads b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 10
+)
+SELECT id_a, id_b, CAST(edit_dist AS BIGINT) AS edit_dist,
+       ROUND(1.0 - CAST(edit_dist AS DOUBLE) / max_len, 6) AS similarity
+FROM pairs
+WHERE edit_dist <= CAST(max_len * 0.5 AS INT)
+""",
+)
+def e2h_levenshtein_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 fuzzy matching by edit distance — the character-level near-dup
+    verifier (complements set-based Jaccard: catches transpositions and
+    small edits shingles miss). Blocked to a bounded id band; levenshtein
+    is O(m·n) per pair, so at scale it runs only on LSH candidates, never
+    as the blocking step."""
+    docs = load_table(spark, sf_dir, "documents")
+    heads = docs.select("doc_id", F.substring("text", 1, 40).alias("head"))
+    a = heads.select(F.col("doc_id").alias("id_a"), F.col("head").alias("ha"))
+    b = heads.select(F.col("doc_id").alias("id_b"), F.col("head").alias("hb"))
+    dist = F.levenshtein("ha", "hb")
+    max_len = F.greatest(F.length("ha"), F.length("hb"))
+    return (
+        a.join(b, (F.col("id_b") > F.col("id_a")) & (F.col("id_b") <= F.col("id_a") + 10))
+        .select(
+            "id_a",
+            "id_b",
+            dist.cast("bigint").alias("edit_dist"),
+            F.round(1.0 - dist.cast("double") / max_len, 6).alias("similarity"),
+            max_len.alias("_ml"),
+        )
+        .filter(F.col("edit_dist") <= (F.col("_ml") * 0.5).cast("int"))
+        .drop("_ml")
+    )

@@ -349,3 +349,33 @@ def f_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("v_sum_coalesced"),
     )
+
+
+@query(
+    "f_conditional_fns",
+    oracle="""
+SELECT event_id,
+       COALESCE(NULLIF(event_type, 'error'), 'suppressed') AS et_defaulted,
+       CASE WHEN NULLIF(event_type, 'error') IS NULL THEN 'was_error' ELSE 'kept' END AS nvl2_style,
+       GREATEST(value, 10.0) AS floored_value,
+       LEAST(value, 50.0) AS capped_value,
+       ROUND(GREATEST(LEAST(value, 50.0), 10.0), 2) AS clamped
+FROM events
+""",
+)
+def f_conditional_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional scalar surface: nullif/coalesce defaulting, nvl2-style
+    branching, greatest/least clamping — the guard expressions the budget
+    cascade (P8/F8) is built from, isolated for coverage."""
+    ev = load_table(spark, sf_dir, "events")
+    et_nullable = F.nullif(F.col("event_type"), F.lit("error"))
+    return ev.select(
+        "event_id",
+        F.coalesce(et_nullable, F.lit("suppressed")).alias("et_defaulted"),
+        F.when(et_nullable.isNull(), "was_error").otherwise("kept").alias("nvl2_style"),
+        F.greatest("value", F.lit(10.0)).alias("floored_value"),
+        F.least("value", F.lit(50.0)).alias("capped_value"),
+        F.round(F.greatest(F.least("value", F.lit(50.0)), F.lit(10.0)), 2).alias(
+            "clamped"
+        ),
+    )
