@@ -26,11 +26,19 @@ MINHASH_B = [7919 * j for j in range(64)]
 
 
 def spark_char_hash(col_expr: str) -> str:
-    """Spark SQL expression: polynomial char hash of a string expression."""
+    """Spark SQL expression: polynomial char hash of a string expression.
+
+    Empty/null-safe: Spark's ``sequence(1, 0)`` DESCENDS to ``[1, 0]``
+    (the repo-wide sequence landmine), which would fold ``ascii('') = 0``
+    twice — numerically 0, but only by accident and different from
+    DuckDB's empty ``range(1, 1)``. Guard it explicitly so both engines
+    return 0 for '' by construction, not coincidence.
+    """
     return (
+        f"CASE WHEN length({col_expr}) >= 1 THEN "
         f"aggregate(transform(sequence(1, length({col_expr})), "
         f"i -> ascii(substring({col_expr}, i, 1))), 0L, "
-        f"(a, c) -> (a * 31 + c) % {MOD})"
+        f"(a, c) -> (a * 31 + c) % {MOD}) ELSE 0L END"
     )
 
 

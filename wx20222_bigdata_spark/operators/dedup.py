@@ -422,7 +422,7 @@ pairs AS (
 SELECT id_a, id_b, CAST(edit_dist AS BIGINT) AS edit_dist,
        ROUND(1.0 - CAST(edit_dist AS DOUBLE) / max_len, 6) AS similarity
 FROM pairs
-WHERE edit_dist <= CAST(max_len * 0.5 AS INT)
+WHERE edit_dist <= max_len // 2
 """,
 )
 def e2h_levenshtein_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,6 +446,10 @@ def e2h_levenshtein_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1.0 - dist.cast("double") / max_len, 6).alias("similarity"),
             max_len.alias("_ml"),
         )
-        .filter(F.col("edit_dist") <= (F.col("_ml") * 0.5).cast("int"))
+        # floor division on BOTH engines: Spark int division truncates and
+        # DuckDB `//` floors, identical for non-negative max_len. (CAST(x*0.5
+        # AS INT) rounds half-away-from-zero in DuckDB — boundary mismatch
+        # for odd max_len.)
+        .filter(F.col("edit_dist") <= F.floor(F.col("_ml") / 2))
         .drop("_ml")
     )
