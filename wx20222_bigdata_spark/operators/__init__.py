@@ -19,5 +19,6 @@ from wx20222_bigdata_spark.operators import (  # noqa: F401
     streaming_batch,
     temporal,
     textstats,
+    tokenize,
     windows,
 )

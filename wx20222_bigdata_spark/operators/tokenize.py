@@ -1,0 +1,170 @@
+"""Vocab-file broadcast tokenizer (SURVEY.md §2.8 F7 — the real-vocab seat).
+
+The reference tokenizes with a pretrained vocabulary loaded once and shared
+by every worker (``data_helper.py:55-57`` builds the tokenizer,
+``data_helper.py:94`` encodes with truncation + padding + attention mask).
+The Spark-first equivalent:
+
+- the vocab is a plain token→id dict loaded from a one-token-per-line file
+  (:func:`load_vocab`; a built-in word list stands in for the pretrained
+  vocab file, which is not shippable here);
+- the dict is **broadcast** once per job — every executor gets one copy,
+  not one per task (the 100 TB shape: a 50k-entry vocab is ~2 MB, far
+  under the broadcast threshold);
+- encoding runs in an Arrow-batched ``pandas_udf`` (X1 path) whose kernel
+  is a self-contained closure over the broadcast handle — no module-level
+  references, so the driver can import this from any cwd;
+- semantics mirror ``encode_plus(truncation=True, padding='max_length')``:
+  ``[CLS] + ids[:max_len-2] + [SEP] + [PAD]…``, attention mask 1 on real
+  positions, unknown tokens → ``[UNK]``.
+
+The hash tokenizer (``inference.py``) remains the oracle-checkable twin for
+arbitrary open vocabularies; this seat is the *closed-vocab* form, and its
+oracle is an exact DuckDB ``MAP`` literal lookup generated from the same
+vocab, so the id sequences are compared end to end.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from wx20222_bigdata_spark.catalog import load_table
+from wx20222_bigdata_spark.registry import query
+
+PAD_ID, UNK_ID, CLS_ID, SEP_ID = 0, 1, 2, 3
+SPECIAL_TOKENS = ["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
+
+#: Stand-in for the pretrained vocab file (one token per line, id = line
+#: number). Deliberately NOT the full corpus vocabulary — `customer`,
+#: `dup`, `small`, `stream`, `vector` are absent so the [UNK] path is
+#: exercised on real data at every sf.
+VOCAB_WORDS = [
+    "a", "agg", "batch", "big", "column", "data", "fast", "filter",
+    "group", "hash", "join", "key", "line", "merge", "order", "part",
+    "query", "row", "scan", "slow", "sort", "spark", "table", "the",
+    "value", "window",
+]
+
+MAX_LEN = 32  #: fixed encode length (reference: 256, config.py:53)
+
+
+def load_vocab(path: str | None = None) -> dict[str, int]:
+    """token → id from a one-token-per-line vocab file; built-in default.
+
+    Line number IS the id (the standard WordPiece vocab.txt layout). The
+    first four lines must be the special tokens."""
+    if path is None:
+        lines = SPECIAL_TOKENS + VOCAB_WORDS
+    else:
+        with open(path, encoding="utf-8") as f:
+            lines = [ln.rstrip("\n") for ln in f if ln.rstrip("\n")]
+    return {tok: i for i, tok in enumerate(lines)}
+
+
+def encode_py(text: str, vocab: dict[str, int], max_len: int) -> tuple[list[int], list[int], int]:
+    """Pure-Python encode spec (the testable single-row contract):
+    returns (input_ids, attention_mask, n_unk)."""
+    toks = [t for t in (text or "").split(" ") if t]
+    body = [vocab.get(t, UNK_ID) for t in toks[: max_len - 2]]
+    pad_n = max_len - 2 - len(body)
+    input_ids = [CLS_ID] + body + [SEP_ID] + [PAD_ID] * pad_n
+    attention_mask = [1] * (len(body) + 2) + [0] * pad_n
+    return input_ids, attention_mask, sum(1 for i in body if i == UNK_ID)
+
+
+def vocab_tokenize_udf(vocab_bc, max_len: int):
+    """Arrow-batched encoder over a broadcast vocab. Built lazily (DDL
+    parsing needs a session); the kernel closes over only the broadcast
+    handle and plain ints — cloudpickle ships it by value."""
+    pad_id, unk_id, cls_id, sep_id = PAD_ID, UNK_ID, CLS_ID, SEP_ID
+
+    @pandas_udf("input_ids array<int>, attention_mask array<int>, n_unk int")
+    def _encode(text: pd.Series) -> pd.DataFrame:
+        vocab = vocab_bc.value
+
+        def enc(s):
+            toks = [t for t in (s or "").split(" ") if t]
+            body = [vocab.get(t, unk_id) for t in toks[: max_len - 2]]
+            pad_n = max_len - 2 - len(body)
+            return (
+                [cls_id] + body + [sep_id] + [pad_id] * pad_n,
+                [1] * (len(body) + 2) + [0] * pad_n,
+                sum(1 for i in body if i == unk_id),
+            )
+
+        encoded = text.map(enc)
+        return pd.DataFrame(
+            {
+                "input_ids": encoded.map(lambda t: t[0]),
+                "attention_mask": encoded.map(lambda t: t[1]),
+                "n_unk": encoded.map(lambda t: t[2]).astype("int32"),
+            }
+        )
+
+    return _encode
+
+
+def tokenize_documents(
+    docs: DataFrame, vocab: dict[str, int], max_len: int = MAX_LEN
+) -> DataFrame:
+    """F7: (doc_id, text) → (doc_id, input_ids, attention_mask, n_unk)."""
+    bc = docs.sparkSession.sparkContext.broadcast(vocab)
+    enc = vocab_tokenize_udf(bc, max_len)
+    return docs.select("doc_id", enc("text").alias("enc")).select(
+        "doc_id",
+        F.col("enc.input_ids").alias("input_ids"),
+        F.col("enc.attention_mask").alias("attention_mask"),
+        F.col("enc.n_unk").alias("n_unk"),
+    )
+
+
+def _map_literal() -> str:
+    vocab = load_vocab()
+    entries = ", ".join(f"'{tok}': {i}" for tok, i in vocab.items())
+    return "MAP {" + entries + "}"
+
+
+_BODY_CAP = MAX_LEN - 2
+
+_F7_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+  FROM documents
+),
+enc AS (
+  SELECT doc_id,
+         list_transform(list_slice(t, 1, {_BODY_CAP}),
+                        x -> COALESCE(map_extract({_map_literal()}, x)[1], {UNK_ID})) AS body
+  FROM toks
+)
+SELECT doc_id,
+       array_to_string(
+         list_concat(list_concat(list_concat([{CLS_ID}], body), [{SEP_ID}]),
+                     [{PAD_ID} for i in range(greatest(0, {_BODY_CAP} - len(body)))]),
+         ' ') AS input_ids_str,
+       CAST(len(body) + 2 AS BIGINT) AS n_real,
+       CAST(len(list_filter(body, x -> x = {UNK_ID})) AS BIGINT) AS n_unk
+FROM enc
+"""
+
+
+@query("f7_vocab_tokenize", oracle=_F7_ORACLE)
+def f7_vocab_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 real-vocab tokenizer (``data_helper.py:55-57,94``): broadcast
+    closed-vocab encode with CLS/SEP/PAD + attention mask. Output reduces
+    the arrays to a space-joined id string + mask sum (full-fidelity, and
+    scalar-only like every oracle-checked query)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = tokenize_documents(docs, load_vocab(), MAX_LEN)
+    return out.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("input_ids")).alias("input_ids_str"),
+        F.aggregate("attention_mask", F.lit(0), lambda a, x: a + x)
+        .cast("bigint")
+        .alias("n_real"),
+        F.col("n_unk").cast("bigint").alias("n_unk"),
+    )
