@@ -10,10 +10,13 @@ column plus a metadata struct, processed by Arrow-batched kernels:
   metadata-only queries never touch the bytes);
 - decode / feature-extract runs in ``mapInPandas`` so bytes stream through
   Arrow in batches, never row-at-a-time Python;
-- real codecs (PIL/ffmpeg) are not in this container — the decode kernel
-  is STUBBED behind ``fake=`` (deterministic bytes-derived features) and
-  raises ``NotImplementedError`` otherwise. The Spark-side plumbing
-  (schema, batching, partitioning) is real and tested.
+- the reference's actual modality (npy frame-feature matrices) is decoded
+  FOR REAL by ``e5c_decode_features`` via ``operators/frames.py`` (numpy is
+  a worker dependency) against a committed fixture dir, value-checked by an
+  independent pure-Python spec;
+- image/audio codecs (PIL/ffmpeg) are not in this container — the generic
+  ``decode_features`` kernel keeps the honest ``fake=``/``NotImplementedError``
+  guard for those formats; its Spark-side plumbing is tested.
 """
 
 from __future__ import annotations
@@ -139,16 +142,45 @@ def decode_features(mm: DataFrame, fake: bool = False) -> DataFrame:
     return mm.mapInPandas(kernel, "doc_id bigint, n_bytes bigint, feat array<double>")
 
 
-@query("e5c_decode_features_stub")
-def e5c_decode_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E5 decode plumbing (rows-only): fake-decode the binary payloads and
-    reduce the feature vectors. Validates schema/batch shape of the
-    mapInPandas decode path end to end."""
-    docs = load_table(spark, sf_dir, "documents")
-    mm = with_fake_payload(docs).select("doc_id", "payload")
-    feats = decode_features(mm, fake=True)
+#: Committed fixture set for the real decode path (tools/gen_e5c_fixtures.py):
+#: 64 per-key float16 npy matrices + expected stats from an independent
+#: pure-Python spec. Resolved from the repo location so the driver can run
+#: this from any cwd.
+from pathlib import Path as _Path
+
+_FIXTURES = _Path(__file__).resolve().parents[2] / "fixtures"
+_E5C_NPY_DIR = str(_FIXTURES / "e5c_npy")
+_E5C_EXPECTED = str(_FIXTURES / "e5c_expected.parquet")
+
+
+@query(
+    "e5c_decode_features",
+    oracle=f"""
+SELECT key, n_frames, n_kept, dim, feat_sum
+FROM read_parquet('{_E5C_EXPECTED}')
+""",
+)
+def e5c_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 real feature decode — the reference's actual modality
+    (``data_helper.py:91,155-183``): ``binaryFile`` scan of per-key npy
+    frame features → numpy decode in a mapInPandas kernel → stride-sample /
+    zero-pad to 32 frames with mask. The oracle is the expected-stats
+    parquet produced by an independent pure-Python decode spec at fixture
+    generation time, so the distributed kernel is value-checked end to end
+    (not just plumbing: the former ``fake=True`` stub is gone from the
+    declared query). ``feat_sum`` folds sequentially in double over the
+    row-major matrix, matching the spec's fold order bit for bit."""
+    from wx20222_bigdata_spark.operators.frames import load_frame_features
+
+    feats = load_frame_features(spark, _E5C_NPY_DIR, max_frames=32)
     return feats.select(
-        "doc_id",
-        "n_bytes",
-        F.round(F.expr("aggregate(feat, 0D, (a, x) -> a + x)"), 6).alias("feat_sum"),
+        "key",
+        "n_frames",
+        F.aggregate("frame_mask", F.lit(0), lambda a, x: a + x)
+        .cast("bigint")
+        .alias("n_kept"),
+        F.size(F.col("frames")[0]).alias("dim"),
+        F.round(
+            F.expr("aggregate(flatten(frames), 0D, (a, x) -> a + double(x))"), 6
+        ).alias("feat_sum"),
     )
