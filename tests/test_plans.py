@@ -75,3 +75,37 @@ def test_semi_anti_join_operators(spark):
     assert "LeftSemi" in plan
     plan = formatted_plan(_q("j3_anti_join_integrity")(spark, SF_ORACLE))
     assert "LeftAnti" in plan
+
+
+def test_no_unpartitioned_window_in_declared_set(spark):
+    """VERDICT r1 item 5: after routing J1 through the scalable zip index,
+    no declared query may funnel its *data* through a single partition.
+
+    ``Exchange SinglePartition`` is allowed only where its input is bounded
+    (final step of a one-row global aggregate: one partial row per upstream
+    partition) or in the explicitly-exempt seeded-shuffle demo (o7 — a
+    seeded total reorder is inherently a global order). The set is pinned
+    exactly: any new query that reintroduces a global window/sort over row
+    data fails this test."""
+    from wx20222_bigdata_spark.registry import all_queries
+
+    EXEMPT = {
+        # one-row global aggregates (bounded single-partition input)
+        "q17_small_quantity_revenue",
+        "f_null_semantics",
+        "flagship_two_level_metrics",
+        "a12_approx_distinct",
+        # seeded global reorder demo (documented rows-only)
+        "o7_seeded_shuffle",
+    }
+    offenders = []
+    for name, fn in all_queries().items():
+        plan = formatted_plan(fn(spark, SF_ORACLE))
+        if "SinglePartition" in plan and name not in EXEMPT:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+def test_j1_zip_join_has_no_global_window(spark):
+    plan = formatted_plan(_q("j1_positional_zip_join")(spark, SF_ORACLE))
+    assert "SinglePartition" not in plan, plan[:2000]

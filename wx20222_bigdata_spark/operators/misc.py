@@ -106,18 +106,20 @@ def f14_batch_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F14 ITM batch permutation (``pretrained_model.py:77-89``
     ShuffleVideo): within each batch of 10, the second half is reversed
     and the match label is pos == permuted pos. Batches are explicit
-    row_number ranges — the engine's contract that 'batch' is a computed
-    key, never physical row order."""
+    computed index ranges — the engine's contract that 'batch' is a
+    computed key, never physical row order. The index comes from the
+    scalable zip index (per-partition offsets, ``skew.py``), not a global
+    window, so batch synthesis has no single-partition funnel at scale."""
+    from wx20222_bigdata_spark.operators.skew import zip_with_global_index
+
     emb = load_table(spark, sf_dir, "embeddings")
-    batched = emb.select(
+    batched = zip_with_global_index(
+        emb.select("vec_id", "label"), "vec_id"
+    ).select(
         "vec_id",
         "label",
-        F.expr("CAST((row_number() OVER (ORDER BY vec_id) - 1) div 10 AS BIGINT)").alias(
-            "batch_id"
-        ),
-        F.expr("CAST((row_number() OVER (ORDER BY vec_id) - 1) % 10 AS BIGINT)").alias(
-            "pos"
-        ),
+        F.expr("zip_index div 10").cast("bigint").alias("batch_id"),
+        (F.col("zip_index") % 10).cast("bigint").alias("pos"),
     )
     shuffled = batched.withColumn(
         "src_pos",

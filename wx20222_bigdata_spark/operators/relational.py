@@ -176,18 +176,27 @@ def j1_positional_zip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 positional (zip) join — the reference aligns annotations[i] with
     visual_feats[i] by list index (``data_helper.py:29-30``). Spark rows are
     unordered, so the position must be *synthesized* from an explicit sort
-    key (``row_number`` over a documented ordering) and joined on. This is
-    the engine's contract for zip semantics: never rely on physical order."""
-    from pyspark.sql.window import Window
+    key over a documented ordering and joined on. This is the engine's
+    contract for zip semantics: never rely on physical order.
+
+    The position is built with :func:`~wx20222_bigdata_spark.operators.skew.
+    zip_with_global_index` (range-partition + per-partition offsets) — the
+    declared query carries NO global single-partition window, so the same
+    plan survives a 1000-executor scale-up. The oracle stays the semantic
+    contract (``row_number() OVER (ORDER BY ...)``); equality of the two is
+    exactly what makes the scalable index a physical-only substitution."""
+    from wx20222_bigdata_spark.operators.skew import zip_with_global_index
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    wd = Window.orderBy("doc_id")
-    we = Window.orderBy("vec_id")
-    d = docs.withColumn("rn", F.row_number().over(wd))
-    e = emb.withColumn("rn", F.row_number().over(we))
-    return d.join(e, "rn").select(
-        F.col("rn").cast("bigint").alias("pos"), "doc_id", "vec_id", "n_chars", "label"
+    d = zip_with_global_index(docs, "doc_id")
+    e = zip_with_global_index(emb, "vec_id").withColumnRenamed("zip_index", "zi")
+    return d.join(e, d.zip_index == e.zi).select(
+        (F.col("zip_index") + 1).cast("bigint").alias("pos"),
+        "doc_id",
+        "vec_id",
+        "n_chars",
+        "label",
     )
 
 
