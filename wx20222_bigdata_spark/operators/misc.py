@@ -195,21 +195,41 @@ def e2e_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("e2f_ml_minhash_lsh")
 def e2f_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 via the Spark ML library path (``pyspark.ml.feature.MinHashLSH``):
-    binary term vectors (HashingTF binary mode) → seeded MinHashLSH →
+    binary shingle vectors (HashingTF binary mode) → seeded MinHashLSH →
     approxSimilarityJoin under a Jaccard-distance threshold. Rows-only:
     ML hash families are not DuckDB-reproducible; the hand-rolled
-    oracle-checked pipeline is ``e2b_minhash_lsh_pairs``."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+    oracle-checked pipeline is ``e2b_minhash_lsh_pairs``.
 
-    from wx20222_bigdata_spark.operators.dedup import _corpus_with_mutants_spark
+    Features are 3-token *shingles*, not words (same reason as e2b /
+    NOTES_r1 §8): word term-sets on a small-vocabulary corpus are all
+    mutually near-identical, so a word-set Jaccard join returns O(n²)
+    true pairs no matter the threshold — 17k pairs for 510 docs measured
+    at word level vs ~corpus-linear with shingles. Growth is pinned by
+    tests/test_candidate_growth.py."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from wx20222_bigdata_spark.operators.dedup import (
+        _SPARK_SHINGLES,
+        _corpus_with_mutants_spark,
+    )
 
     corpus = _corpus_with_mutants_spark(spark, sf_dir)
-    tok = Tokenizer(inputCol="text", outputCol="words")
-    tf = HashingTF(inputCol="words", outputCol="features", numFeatures=1 << 16, binary=True)
-    feats = tf.transform(tok.transform(corpus))
+    shingled = corpus.withColumn(
+        "toks", F.expr("filter(split(text, ' '), x -> length(x) > 0)")
+    ).withColumn("shingles", F.expr(_SPARK_SHINGLES))
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 16, binary=True
+    )
+    feats = tf.transform(shingled)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.3, distCol="jaccard_dist")
+    # Threshold 0.15 (was 0.3): on corpora with a shared template the loose
+    # threshold admitted ~10x-corpus candidate pairs (49k at 5k docs,
+    # VERDICT r1) — approaching quadratic growth. 0.15 keeps true mutant
+    # pairs (their Jaccard distance is ~0.02-0.1 by construction) while the
+    # candidate set stays O(corpus); growth is pinned by
+    # tests/test_candidate_growth.py.
+    pairs = model.approxSimilarityJoin(feats, feats, 0.15, distCol="jaccard_dist")
     return (
         pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
