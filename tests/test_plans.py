@@ -57,6 +57,17 @@ def test_topk_is_take_ordered(spark):
     assert has_take_ordered(df), formatted_plan(df)[:2000]
 
 
+def test_e4b_topk_is_two_stage(spark):
+    """VERDICT r1 item 9: the token-frequency top-k must stay the
+    two-stage plan — partial map-side HashAggregate, shuffle on |vocab|,
+    TakeOrderedAndProject (per-partition top-k merged on the driver).
+    A Sort+Limit or SinglePartition here would be the 100x scale killer."""
+    df = _q("e4b_token_freq_topk")(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert has_take_ordered(df), plan[:2000]
+    assert "SinglePartition" not in plan, plan[:2000]
+
+
 def test_no_unintended_cartesian(spark):
     # every query except the two intentional broadcast cross joins
     # (brute-force ANN baseline + IVF centroid probe) must be

@@ -65,3 +65,19 @@ def test_seeded_shuffle_is_permutation(spark):
     # a real shuffle: rank order differs from id order
     assert (out.sort_values("shuffle_rank").doc_id.to_numpy()
             != out.sort_values("doc_id").doc_id.to_numpy()).any()
+
+
+def test_stratified_split_high_cardinality_guard(spark):
+    """VERDICT r1 item 10: stratifying on an unbounded-cardinality column
+    must fail fast instead of collecting every distinct value."""
+    import pytest
+
+    from wx20222_bigdata_spark.operators.sampling import stratified_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with pytest.raises(ValueError, match="distinct values"):
+        # doc_id is unique per row -> cardinality 500 > max_labels=50
+        stratified_split(docs, "doc_id", 0.9, 42, key_col="doc_id", max_labels=50)
+    # bounded domain still works under the same cap
+    train, hold = stratified_split(docs, "lang", 0.9, 42, key_col="doc_id", max_labels=50)
+    assert train.count() + hold.count() == docs.count()

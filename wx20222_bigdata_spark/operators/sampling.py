@@ -29,6 +29,7 @@ def stratified_split(
     train_fraction: float,
     seed: int,
     key_col: str | None = None,
+    max_labels: int = 10_000,
 ) -> tuple[DataFrame, DataFrame]:
     """O5 stratified holdout — ``train_test_split(stratify=y)``
     (``data_helper.py:98-99``): per-class Bernoulli sampling via
@@ -37,9 +38,25 @@ def stratified_split(
 
     ``key_col`` MUST uniquely identify rows (the anti-join complement is
     keyed on it); defaults to the first column, which is only safe for
-    id-first tables."""
+    id-first tables.
+
+    ``sampleBy`` needs the distinct label values on the driver, which is
+    only sane for a bounded label domain — stratifying on a
+    high-cardinality column would collect unboundedly. The collect is
+    capped at ``max_labels + 1`` rows and raises past ``max_labels``
+    (at that point per-label stratification is the wrong tool; use plain
+    ``sample`` or hash-bucket the key)."""
     key = key_col or df.columns[0]
-    labels = [r[0] for r in df.select(label_col).distinct().collect()]
+    labels = [
+        r[0]
+        for r in df.select(label_col).distinct().limit(max_labels + 1).collect()
+    ]
+    if len(labels) > max_labels:
+        raise ValueError(
+            f"stratified_split: {label_col!r} has more than {max_labels} "
+            "distinct values; stratification would collect unboundedly — "
+            "use sample()/hash bucketing instead or raise max_labels"
+        )
     fractions = {lv: train_fraction for lv in labels}
     train = df.sampleBy(label_col, fractions, seed)
     holdout = df.join(train.select(key), key, "left_anti")

@@ -67,7 +67,10 @@ LIMIT 20
 def e4b_token_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4/X3 token frequency top-k: explode(split()) → count → top 20.
     The explode is the UDTF shape (ocr segments, ``data_helper.py:32-34``);
-    the count is map-side combinable so the shuffle carries |vocab| rows."""
+    the count is map-side combinable so the shuffle carries |vocab| rows.
+    The orderBy+limit compiles to ``TakeOrderedAndProject`` — per-partition
+    partial top-k merged on the driver, never a global sort — which IS the
+    two-stage top-k at scale (plan pinned in tests/test_plans.py)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(F.split(F.lower("text"), " ")).alias("tok")
