@@ -1,0 +1,60 @@
+"""ANN recall@10 vs the exact baseline (VERDICT r1 item 4): converts the
+ANN queries from "runs" to "searches". Measured on sf0.01 embeddings
+(isotropic, near-orthogonal — the hard case for ANN: neighbor cosines are
+weakly separated, so these floors are conservative for clustered corpora).
+
+Measured curve (recorded in SCALE.md):
+  multi-table LSH b=4: L=8→0.59, L=12→0.67, L=16→0.71
+  multi-table LSH b=3: L=12→0.87, L=16→0.88, L=20→0.88
+  IVF n_probe: 2→0.28, 4→0.51, 8→0.90  (isotropic data ≈ probed fraction)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from wx20222_bigdata_spark.catalog import load_table
+from wx20222_bigdata_spark.operators.similarity import (
+    exact_topk,
+    ivf_topk,
+    lsh_multitable_topk,
+    recall_at_k,
+)
+
+SF = "/root/testdata/sf0.01"
+N_Q, K = 10, 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = load_table(spark, SF, "embeddings").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def exact(spark, emb):
+    df = exact_topk(emb, N_Q, K).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_lsh_multitable_recall_floor(emb, exact):
+    """L=12 tables of 3 planes: measured 0.87 — the deterministic floor
+    is asserted at the VERDICT target 0.8."""
+    ann = lsh_multitable_topk(emb, N_Q, K, n_tables=12, n_planes=3)
+    assert recall_at_k(ann, exact) >= 0.8
+
+
+def test_ivf_recall_scales_with_probe_width(emb, exact):
+    """IVF recall on isotropic data ≈ probed-list fraction: the declared
+    2-probe config is the cheap tier (floor 0.2, measured 0.28); widening
+    to 8 of ~10 lists must clear 0.8 (measured 0.90). Both floors are
+    deterministic (fixed planes, fixed data, no RNG)."""
+    r2 = recall_at_k(ivf_topk(emb, N_Q, K, n_probe=2), exact)
+    r8 = recall_at_k(ivf_topk(emb, N_Q, K, n_probe=8), exact)
+    assert r2 >= 0.2, r2
+    assert r8 >= 0.8, r8
+    assert r8 > r2, (r2, r8)
