@@ -101,6 +101,48 @@ def main() -> None:
             salted_sum(skewed, "k", F.col("v").cast("decimal(18,2)"), n_salts=32)
         ),
     }
+    # --- 3. AQE coalescePartitions on small-table shuffles (VERDICT r1
+    # item 8): 32 shuffle partitions is oversized for the 500-row
+    # documents/embeddings tables at sf0.01 — AQE should collapse the
+    # post-shuffle side to a handful of partitions, cutting task-launch
+    # overhead without touching results. ---
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    emb01 = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+
+    def small_shuffle_job():
+        agg = docs.groupBy("lang", "source").agg(
+            F.count("*").alias("n"), F.sum("n_chars").alias("chars")
+        )
+        joined = agg.join(
+            emb01.groupBy("label").agg(F.count("*").alias("ne")),
+            agg.n % 10 == F.col("label"),
+        )
+        return joined
+
+    coalesce_res = {}
+    for enabled in ["false", "true"]:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", enabled)
+        small_shuffle_job().collect()  # warm
+        t0 = time.perf_counter()
+        rows = []
+        for _ in range(5):
+            rows = small_shuffle_job().collect()
+        elapsed = round((time.perf_counter() - t0) / 5, 3)
+        df = small_shuffle_job()
+        df.collect()
+        n_parts = df.rdd.getNumPartitions()
+        coalesce_res[f"coalesce_{enabled}"] = {
+            "sec_per_run": elapsed,
+            "result_rows": len(rows),
+            "final_partitions": n_parts,
+        }
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert (
+        coalesce_res["coalesce_true"]["result_rows"]
+        == coalesce_res["coalesce_false"]["result_rows"]
+    ), "AQE coalescing changed the result"
+    results["aqe_coalesce_small_tables_sf001"] = coalesce_res
+
     print(json.dumps(results, indent=2))
     spark.stop()
 
