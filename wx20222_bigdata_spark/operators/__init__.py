@@ -10,6 +10,7 @@ from wx20222_bigdata_spark.operators import (  # noqa: F401
     metrics,
     misc,
     multimodal,
+    packing,
     relational,
     projections,
     sampling,

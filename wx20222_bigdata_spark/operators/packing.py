@@ -1,0 +1,99 @@
+"""Training-sequence packing (LLM-pipeline north star; companion to F8/F9).
+
+Pretraining dataloaders pack documents into fixed token-budget sequences so
+no batch slot is wasted (the reference's budget cascade F8 trims one sample
+to its budget; packing is the corpus-level dual: fill each budget with many
+samples). The scalable contract:
+
+- packing is **shard-local** (partition by ``source``): a global greedy
+  pack would serialize the corpus through one task — the same landmine the
+  zip index avoids — and production packers are shard-local anyway (bins
+  never cross file shards);
+- within a shard, deterministic greedy *contiguous* packing in ``doc_id``
+  order: a document's bin is ``prev_cum_tokens // budget`` (documents that
+  straddle a boundary belong to the bin where they start — bounded
+  overflow, zero fragmentation bookkeeping);
+- all-integer arithmetic → bit-exact cross-engine.
+
+At 100 TB: one partitioned window over (shard, doc order), no global
+state; bin ids are stable under any executor layout because the ordering
+key is data, not physical position.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wx20222_bigdata_spark.catalog import load_table
+from wx20222_bigdata_spark.registry import query
+
+PACK_BUDGET = 512  #: tokens per packed sequence (reference budget: 256)
+
+
+def pack_documents(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """(doc_id, source, text) → (source, doc_id, n_tok, bin_id)."""
+    n_tok = F.size(F.expr("filter(split(text, ' '), x -> length(x) > 0)"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_cum = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return (
+        docs.select("source", "doc_id", n_tok.alias("n_tok"))
+        .withColumn("_prev_cum", prev_cum)
+        .withColumn("bin_id", F.expr(f"_prev_cum div {budget}").cast("bigint"))
+        .drop("_prev_cum")
+    )
+
+
+@query(
+    "e6_sequence_packing",
+    oracle=f"""
+WITH t AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum
+  FROM t
+)
+SELECT source,
+       CAST(prev_cum // {PACK_BUDGET} AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM c
+GROUP BY source, CAST(prev_cum // {PACK_BUDGET} AS BIGINT)
+""",
+)
+def e6_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous shard-local packing: per (source, bin) occupancy.
+    ``bin_tokens`` may exceed the budget by at most one straddling doc —
+    the documented overflow mode of contiguous packing."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.expr("filter(split(text, ' '), x -> length(x) > 0)"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sized = docs.select("source", "doc_id", n_tok.alias("n_tok"))
+    binned = (
+        sized.withColumn("_prev_cum", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        .withColumn("bin_id", F.expr(f"_prev_cum div {PACK_BUDGET}").cast("bigint"))
+        .drop("_prev_cum")
+    )
+    return binned.groupBy("source", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )

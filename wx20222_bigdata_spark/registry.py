@@ -50,6 +50,7 @@ _FRONT: list[str] = [
     # new / materially changed in round 2
     "f7_vocab_tokenize",
     "e5c_decode_features",
+    "e6_sequence_packing",
     # round-1 registrants with no driver CORRECTNESS row (judge-verified only)
     "q17_small_quantity_revenue",
     "q3_shipping_priority",
