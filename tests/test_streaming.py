@@ -215,3 +215,17 @@ def test_stateful_ema_multi_chunk_ordering(spark, events_dir, tmp_path):
     m = got.merge(batch, on="user_id", suffixes=("_s", "_b"))
     assert len(m) > 0
     assert (abs(m["ema_s"] - m["ema_b"]) < 1e-9).all()
+
+
+def test_windowed_dedup_stream_matches_distinct(spark, events_dir):
+    """dropDuplicatesWithinWatermark over one availableNow replay must emit
+    exactly one row per distinct (user_id, event_type) — every duplicate
+    arrival in the batch is absorbed by the in-horizon state."""
+    from wx20222_bigdata_spark.streaming.jobs import read_events_stream, windowed_dedup
+
+    stream = windowed_dedup(read_events_stream(spark, events_dir))
+    got = _run(spark, stream, "t_windedup", mode="append").toPandas()
+    ev = spark.read.parquet(events_dir)
+    expected = ev.select("user_id", "event_type").distinct().count()
+    assert len(got) == expected > 0
+    assert not got.duplicated(["user_id", "event_type"]).any()

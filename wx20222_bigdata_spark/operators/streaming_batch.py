@@ -143,3 +143,48 @@ def s9c_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
+
+
+@query(
+    "s9d_windowed_dedup",
+    oracle="""
+WITH ranked AS (
+  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+         user_id, event_type, event_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY date_trunc('hour', ts), user_id, event_type
+           ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (
+           PARTITION BY date_trunc('hour', ts), user_id, event_type) AS n_arrivals
+  FROM events
+)
+SELECT window_start, user_id, event_type,
+       CAST(event_id AS BIGINT) AS first_event,
+       CAST(n_arrivals AS BIGINT) AS n_arrivals
+FROM ranked WHERE rn = 1
+""",
+)
+def s9d_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed dedup, batch twin of ``streaming.jobs.windowed_dedup``:
+    first arrival per (hour window, user_id, event_type) plus the arrival
+    count it absorbed. The streaming form holds O(live keys) state under a
+    watermark; this batch form is one partitioned window — both are the
+    keep-first contract of the E1 family applied per time bucket."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as W
+
+    win = F.window("ts", "1 hour").alias("w")
+    keyed = ev.select(win, "user_id", "event_type", "event_id", "ts")
+    spec = W.partitionBy("w", "user_id", "event_type")
+    return (
+        keyed.withColumn("rn", F.row_number().over(spec.orderBy("ts", "event_id")))
+        .withColumn("n_arrivals", F.count("*").over(spec))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.unix_timestamp("w.start").cast("bigint").alias("window_start"),
+            "user_id",
+            "event_type",
+            F.col("event_id").cast("bigint").alias("first_event"),
+            F.col("n_arrivals").cast("bigint").alias("n_arrivals"),
+        )
+    )

@@ -51,6 +51,7 @@ _FRONT: list[str] = [
     "f7_vocab_tokenize",
     "e5c_decode_features",
     "e6_sequence_packing",
+    "s9d_windowed_dedup",
     # round-1 registrants with no driver CORRECTNESS row (judge-verified only)
     "q17_small_quantity_revenue",
     "q3_shipping_priority",

@@ -133,6 +133,20 @@ def stateful_ema(events: DataFrame) -> DataFrame:
     )
 
 
+def windowed_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming dedup within the watermark horizon
+    (``dropDuplicatesWithinWatermark``): keeps the first arrival per
+    (user_id, event_type) while the key is inside the watermark, then
+    evicts the key's state — the streaming member of the E1 dedup family
+    (bounded state O(live keys), vs unbounded for plain dropDuplicates).
+    Batch twin: ``s9d_windowed_dedup`` (hour-bucketed first-per-key)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "update"):
     """Drive a streaming DataFrame through one full pass of available data
     into an in-memory table (test/debug harness)."""
