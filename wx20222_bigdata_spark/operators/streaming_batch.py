@@ -96,7 +96,7 @@ def s9b_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s9c_session_windows",
     oracle="""
 WITH seq AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL 30 MINUTE
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -104,8 +104,12 @@ WITH seq AS (
   FROM events
 ),
 sessions AS (
+  -- the cumsum MUST tiebreak on event_id like the lag above: with
+  -- duplicate timestamps a ts-only ROWS frame is free to order ties
+  -- either side of the new_session flag row and split the session
+  -- differently than session_window() (seen at sf1, 10x-replicated ts)
   SELECT user_id, ts, value,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM seq
 )
