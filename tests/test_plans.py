@@ -68,17 +68,28 @@ def test_e4b_topk_is_two_stage(spark):
     assert "SinglePartition" not in plan, plan[:2000]
 
 
-def test_no_unintended_cartesian(spark):
-    # every query except the two intentional broadcast cross joins
-    # (brute-force ANN baseline + IVF centroid probe) must be
-    # cartesian-free; those two must use *broadcast* nested loop, never a
-    # shuffled CartesianProduct.
+def test_no_unintended_cartesian_or_nested_loop(spark):
+    # Every query must be cartesian-free, and nested-loop joins are allowed
+    # ONLY where the build side is constant-size and broadcast: the ANN
+    # brute-force baseline + IVF centroid probe (documented), the 3-row
+    # tier table of the range join, and the flagship's 1-row aggregate
+    # cross. A nested loop anywhere else is an O(n*m) scale killer — e2h's
+    # equality-free band join hung the sf1 soak exactly this way before it
+    # was decomposed into a block-key equi-join.
     from wx20222_bigdata_spark.registry import all_queries
 
+    NESTED_LOOP_OK = {
+        "e3_cosine_topk",
+        "e3c_ivf_probe_ann",
+        "t2_range_join",
+        "flagship_two_level_metrics",
+    }
     for name, fn in all_queries().items():
         df = fn(spark, SF_ORACLE)
         plan = formatted_plan(df)
         assert "CartesianProduct" not in plan, f"{name} has a CartesianProduct"
+        if name not in NESTED_LOOP_OK:
+            assert "NestedLoop" not in plan, f"{name} has a nested-loop join"
 
 
 def test_semi_anti_join_operators(spark):

@@ -430,15 +430,34 @@ def e2h_levenshtein_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifier (complements set-based Jaccard: catches transpositions and
     small edits shingles miss). Blocked to a bounded id band; levenshtein
     is O(m·n) per pair, so at scale it runs only on LSH candidates, never
-    as the blocking step."""
+    as the blocking step.
+
+    The band predicate alone has no equality, which Spark can only run as
+    a nested-loop join — O(n²) comparisons regardless of the band width
+    (measured: hung the sf1 soak at 50k docs). The band is therefore
+    decomposed into an equi-join on a block key: block = id div 10, the
+    a-side probes (block, block+1), and the band filter applies after the
+    hash join — same rows, linear work. DuckDB runs the raw band natively
+    (IEJoin), so the oracle keeps the simple form."""
     docs = load_table(spark, sf_dir, "documents")
     heads = docs.select("doc_id", F.substring("text", 1, 40).alias("head"))
-    a = heads.select(F.col("doc_id").alias("id_a"), F.col("head").alias("ha"))
-    b = heads.select(F.col("doc_id").alias("id_b"), F.col("head").alias("hb"))
+    a = heads.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("head").alias("ha"),
+        F.explode(
+            F.array(F.expr("doc_id div 10"), F.expr("doc_id div 10 + 1"))
+        ).alias("block"),
+    )
+    b = heads.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("head").alias("hb"),
+        F.expr("doc_id div 10").alias("block"),
+    )
     dist = F.levenshtein("ha", "hb")
     max_len = F.greatest(F.length("ha"), F.length("hb"))
     return (
-        a.join(b, (F.col("id_b") > F.col("id_a")) & (F.col("id_b") <= F.col("id_a") + 10))
+        a.join(b, "block")
+        .filter((F.col("id_b") > F.col("id_a")) & (F.col("id_b") <= F.col("id_a") + 10))
         .select(
             "id_a",
             "id_b",

@@ -168,24 +168,33 @@ def e2e_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     then thresholded cosine (threshold calibrated to the corpus: these
     synthetic embeddings are near-orthogonal, max in-block cosine ≈0.38).
     At scale the blocking key is the LSH bucket (e3b); the band form here
-    keeps the oracle exact."""
+    keeps the oracle exact.
+
+    The join key includes a block = id div 25 (a-side probes block and
+    block+1) so the band is an equi-join: label alone leaves |label-class|²
+    pairs per class for the band filter to discard after the fact —
+    per-class populations grow with the corpus, the band doesn't."""
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), F.col("label").alias("la")
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("label").alias("lbl"),
+        F.explode(
+            F.array(F.expr("vec_id div 25"), F.expr("vec_id div 25 + 1"))
+        ).alias("block"),
     )
     b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), F.col("label").alias("lb")
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("label").alias("lbl"),
+        F.expr("vec_id div 25").alias("block"),
     )
     from wx20222_bigdata_spark.functions.vector import cosine as _cos
 
     cosine = _cos("ea", "eb")
     return (
-        a.join(
-            b,
-            (F.col("id_b") > F.col("id_a"))
-            & (F.col("id_b") <= F.col("id_a") + 25)
-            & (F.col("la") == F.col("lb")),
-        )
+        a.join(b, ["lbl", "block"])
+        .filter((F.col("id_b") > F.col("id_a")) & (F.col("id_b") <= F.col("id_a") + 25))
         .select("id_a", "id_b", cosine.alias("cosine"))
         .filter(F.col("cosine") > 0.25)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
