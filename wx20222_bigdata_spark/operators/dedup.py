@@ -14,8 +14,8 @@ Four tiers, cheapest first — the standard large-corpus dedup ladder:
 4. **SimHash** — bitwise majority fingerprint; near-dups differ in few bits.
 
 All four are oracle-checked: the token hash is the cross-engine
-``char_hash`` (functions/hashing.py), so even the LSH bucket assignment is
-bit-identical in DuckDB.
+``md5_hash`` (functions/hashing.py — JVM-native md5, identical in DuckDB),
+so even the LSH bucket assignment is bit-identical in DuckDB.
 """
 
 from __future__ import annotations
@@ -28,8 +28,8 @@ from wx20222_bigdata_spark.functions.hashing import (
     MINHASH_A,
     MINHASH_B,
     MOD,
-    duck_char_hash,
-    spark_char_hash,
+    duck_md5_hash,
+    spark_md5_hash,
 )
 from wx20222_bigdata_spark.registry import query
 
@@ -185,12 +185,13 @@ def _permuted_shingle_hashes(
     hash → explode the permutation index. Returns the (doc_id, h, j)
     frame and the h_j = (a_j*h + b_j) mod p column.
 
-    Two hash tiers (measured at 100k docs, local[32]):
-    - cross-engine ``char_hash`` fold (default): DuckDB-reproducible, the
-      oracle-checked path — 29.6 s;
-    - ``production_hash=True``: JVM-native xxhash64 — 9.9 s (3×). Same
-    LSH semantics/recall, different bucket ids; use in real pipelines
-    where no cross-engine oracle is needed."""
+    Two hash tiers, BOTH JVM-native:
+    - cross-engine ``md5_hash`` (default): DuckDB-reproducible, the
+      oracle-checked path — one md5 call per shingle inside codegen
+      (replaced the per-char ``char_hash`` fold, which was 3× slower);
+    - ``production_hash=True``: xxhash64 — cheapest JVM hash. Same LSH
+      semantics/recall, different bucket ids; use in real pipelines
+      where no cross-engine oracle is needed."""
     toks = corpus.select(
         "doc_id",
         F.expr("filter(split(text, ' '), x -> length(x) > 0)").alias("toks"),
@@ -202,7 +203,7 @@ def _permuted_shingle_hashes(
     h = (
         F.pmod(F.xxhash64("tok"), F.lit(MOD))
         if production_hash
-        else F.expr(spark_char_hash("tok"))
+        else F.expr(spark_md5_hash("tok", mod=MOD))
     )
     hashed = shingles.select("doc_id", h.alias("h"))
     a_arr = F.array([F.lit(a) for a in MINHASH_A[:N_HASHES]])
@@ -270,7 +271,7 @@ toks AS (
   SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES})) AS tok FROM toksrc
 ),
 hashed AS (
-  SELECT doc_id, {duck_char_hash('tok')} AS h FROM toks
+  SELECT doc_id, {duck_md5_hash('tok', mod=MOD)} AS h FROM toks
 ),
 perms AS (
   SELECT j,
@@ -336,7 +337,7 @@ WITH toks AS (
   WHERE length(tok) > 0
 ),
 hashed AS (
-  SELECT doc_id, {duck_char_hash('tok')} AS h FROM toks
+  SELECT doc_id, {duck_md5_hash('tok', mod=MOD)} AS h FROM toks
 ),
 bits AS (
   SELECT doc_id, j,
@@ -359,7 +360,7 @@ def e2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     ).filter(F.length("tok") > 0)
-    hashed = toks.select("doc_id", F.expr(spark_char_hash("tok")).alias("h"))
+    hashed = toks.select("doc_id", F.expr(spark_md5_hash("tok", mod=MOD)).alias("h"))
     exploded = hashed.select(
         "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(19))).alias("j")
     )

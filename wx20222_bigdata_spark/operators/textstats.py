@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wx20222_bigdata_spark.catalog import load_table
-from wx20222_bigdata_spark.functions.hashing import duck_char_hash, spark_char_hash
+from wx20222_bigdata_spark.functions.hashing import duck_md5_hash, spark_md5_hash
 from wx20222_bigdata_spark.registry import query
 
 #: Marker stopwords per language for the n-gram/lexicon heuristic.
@@ -211,19 +211,19 @@ def e4d_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e4e_doc_fingerprint",
     oracle=f"""
 SELECT doc_id,
-       CAST({duck_char_hash("lower(text)")} AS BIGINT) AS fingerprint,
+       CAST({duck_md5_hash("lower(text)")} AS BIGINT) AS fingerprint,
        length(text) AS n_char
 FROM documents
 """,
 )
 def e4e_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E4 document fingerprint — the rolling polynomial hash of the
-    normalized text (cross-engine ``char_hash``), the cheap content id
-    used by incremental pipelines to skip unchanged docs."""
+    """E4 document fingerprint — a 60-bit content hash of the normalized
+    text (cross-engine ``md5_hash``), the cheap content id used by
+    incremental pipelines to skip unchanged docs."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.expr(spark_char_hash("lower(text)")).alias("fingerprint"),
+        F.expr(spark_md5_hash("lower(text)")).alias("fingerprint"),
         F.length("text").cast("bigint").alias("n_char"),
     )
 
