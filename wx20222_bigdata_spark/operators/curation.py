@@ -1,0 +1,159 @@
+"""End-to-end corpus curation pipeline (LLM-pipeline north star).
+
+The reference's data prep runs as a sequence of standalone steps (clean →
+dedup → shard, ``data_helper.py`` preprocessing before training); the
+large-scale equivalent is ONE declarative funnel the optimizer can see
+whole: quality gate → exact dedup (deterministic keep policy) → shard-local
+sequence packing → per-source retention accounting. Composing the stages in
+a single plan matters at 100 TB: Catalyst pushes the quality predicates
+into the parquet scan (docs failing the gate are never hashed, deduped, or
+packed), the dedup window and the packing window reuse the same
+quality-filtered intermediate, and nothing materializes between stages.
+
+Stage physics (each documented at its home operator):
+- quality gate (textstats.e4d): narrow, no shuffle, scan-pushed;
+- exact dedup (dedup.e1b): one shuffle on the md5 content key,
+  keep-min-doc_id via a partitioned window (bounded partitions — a
+  content key's group is the duplicate count, never the corpus);
+- packing (packing.e6): one partitioned window per source shard;
+- accounting: partial-aggregated groupBy on source.
+
+All-integer outputs → bit-exact cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wx20222_bigdata_spark.catalog import load_table
+from wx20222_bigdata_spark.operators.packing import PACK_BUDGET
+from wx20222_bigdata_spark.registry import query
+
+
+@query(
+    "e7_curation_pipeline",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id, source, md5(text) AS content_key,
+         len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n_tok,
+         length(text) AS n_char,
+         length(text) - length(replace(replace(replace(text, '.', ''), ',', ''), '!', '')) AS n_punct
+  FROM documents
+),
+quality AS (
+  SELECT * FROM feats
+  WHERE n_tok >= 20 AND n_tok <= 1000
+    AND CAST(n_punct AS DOUBLE) / n_char < 0.1
+),
+survivors AS (
+  SELECT doc_id, source, n_tok
+  FROM (
+    SELECT doc_id, source, n_tok,
+           ROW_NUMBER() OVER (PARTITION BY content_key ORDER BY doc_id) AS rn
+    FROM quality
+  )
+  WHERE rn = 1
+),
+packed AS (
+  SELECT source, n_tok,
+         COALESCE(SUM(n_tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {PACK_BUDGET} AS bin_id
+  FROM survivors
+),
+raw AS (
+  SELECT source, COUNT(*) AS n_raw FROM feats GROUP BY source
+),
+kept AS (
+  SELECT source,
+         COUNT(*) AS n_kept,
+         CAST(SUM(n_tok) AS BIGINT) AS kept_tokens,
+         COUNT(DISTINCT bin_id) AS n_bins
+  FROM packed GROUP BY source
+),
+qcount AS (
+  SELECT source, COUNT(*) AS n_quality FROM quality GROUP BY source
+)
+SELECT raw.source, n_raw,
+       COALESCE(n_quality, 0) AS n_quality,
+       COALESCE(n_kept, 0) AS n_kept,
+       COALESCE(kept_tokens, 0) AS kept_tokens,
+       COALESCE(n_bins, 0) AS n_bins
+FROM raw LEFT JOIN qcount ON raw.source = qcount.source
+         LEFT JOIN kept ON raw.source = kept.source
+""",
+)
+def e7_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 curation funnel per source: raw docs → quality-gated (Gopher/C4
+    heuristics, same gate as e4d) → exact-deduped (md5 content key,
+    min-doc_id keep policy, same as e1b) → packed into PACK_BUDGET-token
+    bins (same contiguous shard-local packing as e6). Output is the
+    retention accounting every curation run reports: n_raw -> n_quality ->
+    n_kept, plus kept token mass and bin count."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    feats = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("content_key"),
+        F.size(words).cast("bigint").alias("n_tok"),
+        F.length("text").alias("n_char"),
+        (
+            F.length("text")
+            - F.length(
+                F.regexp_replace(
+                    F.regexp_replace(F.regexp_replace("text", r"\.", ""), ",", ""),
+                    "!",
+                    "",
+                )
+            )
+        ).alias("n_punct"),
+    )
+    quality = feats.filter(
+        (F.col("n_tok") >= 20)
+        & (F.col("n_tok") <= 1000)
+        & (F.col("n_punct").cast("double") / F.col("n_char") < 0.1)
+    )
+    dedup_w = Window.partitionBy("content_key").orderBy("doc_id")
+    survivors = (
+        quality.withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_tok")
+    )
+    pack_w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = survivors.withColumn(
+        "_prev_cum", F.coalesce(F.sum("n_tok").over(pack_w), F.lit(0))
+    ).select(
+        "source",
+        "n_tok",
+        F.expr(f"_prev_cum div {PACK_BUDGET}").cast("bigint").alias("bin_id"),
+    )
+    raw = feats.groupBy("source").agg(F.count("*").alias("n_raw"))
+    qcount = quality.groupBy("source").agg(F.count("*").alias("n_quality"))
+    kept = packed.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_tok").cast("bigint").alias("kept_tokens"),
+        F.countDistinct("bin_id").alias("n_bins"),
+    )
+    # LEFT joins: a source whose docs are all gated out still reports its
+    # funnel row (n_quality = n_kept = 0) — retention reports must show
+    # what vanished, not drop the row.
+    return (
+        raw.join(qcount, "source", "left")
+        .join(kept, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+            F.coalesce("n_bins", F.lit(0)).alias("n_bins"),
+        )
+    )

@@ -52,6 +52,10 @@ _FRONT: list[str] = [
     "e5c_decode_features",
     "e6_sequence_packing",
     "s9d_windowed_dedup",
+    "e7_curation_pipeline",
+    # hash tier migrated to md5 (outputs changed -> need fresh driver rows)
+    "e2b_minhash_lsh_pairs",
+    "e2c_simhash",
     # round-1 registrants with no driver CORRECTNESS row (judge-verified only)
     "q17_small_quantity_revenue",
     "q3_shipping_priority",
