@@ -9,6 +9,9 @@
 Each query executes to completion through the noop sink (full plan runs,
 nothing collected to the driver). One warmup action initializes the JVM/
 codegen so measured times reflect steady-state execution.
+
+``--sf1`` benches the 10× soak set instead (built on first use at
+/tmp/sf1 via tools/make_sf1.py — see SCALE.md 'sf1 soak').
 """
 
 from __future__ import annotations
@@ -52,8 +55,27 @@ HEADLINE = [
 ]
 
 
+def _ensure_sf1() -> str:
+    """Build the 10× replicated soak set at /tmp/sf1 if absent (SCALE.md
+    'sf1 soak'); idempotent — reuses an existing build."""
+    dst = Path("/tmp/sf1")
+    if not (dst / "lineitem.parquet").exists():
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "make_sf1", Path(REPO_ROOT) / "tools" / "make_sf1.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.replicate(Path("/root/testdata/sf0.1"), dst, 10)
+    return str(dst)
+
+
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--sf1" in sys.argv[1:]:
+        sf_dir = _ensure_sf1()
+    else:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     from wx20222_bigdata_spark.registry import all_queries
