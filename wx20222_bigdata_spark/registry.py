@@ -53,6 +53,8 @@ _FRONT: list[str] = [
     "e6_sequence_packing",
     "s9d_windowed_dedup",
     "e7_curation_pipeline",
+    "q10_returned_items",
+    "q18_large_volume_customers",
     # hash tier migrated to md5 (outputs changed -> need fresh driver rows)
     "e2b_minhash_lsh_pairs",
     "e2c_simhash",
