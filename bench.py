@@ -129,11 +129,14 @@ def main() -> None:
             )
         ).alias("ocr"),
     )
-    t0 = time.perf_counter()
-    prepare_text_features(anns, budget=256).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    timings["etl_prepare_features"] = round(time.perf_counter() - t0, 3)
+    best = float("inf")
+    for _ in range(2):  # min-of-2, same steady-state policy as the suite
+        t0 = time.perf_counter()
+        prepare_text_features(anns, budget=256).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = min(best, time.perf_counter() - t0)
+    timings["etl_prepare_features"] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

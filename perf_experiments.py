@@ -4,6 +4,10 @@
 1. Arrow batch-size sweep for the mapInPandas scoring kernel (the
    ``maxRecordsPerBatch`` ≙ DataLoader-batch analogy, SURVEY §4).
 2. Salted vs plain aggregation on a 90%-hot-key corpus (the skew story).
+3. AQE partition coalescing on small-table shuffles.
+4. Runtime bloom-filter injection on the q18 shape (aggregate-gated join)
+   at sf1 — the filter the optimizer pushes from the selective aggregate
+   side into the probe-side scan.
 
 Prints one JSON object; numbers get copied into SCALE.md.
 """
@@ -142,6 +146,60 @@ def main() -> None:
         == coalesce_res["coalesce_false"]["result_rows"]
     ), "AQE coalescing changed the result"
     results["aqe_coalesce_small_tables_sf001"] = coalesce_res
+
+    # --- 4. Runtime bloom-filter injection at sf1 ---
+    # Two findings, both load-bearing for 100 TB plans:
+    # (a) InjectRuntimeFilter requires a *selective filter over a scan*
+    #     on the creation side — q18's filter-over-AGGREGATE key set never
+    #     qualifies, and at default thresholds small probe scans are
+    #     (correctly) declined too;
+    # (b) on the qualifying shape — date-filtered orders shuffle-joined
+    #     to lineitem — the injected bloom prunes probe rows before the
+    #     shuffle. Broadcast is disabled so the join is the SMJ a 100 TB
+    #     fact-fact join would be; the threshold override stands in for
+    #     the >10 GB probe scan that triggers injection in production.
+    from bench import _ensure_sf1
+
+    sf1_dir = _ensure_sf1()
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    def bloom_job():
+        li = load_table(spark, sf1_dir, "lineitem")
+        o = load_table(spark, sf1_dir, "orders").filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
+        )
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("qty"),
+            )
+        )
+
+    bloom_res = {}
+    for enabled in ["false", "true"]:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", enabled)
+        plan = bloom_job()._jdf.queryExecution().optimizedPlan().toString()
+        time_noop(bloom_job())  # warm
+        best = min(time_noop(bloom_job()) for _ in range(2))
+        bloom_res[f"bloom_{enabled}"] = {
+            "sec_per_run": best,
+            "bloom_in_plan": "bloom" in plan.lower(),
+        }
+    spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    results["runtime_bloom_filter_sf1"] = bloom_res
 
     print(json.dumps(results, indent=2))
     spark.stop()
