@@ -229,3 +229,21 @@ def test_windowed_dedup_stream_matches_distinct(spark, events_dir):
     expected = ev.select("user_id", "event_type").distinct().count()
     assert len(got) == expected > 0
     assert not got.duplicated(["user_id", "event_type"]).any()
+
+
+def test_interval_join_stream_matches_batch(spark, events_dir):
+    from wx20222_bigdata_spark.streaming.jobs import interval_join, read_events_stream
+
+    stream = interval_join(read_events_stream(spark, events_dir))
+    got = _run(spark, stream, "t_interval", mode="append").toPandas()
+    # the APIs are shared: the same function in batch mode IS the
+    # micro-precision reference (the declared s9e twin is the
+    # second-granularity oracle form)
+    batch = interval_join(spark.read.parquet(events_dir)).toPandas()
+    key = ["click_id", "purchase_id"]
+    g = got.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(b) > 0
+    assert g[key].equals(b[key])
+    assert (g["gap_s"].to_numpy() == b["gap_s"].to_numpy()).all()
+    assert ((g["gap_s"] >= 0) & (g["gap_s"] <= 1801)).all()

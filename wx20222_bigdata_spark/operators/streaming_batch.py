@@ -192,3 +192,66 @@ def s9d_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_arrivals").cast("bigint").alias("n_arrivals"),
         )
     )
+
+
+@query(
+    "s9e_interval_join",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+)
+SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+       a.user_id, b.sec - a.sec AS gap_s
+FROM e a JOIN e b
+  ON b.user_id = a.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.sec >= a.sec AND b.sec <= a.sec + 1800
+""",
+)
+def s9e_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (event-time range) join in batch — the twin of the
+    stream-stream attribution join ``streaming.jobs.interval_join``:
+    clicks matched to the same user's purchases within 30 minutes.
+
+    The twin defines the gap at whole-second granularity on BOTH engines
+    (``unix_timestamp`` ≙ ``floor(epoch(ts))``) because events.ts is
+    nanos-precision parquet truncated differently by each reader — the
+    second-floor is the proven cross-engine idiom (w1/s9c). The join
+    itself is an equi-join on user_id with the range as a post-condition:
+    per-user event counts are bounded, so the equi key carries the
+    shuffle and the range never degenerates to a cross join. The true
+    streaming form keeps micro-precision event time (its range condition
+    doubles as the state-eviction bound) and is tested against this same
+    function run in batch mode."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("bigint").alias("sec"),
+    )
+    a = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("sec").alias("a_sec"),
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("sec").alias("b_sec"),
+    )
+    return (
+        a.join(b, (F.col("user_id") == F.col("b_user")))
+        .filter(
+            (F.col("b_sec") >= F.col("a_sec"))
+            & (F.col("b_sec") <= F.col("a_sec") + 1800)
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (F.col("b_sec") - F.col("a_sec")).alias("gap_s"),
+        )
+    )

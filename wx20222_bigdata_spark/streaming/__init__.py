@@ -6,7 +6,10 @@ The reference's closest structures — micro-batch shard loop
 
 - tumbling / sliding window aggregates with watermarked late-data handling,
 - session windows,
-- ``applyInPandasWithState`` for the custom stateful EMA accumulator.
+- ``applyInPandasWithState`` for the custom stateful EMA accumulator,
+- ``dropDuplicatesWithinWatermark`` streaming dedup (bounded state),
+- stream-stream interval join (attribution) with two-sided watermarks so
+  join state is evicted, never retained forever.
 
 Batch-equivalent window aggregates are oracle-checked (operators/
 streaming_batch.py); the stream forms are validated by tests that run a

@@ -147,6 +147,53 @@ def windowed_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFram
     )
 
 
+def interval_join(
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    max_gap_minutes: int = 30,
+) -> DataFrame:
+    """Stream-stream interval join: each 'click' joined to the same
+    user's 'purchase' events within ``max_gap_minutes`` — the attribution
+    join. Both sides carry watermarks and the join condition bounds
+    event time in BOTH directions, so Spark can compute how long each
+    side's state must be retained and evict it (unbounded state
+    otherwise — a stream-stream join without a range condition never
+    frees a row). Batch twin: ``s9e_interval_join`` (second-granularity
+    gap, oracle-checked)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"c_user = p_user AND p_ts >= c_ts "
+            f"AND p_ts <= c_ts + interval {max_gap_minutes} minutes"
+        ),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts"))
+        .cast("bigint")
+        .alias("gap_s"),
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "update"):
     """Drive a streaming DataFrame through one full pass of available data
     into an in-memory table (test/debug harness)."""
