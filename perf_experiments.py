@@ -8,6 +8,8 @@
 4. Runtime bloom-filter injection on the q18 shape (aggregate-gated join)
    at sf1 — the filter the optimizer pushes from the selective aggregate
    side into the probe-side scan.
+5. AQE skew-join split on a 90%-hot-key join at sf1 — the runtime fix
+   SCALE.md promises for hot LSH buckets / skewed join keys.
 
 Prints one JSON object; numbers get copied into SCALE.md.
 """
@@ -200,6 +202,67 @@ def main() -> None:
     )
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     results["runtime_bloom_filter_sf1"] = bloom_res
+
+    # --- 5. AQE skew-join split on a 90%-hot-key join at sf1 ---
+    # 90% of sf1 lineitem rows collapse onto one join key (seeded rand);
+    # broadcast disabled so the join is the SMJ a big-big join would be.
+    # Thresholds are lowered to make local[32] partition sizes cross the
+    # skew detector — production keeps defaults (256MB advisory), where a
+    # 100 TB hot key crosses them on its own. Caveat discovered here and
+    # recorded in SCALE.md: the split is SKIPPED when the join output
+    # must stay hash-partitioned for a downstream agg on the SAME key —
+    # salting (operators/skew.py) remains the answer for that shape.
+    li_sf1 = load_table(spark, sf1_dir, "lineitem")
+    skewed = li_sf1.select(
+        F.when(F.rand(7) < 0.9, F.lit(0))
+        .otherwise(F.pmod(F.col("l_orderkey"), 1000))
+        .alias("k"),
+        "l_quantity",
+    )
+    dim = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8MB"
+    )
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8MB")
+
+    def skew_join():
+        return skewed.join(dim, "k").select(
+            "k", (F.col("l_quantity") * F.col("w")).alias("qw")
+        )
+
+    skew_res = {}
+    for enabled in ["false", "true"]:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", enabled)
+        time_noop(skew_join())  # warm
+        best = min(time_noop(skew_join()) for _ in range(2))
+        # marker check needs the df's OWN execution finalized: a global
+        # agg requires no hash distribution, so the skew rule still fires
+        agg = skewed.join(dim, "k").agg(
+            F.sum(F.col("l_quantity") * F.col("w")).alias("total")
+        )
+        total = agg.collect()[0]["total"]
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        skew_res[f"skew_{enabled}"] = {
+            "sec_per_run": best,
+            "smj_skew_marker": "skew=true" in plan,
+            "total": total,
+        }
+    assert skew_res["skew_false"]["total"] == skew_res["skew_true"]["total"], (
+        "skew split changed the result"
+    )
+    for conf in [
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]:
+        spark.conf.unset(conf)
+    results["aqe_skew_join_split_sf1"] = skew_res
 
     print(json.dumps(results, indent=2))
     spark.stop()
