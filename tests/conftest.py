@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -13,7 +14,10 @@ if str(REPO_ROOT) not in sys.path:
 from wx20222_bigdata_spark.catalog import TABLE_NAMES as TABLES  # noqa: E402
 
 SF_SMOKE = "/root/testdata/sf0.001"
-SF_ORACLE = "/root/testdata/sf0.01"
+#: the driver compares at sf0.01; override to run the same sweep at another
+#: scale, e.g. ``SPARK_GRAFT_ORACLE_SF_DIR=/tmp/sf1 pytest tests/test_oracle_parity.py``
+#: after ``python bench.py --sf1`` (the sf1 soak, SCALE.md).
+SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")
