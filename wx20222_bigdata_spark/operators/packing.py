@@ -97,3 +97,66 @@ def e6_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("first_doc"),
         F.max("doc_id").cast("bigint").alias("last_doc"),
     )
+
+
+CHUNK_SIZE = 128  #: tokens per chunk
+CHUNK_STRIDE = 96  #: chunk start step (CHUNK_SIZE - CHUNK_STRIDE tokens overlap)
+
+
+@query(
+    "e8_document_chunking",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, toks, len(toks) AS n_tok FROM t WHERE len(toks) >= 1
+),
+chunks AS (
+  SELECT doc_id, n_tok, toks, unnest(range(0, n_tok, {CHUNK_STRIDE})) AS start
+  FROM sized
+)
+SELECT doc_id,
+       CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(least(start + {CHUNK_SIZE}, n_tok) - start AS BIGINT) AS n_chunk_toks,
+       array_to_string(list_slice(toks, start + 1, least(start + {CHUNK_SIZE}, n_tok)), ' ') AS chunk_text
+FROM chunks
+""",
+)
+def e8_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 overlapping document chunking — the dual of packing (e6): long
+    documents split into CHUNK_SIZE-token windows every CHUNK_STRIDE
+    tokens (32-token overlap), the standard context-window prep for
+    training and embedding pipelines.
+
+    Pure narrow plan: tokenize once, ``posexplode`` the chunk starts,
+    slice per chunk — no shuffle at all; chunking 100 TB is
+    embarrassingly parallel and this plan keeps it that way. The start
+    sequence is guarded to n_tok >= 1 (``sequence(0, -1)`` DESCENDS —
+    the repo-wide landmine, NOTES_r1 §8)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> length(x) > 0)").alias("toks"),
+    ).withColumn("n_tok", F.size("toks")).filter(F.col("n_tok") >= 1)
+    chunks = toks.select(
+        "doc_id",
+        "n_tok",
+        "toks",
+        F.explode(
+            F.expr(f"sequence(0, n_tok - 1, {CHUNK_STRIDE})")
+        ).alias("start"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.expr(f"start div {CHUNK_STRIDE}").cast("bigint").alias("chunk_id"),
+        (F.least(F.col("start") + CHUNK_SIZE, F.col("n_tok")) - F.col("start"))
+        .cast("bigint")
+        .alias("n_chunk_toks"),
+        F.array_join(
+            F.expr(f"slice(toks, start + 1, least({CHUNK_SIZE}, n_tok - start))"),
+            " ",
+        ).alias("chunk_text"),
+    )
