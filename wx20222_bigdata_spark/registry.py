@@ -60,6 +60,7 @@ _FRONT: list[str] = [
     # hash tier migrated to md5 (outputs changed -> need fresh driver rows)
     "e2b_minhash_lsh_pairs",
     "e2c_simhash",
+    "e4e_doc_fingerprint",
     # round-1 registrants with no driver CORRECTNESS row (judge-verified only)
     "q17_small_quantity_revenue",
     "q3_shipping_priority",
@@ -101,7 +102,6 @@ _FRONT: list[str] = [
     "e4b_token_freq_topk",
     "e4c_language_id",
     "e4d_quality_score",
-    "e4e_doc_fingerprint",
     "e4f_token_count",
     "w1_row_number_gap",
     "w2_step_schedule",
