@@ -26,7 +26,8 @@ REPO_ROOT = str(Path(__file__).resolve().parent)
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
-#: Headline suite: one representative per operator family (SURVEY.md §2).
+#: Headline suite: one representative per operator family (SURVEY.md §2,
+#: incl. the E6–E8 LLM-pipeline family added in round 2).
 HEADLINE = [
     "a4_pricing_summary",         # scan + grouped decimal aggregates
     "q3_shipping_priority",       # 3-way join + group + top-k
@@ -44,6 +45,9 @@ HEADLINE = [
     "e4b_token_freq_topk",        # explode + count + top-k
     "e4d_quality_score",          # narrow text-feature pass
     "f8_budget_cascade",          # budgeted truncation cascade
+    "e6_sequence_packing",        # shard-local token-budget packing
+    "e7_curation_pipeline",       # composed quality→dedup→pack funnel
+    "e8_document_chunking",       # overlapping context windows (no shuffle)
     "x4_map_in_pandas_scoring",   # Arrow-batched model inference
     "s9_tumbling_window",         # tumbling window agg
     "s9c_session_windows",        # session windows
