@@ -1,7 +1,8 @@
 """End-to-end corpus curation pipeline (LLM-pipeline north star).
 
-The reference's data prep runs as a sequence of standalone steps (clean →
-dedup → shard, ``data_helper.py`` preprocessing before training); the
+The reference's data prep runs as a sequence of standalone steps (text
+assembly + budgeting ``data_helper.py:41-70``, tokenize/pad ``:55-57,94``
+before training); the
 large-scale equivalent is ONE declarative funnel the optimizer can see
 whole: quality gate → exact dedup (deterministic keep policy) → shard-local
 sequence packing → per-source retention accounting. Composing the stages in

@@ -129,7 +129,10 @@ def e8_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E8 overlapping document chunking — the dual of packing (e6): long
     documents split into CHUNK_SIZE-token windows every CHUNK_STRIDE
     tokens (32-token overlap), the standard context-window prep for
-    training and embedding pipelines.
+    training and embedding pipelines. The reference handles over-length
+    text by truncating to the token budget (``data_helper.py:55-57``
+    ``truncation=True``); chunking is the no-loss alternative a corpus
+    pipeline uses upstream of that budget.
 
     Pure narrow plan: tokenize once, ``posexplode`` the chunk starts,
     slice per chunk — no shuffle at all; chunking 100 TB is
