@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wx20222_bigdata_spark.catalog import load_table
+from wx20222_bigdata_spark.functions.hashing import duck_md5_hash
 from wx20222_bigdata_spark.registry import query
 
 
@@ -123,4 +124,97 @@ def m1_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+CM_DEPTH = 4  #: count-min rows (independent hash functions)
+CM_WIDTH = 256  #: buckets per row
+
+
+@query(
+    "x5_count_min_estimate",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS tok
+  FROM documents
+),
+true_counts AS (
+  SELECT tok, COUNT(*) AS true_n FROM toks GROUP BY tok
+  ORDER BY true_n DESC, tok ASC LIMIT 20
+),
+cells AS (
+  SELECT seed,
+         {duck_md5_hash("concat(tok, '#', seed)", mod=CM_WIDTH)} AS bucket,
+         COUNT(*) AS cell_n
+  FROM toks, (SELECT unnest(range(0, {CM_DEPTH})) AS seed)
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT t.tok, t.true_n, MIN(c.cell_n) AS cm_est
+  FROM true_counts t
+  JOIN (SELECT unnest(range(0, {CM_DEPTH})) AS seed) s ON TRUE
+  JOIN cells c
+    ON c.seed = s.seed
+   AND c.bucket = {duck_md5_hash("concat(t.tok, '#', s.seed)", mod=CM_WIDTH)}
+  GROUP BY t.tok, t.true_n
+)
+SELECT tok, true_n, cm_est, (cm_est >= true_n) AS never_undercounts
+FROM est
+""",
+)
+def x5_count_min_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode-Muthukrishnan '05) expressed as a
+    declarative plan — the second sketch beside the A12 HLL, and unlike
+    library sketches it is fully ORACLE-CHECKABLE because the row hashes
+    are the cross-engine md5 hash: depth=4 seeded hash rows × width=256
+    buckets, estimate = min over rows of the bucket count, checked
+    against true counts for the top-20 tokens (the never-undercount law
+    is part of the output).
+
+    Scale shape: the sketch build is ONE groupBy on (seed, bucket) —
+    cardinality ≤ depth × width regardless of corpus size, partial
+    aggregation does the per-partition sketching map-side, and the merge
+    IS the shuffle (counter addition — exactly how distributed count-min
+    merges). The token explode amplifies rows ×depth before the map-side
+    collapse; at 100 TB that trade (4× narrow rows for a 1 KB-bounded
+    shuffle) is the right one."""
+    from wx20222_bigdata_spark.functions.hashing import spark_md5_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.expr("filter(split(text, ' '), x -> length(x) > 0)")
+        ).alias("tok")
+    )
+    true_top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("true_n"))
+        .orderBy(F.col("true_n").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+    seeded = toks.select(
+        "tok",
+        F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("seed"),
+    )
+    bucket = F.expr(spark_md5_hash("concat(tok, '#', seed)", mod=CM_WIDTH))
+    cells = (
+        seeded.select("seed", bucket.alias("bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count("*").alias("cell_n"))
+    )
+    probes = true_top.select(
+        "tok",
+        "true_n",
+        F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("seed"),
+    ).select("tok", "true_n", "seed", bucket.alias("bucket"))
+    return (
+        probes.join(F.broadcast(cells), ["seed", "bucket"])
+        .groupBy("tok", "true_n")
+        .agg(F.min("cell_n").alias("cm_est"))
+        .select(
+            "tok",
+            "true_n",
+            "cm_est",
+            (F.col("cm_est") >= F.col("true_n")).alias("never_undercounts"),
+        )
     )

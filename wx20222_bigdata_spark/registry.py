@@ -57,6 +57,7 @@ _FRONT: list[str] = [
     "q18_large_volume_customers",
     "s9e_interval_join",
     "e8_document_chunking",
+    "x5_count_min_estimate",
     # hash tier migrated to md5 (outputs changed -> need fresh driver rows)
     "e2b_minhash_lsh_pairs",
     "e2c_simhash",
