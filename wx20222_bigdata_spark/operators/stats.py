@@ -38,6 +38,22 @@ def a13_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("a13b_approx_percentiles")
+def a13b_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB tier of a13: ``approx_percentile`` (GK/t-digest family,
+    one streaming pass, mergeable partials, no global sort). Rows-only by
+    design — the sketch is engine-specific so no DuckDB oracle exists —
+    but NOT unchecked: tests/test_stats_approx.py pins every approx value
+    within the accuracy bound of the exact a13 baseline, the same
+    baseline-vs-scale-path pattern as e3 vs e3b/e3c recall."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("approx_percentile(value, 0.5, 1000)"), 6).alias("p50"),
+        F.round(F.expr("approx_percentile(value, 0.9, 1000)"), 6).alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
 @query(
     "a14_moments",
     oracle="""
