@@ -58,6 +58,7 @@ _FRONT: list[str] = [
     "s9e_interval_join",
     "e8_document_chunking",
     "x5_count_min_estimate",
+    "a13b_approx_percentiles",
     # hash tier migrated to md5 (outputs changed -> need fresh driver rows)
     "e2b_minhash_lsh_pairs",
     "e2c_simhash",
