@@ -234,3 +234,47 @@ def x5_count_min_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cm_est") >= F.col("true_n")).alias("never_undercounts"),
         )
     )
+
+
+@query(
+    "m2_scd2_history",
+    oracle="""
+WITH versioned AS (
+  SELECT o_custkey, o_orderkey, o_orderstatus,
+         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+         LEAD(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS valid_to
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_orderstatus, valid_from,
+       COALESCE(valid_to, '9999-12-31 00:00:00') AS valid_to,
+       (valid_to IS NULL) AS is_current
+FROM versioned
+""",
+)
+def m2_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build — the companion to the m1 MERGE: a change
+    feed (here each order as a customer-state change) becomes versioned
+    rows with [valid_from, valid_to) ranges via LEAD over the per-key
+    timeline; the open-ended current row gets the sentinel end and an
+    ``is_current`` flag. One partitioned window keyed by the dimension
+    key — never a global sort — so history rebuild scales with the
+    change feed. Validity bounds are tz-independent formatted strings
+    (the q3 precedent for TIMESTAMP_NTZ; they order lexicographically),
+    and (o_orderdate, o_orderkey) makes the ordering total under
+    same-timestamp changes."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    fmt = F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead(fmt).over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        fmt.alias("valid_from"),
+        F.coalesce(nxt, F.lit("9999-12-31 00:00:00")).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -59,6 +59,7 @@ _FRONT: list[str] = [
     "e8_document_chunking",
     "x5_count_min_estimate",
     "a13b_approx_percentiles",
+    "m2_scd2_history",
     # hash tier migrated to md5 (outputs changed -> need fresh driver rows)
     "e2b_minhash_lsh_pairs",
     "e2c_simhash",
