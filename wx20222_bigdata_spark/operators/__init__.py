@@ -3,6 +3,7 @@
 
 from wx20222_bigdata_spark.operators import (  # noqa: F401
     arrays,
+    clusters,
     curation,
     dedup,
     etl,

@@ -1,0 +1,148 @@
+"""Near-duplicate cluster resolution — connected components over the
+MinHash-LSH candidate-pair graph (SURVEY.md §2.11 E2, the step after
+candidate generation: pairs → clusters → one canonical survivor per
+cluster; reference keeps first-seen per key, src/data_helper.py dedup
+pass — here generalised to transitive near-dup groups).
+
+Candidate pairs are edges of an undirected graph; a dedup "cluster" is a
+connected component, its canonical doc the minimum doc_id. The Spark side
+runs iterative min-label propagation (label(v) ← min over N(v) ∪ {v}),
+which converges to the component minimum in O(diameter) rounds. LSH
+near-dup graphs are shallow — components are small cliques/chains — so
+the loop exits in 2–4 rounds here; at 100 TB the same contract would be
+served by the large-star/small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond"), which converges in O(log n) rounds
+with bounded per-round shuffle. Each round localCheckpoints to truncate
+lineage (iterative plans otherwise grow without bound) and convergence is
+detected by the monotone label sum (labels only ever decrease, so the sum
+is a strictly decreasing fixpoint detector — one scalar per round on the
+driver, not a row-level diff join).
+
+The DuckDB oracle computes the same fixpoint declaratively with a
+recursive CTE (reachability → MIN(root) per node), so the whole pipeline
+— shingle hash, banding, bucket join, transitive closure — is
+cross-engine bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wx20222_bigdata_spark.operators.dedup import (
+    LSH_BANDS_DUCK_CTES,
+    _corpus_with_mutants_spark,
+    minhash_band_keys,
+)
+from wx20222_bigdata_spark.registry import query
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Label each node of an undirected graph with the minimum node id in
+    its connected component.
+
+    ``edges`` needs columns (src, dst), one row per undirected edge (either
+    orientation). Returns (node, label). Pure DataFrame iteration — no RDDs,
+    no driver-side graph; per-round cost is one join + one groupBy, both
+    partitioned on node id.
+    """
+    sym = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        lab_v = labels.select(
+            F.col("node").alias("v"), F.col("label").alias("vlabel")
+        )
+        nmin = sym.join(lab_v, "v").groupBy("u").agg(
+            F.min("vlabel").alias("nmin")
+        )
+        labels = (
+            labels.join(nmin.withColumnRenamed("u", "node"), "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+@query(
+    "e9_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {LSH_BANDS_DUCK_CTES},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket_key = b.bucket_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(node, root) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (
+  SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM comp
+""",
+)
+def e9_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 cluster resolution end to end: the e2b LSH candidate pairs over
+    the seeded-mutant corpus, resolved to connected components. Output is
+    one row per document that appears in any near-dup pair: its cluster id
+    (= min doc_id in the component), the cluster size, and whether it is
+    the canonical survivor. Downstream dedup keeps ``is_canonical`` rows."""
+    corpus = _corpus_with_mutants_spark(spark, sf_dir)
+    bands = minhash_band_keys(corpus)
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("band").alias("band_a"),
+        F.col("bucket_key").alias("bk_a"),
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("band").alias("band_b"),
+        F.col("bucket_key").alias("bk_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("bk_a") == F.col("bk_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .distinct()
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
+    )

@@ -259,10 +259,11 @@ def minhash_band_keys(corpus: DataFrame, production_hash: bool = False) -> DataF
     )
 
 
-@query(
-    "e2b_minhash_lsh_pairs",
-    oracle=f"""
-WITH corpus AS ({_CORPUS_DUCK}),
+#: The full DuckDB LSH front half (corpus → shingles → minhash → band keys)
+#: as a reusable CTE chain — e2b composes its pair join on top, and the
+#: cluster-resolution oracle (operators/clusters.py) extends it with a
+#: recursive reachability CTE.
+LSH_BANDS_DUCK_CTES = f"""corpus AS ({_CORPUS_DUCK}),
 toksrc AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
   FROM corpus
@@ -289,7 +290,13 @@ bands AS (
          string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY j) AS bucket_key
   FROM sigs
   GROUP BY doc_id, j // {ROWS_PER_BAND}
-)
+)"""
+
+
+@query(
+    "e2b_minhash_lsh_pairs",
+    oracle=f"""
+WITH {LSH_BANDS_DUCK_CTES}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(DISTINCT a.band) AS n_shared_bands
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.bucket_key = b.bucket_key AND a.doc_id < b.doc_id

@@ -48,6 +48,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # before already-driver-verified ones. See NOTES_r2.md.
 _FRONT: list[str] = [
     # new / materially changed in round 2
+    "e9_dedup_clusters",
     "f7_vocab_tokenize",
     "e5c_decode_features",
     "e6_sequence_packing",
