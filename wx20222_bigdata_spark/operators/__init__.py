@@ -5,6 +5,7 @@ from wx20222_bigdata_spark.operators import (  # noqa: F401
     arrays,
     clusters,
     curation,
+    decontam,
     dedup,
     etl,
     inference,

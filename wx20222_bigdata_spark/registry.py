@@ -49,6 +49,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 _FRONT: list[str] = [
     # new / materially changed in round 2
     "e9_dedup_clusters",
+    "e10_decontamination",
     "f7_vocab_tokenize",
     "e5c_decode_features",
     "e6_sequence_packing",
