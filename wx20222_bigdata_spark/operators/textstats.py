@@ -251,3 +251,97 @@ def e4f_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(words).cast("bigint").alias("word_tokens"),
         F.ceil(F.length("text") / 4.0).cast("bigint").alias("approx_bpe_tokens"),
     )
+
+
+@query(
+    "e11_repetition_filter",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         CASE WHEN len(t) >= 2
+              THEN [t[i] || ' ' || t[i + 1] for i in range(1, len(t))]
+              ELSE [] END AS g2,
+         CASE WHEN len(t) >= 3
+              THEN [t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+                    for i in range(1, len(t) - 1)]
+              ELSE [] END AS g3,
+         list_max(list_transform(list_distinct(t),
+                                 u -> len(list_filter(t, x -> x = u)))) AS topc
+  FROM toks
+),
+m AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN len(g2) = 0 THEN 0.0
+              ELSE ROUND(1 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE), 6)
+         END AS dup_2gram_frac,
+         CASE WHEN len(g3) = 0 THEN 0.0
+              ELSE ROUND(1 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE), 6)
+         END AS dup_3gram_frac,
+         ROUND(topc / CAST(n_tokens AS DOUBLE), 6) AS top_token_frac
+  FROM grams
+)
+SELECT doc_id, n_tokens, dup_2gram_frac, dup_3gram_frac, top_token_frac,
+       dup_2gram_frac <= 0.05 AND top_token_frac <= 0.15 AS keep
+FROM m
+""",
+)
+def e11_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/Gopher-style intra-document repetition quality gate (Rae et al.
+    2021 repetition rules): duplicate-2gram/3gram fractions and the
+    most-frequent-token share, with a keep flag on fixed thresholds.
+
+    Pure higher-order-function projection — nested lambda capture
+    (``filter(toks, x -> x = u)`` inside ``transform``) keeps the token
+    histogram per-row inside codegen; zero shuffles, scan-bound at 100 TB.
+    The flag compares the ROUNDED ratios on both engines so the boundary
+    is cross-engine stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> length(x) > 0)").alias("t"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.expr(
+            "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1),"
+            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            " ELSE array() END"
+        ).alias("g2"),
+        F.expr(
+            "CASE WHEN size(t) >= 3 THEN transform(sequence(1, size(t) - 2),"
+            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ',"
+            " element_at(t, i + 2))) ELSE array() END"
+        ).alias("g3"),
+        F.expr(
+            "array_max(transform(array_distinct(t),"
+            " u -> size(filter(t, x -> x = u))))"
+        ).alias("topc"),
+    )
+    m = grams.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.expr(
+            "CASE WHEN size(g2) = 0 THEN 0.0 ELSE"
+            " round(1 - size(array_distinct(g2)) / CAST(size(g2) AS DOUBLE), 6)"
+            " END"
+        ).alias("dup_2gram_frac"),
+        F.expr(
+            "CASE WHEN size(g3) = 0 THEN 0.0 ELSE"
+            " round(1 - size(array_distinct(g3)) / CAST(size(g3) AS DOUBLE), 6)"
+            " END"
+        ).alias("dup_3gram_frac"),
+        F.round(F.col("topc") / F.col("n_tokens").cast("double"), 6).alias(
+            "top_token_frac"
+        ),
+    )
+    return m.select(
+        "*",
+        (
+            (F.col("dup_2gram_frac") <= 0.05) & (F.col("top_token_frac") <= 0.15)
+        ).alias("keep"),
+    )

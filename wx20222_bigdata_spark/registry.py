@@ -50,6 +50,7 @@ _FRONT: list[str] = [
     # new / materially changed in round 2
     "e9_dedup_clusters",
     "e10_decontamination",
+    "e11_repetition_filter",
     "f7_vocab_tokenize",
     "e5c_decode_features",
     "e6_sequence_packing",
