@@ -119,6 +119,9 @@ def test_no_unpartitioned_window_in_declared_set(spark):
         "a12_approx_distinct",
         # seeded global reorder demo (documented rows-only)
         "o7_seeded_shuffle",
+        # source-cardinality-bounded apportionment table (one row per
+        # source) — the global window ranks ~20 aggregate rows, not data
+        "e12_mixture_sampling",
     }
     offenders = []
     for name, fn in all_queries().items():

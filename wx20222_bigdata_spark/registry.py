@@ -51,6 +51,8 @@ _FRONT: list[str] = [
     "e9_dedup_clusters",
     "e10_decontamination",
     "e11_repetition_filter",
+    "e12_mixture_sampling",
+    "e13_bm25_retrieval",
     "f7_vocab_tokenize",
     "e5c_decode_features",
     "e6_sequence_packing",
