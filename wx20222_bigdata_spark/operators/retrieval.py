@@ -1,0 +1,129 @@
+"""Lexical retrieval — BM25 scoring and top-k search over the document
+corpus (SURVEY.md §2.11 similarity-search family: the term-based
+complement to the e3 vector ANN ladder; real curation pipelines rank by
+BM25 for targeted corpus slicing and hard-negative mining).
+
+Okapi BM25 (k1=1.2, b=0.75, Lucene +1 idf smoothing):
+
+    score(d, Q) = Σ_{t∈Q} ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+                  · tf_td·(k1+1) / (tf_td + k1·(1 − b + b·dl_d/avgdl))
+
+Plan shape: explode tokens once, broadcast-join the (tiny) query-term
+table, aggregate tf per (doc, term) and df per term — every join on the
+corpus side is a broadcast hash join, the only wide exchanges are the
+two bounded aggregates, and the final top-k compiles to
+TakeOrderedAndProject (per-partition heads merged on the driver — no
+global sort of the scored set). The corpus statistics (N, avgdl) are
+one-row aggregates crossJoined in (the documented benign constant-size
+pattern). At 100 TB, df/idf would be precomputed once per corpus
+snapshot and broadcast — the same plan with the term-stats join swapped
+for a dictionary lookup.
+
+Float discipline: idf uses ln() on both engines (IEEE doubles agree to
+the ulp for these magnitudes) and the final score is round(6) before
+the top-k ordering, with doc_id as tiebreak — ordering is decided on
+the rounded values, so both engines rank identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wx20222_bigdata_spark.catalog import load_table
+from wx20222_bigdata_spark.registry import query
+
+K1 = 1.2
+B = 0.75
+TOP_K = 15
+QUERY_TERMS = ["spark", "join", "window", "stream"]
+
+
+@query(
+    "e13_bm25_retrieval",
+    oracle=f"""
+WITH terms AS (
+  SELECT unnest(['{"','".join(QUERY_TERMS)}']) AS term
+),
+toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                    x -> length(x) > 0)) AS tok
+  FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf
+  FROM toks JOIN terms ON tok = term
+  GROUP BY doc_id, tok
+),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(
+           ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+           * tf * ({K1} + 1)
+           / (tf + {K1} * (1 - {B} + {B} * dl.dl / avgdl))
+         ) AS raw
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(raw, 6) AS bm25_score
+FROM scored
+ORDER BY bm25_score DESC, doc_id
+LIMIT {TOP_K}
+""",
+)
+def e13_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_K} documents for a fixed keyword query under BM25."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(t,) for t in QUERY_TERMS], ["term"]
+        )
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(text, ' '), x -> length(x) > 0)")
+        ).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") / F.count("*").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        toks.join(terms, toks["tok"] == terms["term"])
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * F.col("tf")
+                * (K1 + 1)
+                / (
+                    F.col("tf")
+                    + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("raw")
+        )
+    )
+    return (
+        scored.select("doc_id", F.round("raw", 6).alias("bm25_score"))
+        .orderBy(F.desc("bm25_score"), "doc_id")
+        .limit(TOP_K)
+    )
