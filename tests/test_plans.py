@@ -83,6 +83,9 @@ def test_no_unintended_cartesian_or_nested_loop(spark):
         "e3c_ivf_probe_ann",
         "t2_range_join",
         "flagship_two_level_metrics",
+        # one-row corpus-stats (N, avgdl) broadcast into the scorer —
+        # constant-size nested loop, the documented benign pattern
+        "e13_bm25_retrieval",
     }
     for name, fn in all_queries().items():
         df = fn(spark, SF_ORACLE)
@@ -117,6 +120,10 @@ def test_no_unpartitioned_window_in_declared_set(spark):
         "f_null_semantics",
         "flagship_two_level_metrics",
         "a12_approx_distinct",
+        "q6_forecast_revenue",
+        "q14_promo_effect",
+        # one-row corpus-stats aggregate feeding the BM25 scorer
+        "e13_bm25_retrieval",
         # seeded global reorder demo (documented rows-only)
         "o7_seeded_shuffle",
         # source-cardinality-bounded apportionment table (one row per

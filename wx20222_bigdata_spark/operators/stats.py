@@ -278,3 +278,71 @@ def m2_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(nxt, F.lit("9999-12-31 00:00:00")).alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "m3_snapshot_diff",
+    oracle="""
+WITH snap1 AS (
+  SELECT o_orderkey, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+snap2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN a.o_orderkey IS NULL THEN 'added'
+            WHEN b.o_orderkey IS NULL THEN 'deleted'
+            ELSE 'updated' END AS action,
+       a.price AS old_price,
+       b.price AS new_price
+FROM snap1 a FULL OUTER JOIN snap2 b ON a.o_orderkey = b.o_orderkey
+WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL OR a.price <> b.price
+""",
+)
+def m3_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff — classify rows as added / deleted / updated
+    between two keyed table versions (the batch complement of the m1
+    MERGE and m2 SCD2 builds: given *full* snapshots instead of a change
+    feed, derive the change feed). One full outer shuffle join on the
+    key; unchanged rows are filtered before the exchange output. The two
+    snapshots are deterministic slices of orders (key % 7 / % 5) with a
+    +10.0 price bump on every third key — exact double arithmetic, no
+    float drift. At 100 TB both sides bucket on the key and the join is
+    co-partitioned; the anti/semi splits come out of the same single
+    join pass."""
+    o = load_table(spark, sf_dir, "orders")
+    snap1 = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    snap2 = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 10.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    a = snap1.select(
+        F.col("o_orderkey").alias("key_a"), F.col("price").alias("old_price")
+    )
+    b = snap2.select(
+        F.col("o_orderkey").alias("key_b"), F.col("price").alias("new_price")
+    )
+    joined = a.join(b, a.key_a == b.key_b, "full_outer")
+    return joined.filter(
+        F.col("key_a").isNull()
+        | F.col("key_b").isNull()
+        | (F.col("old_price") != F.col("new_price"))
+    ).select(
+        F.coalesce("key_a", "key_b").alias("o_orderkey"),
+        F.when(F.col("key_a").isNull(), "added")
+        .when(F.col("key_b").isNull(), "deleted")
+        .otherwise("updated")
+        .alias("action"),
+        "old_price",
+        "new_price",
+    )

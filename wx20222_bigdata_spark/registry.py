@@ -53,6 +53,11 @@ _FRONT: list[str] = [
     "e11_repetition_filter",
     "e12_mixture_sampling",
     "e13_bm25_retrieval",
+    "q4_priority_check",
+    "q6_forecast_revenue",
+    "q12_priority_shipping",
+    "q14_promo_effect",
+    "m3_snapshot_diff",
     "f7_vocab_tokenize",
     "e5c_decode_features",
     "e6_sequence_packing",
