@@ -86,6 +86,8 @@ def test_no_unintended_cartesian_or_nested_loop(spark):
         # one-row corpus-stats (N, avgdl) broadcast into the scorer —
         # constant-size nested loop, the documented benign pattern
         "e13_bm25_retrieval",
+        # one-row scalar-average broadcast (q22 pos_avg)
+        "q22_global_sales_opportunity",
     }
     for name, fn in all_queries().items():
         df = fn(spark, SF_ORACLE)
@@ -124,6 +126,10 @@ def test_no_unpartitioned_window_in_declared_set(spark):
         "q14_promo_effect",
         # one-row corpus-stats aggregate feeding the BM25 scorer
         "e13_bm25_retrieval",
+        # one-row global aggregates joined back (argmax / scalar avg)
+        "q15_top_supplier",
+        "q19_discounted_revenue",
+        "q22_global_sales_opportunity",
         # seeded global reorder demo (documented rows-only)
         "o7_seeded_shuffle",
         # source-cardinality-bounded apportionment table (one row per

@@ -58,6 +58,12 @@ _FRONT: list[str] = [
     "q12_priority_shipping",
     "q14_promo_effect",
     "m3_snapshot_diff",
+    "q7_nation_volume",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q19_discounted_revenue",
+    "q21_sole_supplier_orders",
+    "q22_global_sales_opportunity",
     "f7_vocab_tokenize",
     "e5c_decode_features",
     "e6_sequence_packing",
