@@ -88,6 +88,8 @@ def test_no_unintended_cartesian_or_nested_loop(spark):
         "e13_bm25_retrieval",
         # one-row scalar-average broadcast (q22 pos_avg)
         "q22_global_sales_opportunity",
+        # K-row centroid frames broadcast into the assignment scorer
+        "e14_kmeans_assign",
     }
     for name, fn in all_queries().items():
         df = fn(spark, SF_ORACLE)
@@ -126,6 +128,8 @@ def test_no_unpartitioned_window_in_declared_set(spark):
         "q14_promo_effect",
         # one-row corpus-stats aggregate feeding the BM25 scorer
         "e13_bm25_retrieval",
+        # K-row deterministic k-means init (bounded LIMIT-K frame)
+        "e14_kmeans_assign",
         # one-row global aggregates joined back (argmax / scalar avg)
         "q15_top_supplier",
         "q19_discounted_revenue",
