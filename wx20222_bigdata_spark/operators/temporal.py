@@ -213,3 +213,126 @@ def t5_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(c, F.lit(0)).alias(c) for c in ["click", "view", "purchase", "signup", "error"]],
     )
+
+
+@query(
+    "t6_funnel_conversion",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+),
+v AS (
+  SELECT user_id, MIN(sec) AS t_view FROM e
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.sec) AS t_click
+  FROM e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.sec > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.sec) AS t_purchase
+  FROM e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.sec > c.t_click
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+       CASE WHEN p.user_id IS NOT NULL THEN 3
+            WHEN c.user_id IS NOT NULL THEN 2
+            ELSE 1 END AS stage_reached
+FROM v
+LEFT JOIN c ON c.user_id = v.user_id
+LEFT JOIN p ON p.user_id = c.user_id
+""",
+)
+def t6_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: per user, the first view, the first click
+    strictly after that view, and the first purchase strictly after that
+    click — the classic product-analytics conversion funnel as three
+    chained min-aggregates (each stage's threshold joins into the next
+    stage's filter; no self-join explosion, no window over the event
+    stream). Event time is floored to whole seconds on both engines (the
+    proven nanos-vs-micros cross-reader idiom). All three shuffles key on
+    user_id, so at 100 TB the chain co-partitions and AQE folds the three
+    aggregates onto one exchange."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("bigint").alias("sec"),
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v.select(F.col("user_id").alias("vu"), "t_view"),
+              F.col("user_id") == F.col("vu"))
+        .filter(F.col("sec") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c.select(F.col("user_id").alias("cu"), "t_click"),
+              F.col("user_id") == F.col("cu"))
+        .filter(F.col("sec") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .otherwise(1)
+            .alias("stage_reached"),
+        )
+    )
+
+
+@query(
+    "t7_cohort_retention",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx
+  FROM events
+),
+cohort AS (SELECT user_id, MIN(day_idx) AS cohort_day FROM e GROUP BY user_id)
+SELECT c.cohort_day // 7 AS cohort_week,
+       e.day_idx - c.cohort_day AS offset_day,
+       COUNT(DISTINCT e.user_id) AS n_active_users
+FROM e JOIN cohort c ON c.user_id = e.user_id
+GROUP BY c.cohort_day // 7, e.day_idx - c.cohort_day
+""",
+)
+def t7_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week, counted
+    on each subsequent activity day — the standard retention triangle
+    (day offsets keep the curve informative on this dense corpus).
+    Day/week arithmetic is pure integer on UTC epoch days (no calendar
+    functions, no tz), so the buckets are cross-engine exact by
+    construction. Shuffles: one user_id aggregate for cohorts, a
+    co-partitioned join back, one (cohort, offset) aggregate with
+    map-side distinct expansion."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 86400").alias("day_idx"),
+    )
+    cohort = e.groupBy("user_id").agg(F.min("day_idx").alias("cohort_day"))
+    return (
+        e.join(cohort, "user_id")
+        .groupBy(
+            F.expr("cohort_day div 7").alias("cohort_week"),
+            (F.col("day_idx") - F.col("cohort_day")).alias("offset_day"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )

@@ -65,6 +65,8 @@ _FRONT: list[str] = [
     "q19_discounted_revenue",
     "q21_sole_supplier_orders",
     "q22_global_sales_opportunity",
+    "t6_funnel_conversion",
+    "t7_cohort_retention",
     "f7_vocab_tokenize",
     "e5c_decode_features",
     "e6_sequence_packing",
