@@ -146,3 +146,72 @@ def e9_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_size").cast("bigint").alias("cluster_size"),
         (F.col("node") == F.col("label")).alias("is_canonical"),
     )
+
+
+@query(
+    "e9b_triangle_count",
+    oracle=f"""
+WITH {LSH_BANDS_DUCK_CTES},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket_key = b.bucket_key AND a.doc_id < b.doc_id
+),
+tri AS (
+  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.id_a = e1.id_b
+  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+),
+nodes AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+SELECT doc_id, COUNT(*) AS n_triangles FROM nodes GROUP BY doc_id
+""",
+)
+def e9b_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle participation in the near-dup pair graph —
+    the density signal that separates tight duplicate cliques from
+    chance LSH collisions (a doc in many triangles is in a true
+    duplicate cluster; a bridge edge has none).
+
+    Canonical distributed triangle counting: edges are already oriented
+    low→high (id_a < id_b from the pair join), so wedges come from ONE
+    self-join on the middle vertex and close with an equi-join back onto
+    the edge set — never an all-pairs expansion; shuffle is bounded by
+    wedge count. At web scale you'd first re-orient edges by degree
+    (lowest-degree vertex first) to bound wedges by arboricity — same
+    two-join plan, different orientation rule."""
+    corpus = _corpus_with_mutants_spark(spark, sf_dir)
+    bands = minhash_band_keys(corpus)
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("band").alias("band_a"),
+        F.col("bucket_key").alias("bk_a"),
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("band").alias("band_b"),
+        F.col("bucket_key").alias("bk_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("bk_a") == F.col("bk_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    e1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = pairs.select(F.col("id_a").alias("b2"), F.col("id_b").alias("c"))
+    e3 = pairs.select(F.col("id_a").alias("a3"), F.col("id_b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b2") == F.col("b"))
+        .join(e3, (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")))
+        .select("a", "b", "c")
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )

@@ -49,6 +49,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 _FRONT: list[str] = [
     # new / materially changed in round 2
     "e9_dedup_clusters",
+    "e9b_triangle_count",
     "e10_decontamination",
     "e11_repetition_filter",
     "e12_mixture_sampling",
