@@ -130,6 +130,8 @@ def test_no_unpartitioned_window_in_declared_set(spark):
         "e13_bm25_retrieval",
         # K-row deterministic k-means init (bounded LIMIT-K frame)
         "e14_kmeans_assign",
+        # one-row wide profile aggregate unpivoted into per-column rows
+        "prof1_table_profile",
         # one-row global aggregates joined back (argmax / scalar avg)
         "q15_top_supplier",
         "q19_discounted_revenue",

@@ -68,6 +68,7 @@ _FRONT: list[str] = [
     "q22_global_sales_opportunity",
     "t6_funnel_conversion",
     "t7_cohort_retention",
+    "prof1_table_profile",
     "f7_vocab_tokenize",
     "e5c_decode_features",
     "e6_sequence_packing",
