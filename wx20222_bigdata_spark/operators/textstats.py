@@ -345,3 +345,76 @@ def e11_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dup_2gram_frac") <= 0.05) & (F.col("top_token_frac") <= 0.15)
         ).alias("keep"),
     )
+
+
+@query(
+    "e15_pii_redaction",
+    oracle="""
+WITH seeded AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 13 = 0 THEN ' contact bob@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 17 = 0 THEN ' call 555-123-4567 today'
+                 ELSE '' END AS text
+  FROM documents
+),
+red AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[a-z]+@[a-z]+\\.[a-z]+')) AS n_emails,
+         len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+         regexp_replace(
+           regexp_replace(text, '[a-z]+@[a-z]+\\.[a-z]+', '<EMAIL>', 'g'),
+           '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+  FROM seeded
+)
+SELECT doc_id, n_emails, n_phones,
+       length(redacted) AS redacted_len,
+       md5(redacted) AS redacted_md5
+FROM red
+WHERE n_emails > 0 OR n_phones > 0
+""",
+)
+def e15_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the standard pretraining governance pass: detect
+    and redact email/phone patterns, report per-doc counts and the md5 of
+    the redacted text (the hash pins the REDACTED CONTENT cross-engine,
+    not just the counts). The corpus is clean, so PII is seeded
+    deterministically on every 13th/17th doc. Pure regexp projection —
+    narrow, scan-bound, no shuffle; the patterns are chosen within the
+    common Java-regex/RE2 subset so both engines match identically. Only
+    affected docs are emitted."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 13 == 0, " contact bob@example.com now"
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 17 == 0, " call 555-123-4567 today"
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    email = r"[a-z]+@[a-z]+\.[a-z]+"
+    phone = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    red = seeded.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{email}', 0)")).alias(
+            "n_emails"
+        ),
+        F.size(F.expr(f"regexp_extract_all(text, '{phone}', 0)")).alias(
+            "n_phones"
+        ),
+        F.regexp_replace(
+            F.regexp_replace("text", email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("redacted"),
+    )
+    return red.filter((F.col("n_emails") > 0) | (F.col("n_phones") > 0)).select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.length("redacted").cast("bigint").alias("redacted_len"),
+        F.md5("redacted").alias("redacted_md5"),
+    )

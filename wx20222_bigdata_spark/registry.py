@@ -54,6 +54,7 @@ _FRONT: list[str] = [
     "e11_repetition_filter",
     "e12_mixture_sampling",
     "e13_bm25_retrieval",
+    "e15_pii_redaction",
     "e14_kmeans_assign",
     "q4_priority_check",
     "q6_forecast_revenue",
