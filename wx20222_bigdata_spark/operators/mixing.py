@@ -123,5 +123,10 @@ def e12_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sel.join(F.broadcast(quota), "source")
         .filter(F.col("pick_rank") <= F.col("quota"))
-        .select("doc_id", "source", "pick_rank", "quota")
+        .select(
+            "doc_id",
+            "source",
+            F.col("pick_rank").cast("bigint").alias("pick_rank"),
+            "quota",
+        )
     )

@@ -720,10 +720,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_shipping",
     oracle="""
 SELECT l.l_linestatus,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_priority_count,
-       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_priority_count
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_count
 FROM orders o
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -908,7 +908,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q16_supplier_part_counts",
     oracle="""
 SELECT p.p_brand,
-       p.p_size // 10 AS size_band,
+       CAST(p.p_size // 10 AS BIGINT) AS size_band,
        COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey

@@ -401,12 +401,12 @@ def e15_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     phone = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
     red = seeded.select(
         "doc_id",
-        F.size(F.expr(f"regexp_extract_all(text, '{email}', 0)")).alias(
-            "n_emails"
-        ),
-        F.size(F.expr(f"regexp_extract_all(text, '{phone}', 0)")).alias(
-            "n_phones"
-        ),
+        F.size(F.expr(f"regexp_extract_all(text, '{email}', 0)"))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(text, '{phone}', 0)"))
+        .cast("bigint")
+        .alias("n_phones"),
         F.regexp_replace(
             F.regexp_replace("text", email, "<EMAIL>"), phone, "<PHONE>"
         ).alias("redacted"),
