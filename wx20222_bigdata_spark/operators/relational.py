@@ -1102,3 +1102,121 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+WITH base AS (
+  SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS rev,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+  JOIN region r   ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'ASIA'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+)
+SELECT order_year,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE), 6) AS mkt_share,
+       COUNT(*) AS n_lines
+FROM base
+GROUP BY order_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped market share: among purchases by ASIA-region
+    customers, the fraction supplied by NATION_5, per order year. Both
+    the numerator and denominator are decimal-exact conditional sums of
+    the same joined stream — one aggregate, the ratio rounded to 6. All
+    dims broadcast; the only wide shuffles are orders⋈lineitem and the
+    year aggregate."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_reg")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(18,2)")  # noqa: E731
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    base = (
+        l.join(o, o.o_orderkey == l.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(cn), F.col("cn_key") == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == F.col("cn_reg"))
+        .join(s, s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(sn), F.col("sn_key") == s.s_nationkey)
+        .select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            rev.alias("rev"),
+            "supp_nation",
+        )
+    )
+    return base.groupBy("order_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", F.col("rev")).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            ).cast("double")
+            / F.sum("rev").cast("double"),
+            6,
+        ).alias("mkt_share"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+SELECT sn.n_name AS supp_nation,
+       CAST(year(o.o_orderdate) AS INT) AS order_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                - CAST(l.l_quantity AS DECIMAL(18,2)) * CAST(p.p_retailprice * 0.6 AS DECIMAL(18,2))) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%e%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+GROUP BY sn.n_name, year(o.o_orderdate)
+""",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped profit rollup: revenue minus synthesized supply
+    cost (0.6 × retail price — the schema has no partsupp, so the cost
+    basis derives from part; same join topology as the spec), per
+    supplier nation per order year, over name-filtered parts. The cost
+    product is decimal×decimal so the profit sum stays exact; the LIKE
+    filter prunes part before the broadcast."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%e%"))
+    s = load_table(spark, sf_dir, "supplier")
+    sn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(18,2)")  # noqa: E731
+    profit_term = dec("l_extendedprice") * (F.lit(1) - dec("l_discount")) - dec(
+        "l_quantity"
+    ) * (F.col("p_retailprice") * 0.6).cast("decimal(18,2)")
+    return (
+        l.join(o, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .join(s, s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(sn), F.col("sn_key") == s.s_nationkey)
+        .groupBy(
+            "supp_nation",
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(F.sum(profit_term).cast("double").alias("profit"))
+    )

@@ -62,6 +62,8 @@ _FRONT: list[str] = [
     "q14_promo_effect",
     "m3_snapshot_diff",
     "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
     "q15_top_supplier",
     "q16_supplier_part_counts",
     "q19_discounted_revenue",
