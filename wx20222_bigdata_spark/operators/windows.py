@@ -245,3 +245,63 @@ def w_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg3"),
     )
+
+
+@query(
+    "w5_rolling_active_users",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx, user_id
+  FROM events
+),
+days AS (SELECT DISTINCT day_idx FROM pairs),
+contrib AS (
+  SELECT unnest(range(day_idx, day_idx + 7)) AS window_day, user_id
+  FROM pairs
+),
+rolling AS (
+  SELECT window_day, COUNT(DISTINCT user_id) AS rolling_7d_users
+  FROM contrib GROUP BY window_day
+),
+daily AS (
+  SELECT day_idx, COUNT(DISTINCT user_id) AS daily_users
+  FROM pairs GROUP BY day_idx
+)
+SELECT d.day_idx, daily.daily_users, r.rolling_7d_users
+FROM days d
+JOIN daily   ON daily.day_idx = d.day_idx
+JOIN rolling r ON r.window_day = d.day_idx
+""",
+)
+def w5_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the window-distinct
+    metric a plain sliding window cannot express (COUNT(DISTINCT) is not
+    frame-decomposable). Scalable formulation: each (day, user) pair is
+    exploded to the 7 window-days it contributes to, turning the range
+    join into an equi groupBy — shuffle ∝ 7× the daily-distinct pairs,
+    no nested loop, no per-window state. Day arithmetic is integer epoch
+    days (cross-engine exact); trailing phantom windows are dropped by
+    the join back onto observed days."""
+    e = load_table(spark, sf_dir, "events")
+    pairs = e.select(
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 86400").alias("day_idx"),
+        "user_id",
+    ).distinct()
+    days = pairs.select("day_idx").distinct()
+    contrib = pairs.select(
+        F.explode(
+            F.sequence(F.col("day_idx"), F.col("day_idx") + 6)
+        ).alias("window_day"),
+        "user_id",
+    )
+    rolling = contrib.groupBy("window_day").agg(
+        F.countDistinct("user_id").alias("rolling_7d_users")
+    )
+    daily = pairs.groupBy("day_idx").agg(
+        F.countDistinct("user_id").alias("daily_users")
+    )
+    return (
+        days.join(daily, "day_idx")
+        .join(rolling, rolling.window_day == days.day_idx)
+        .select("day_idx", "daily_users", "rolling_7d_users")
+    )

@@ -72,6 +72,7 @@ _FRONT: list[str] = [
     "t6_funnel_conversion",
     "t7_cohort_retention",
     "prof1_table_profile",
+    "w5_rolling_active_users",
     "f7_vocab_tokenize",
     "e5c_decode_features",
     "e6_sequence_packing",
