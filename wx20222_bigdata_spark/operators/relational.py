@@ -1220,3 +1220,82 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(profit_term).cast("double").alias("profit"))
     )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '5-LOW'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped count-of-counts histogram: orders per customer
+    (left join keeps zero-order customers; the priority predicate lives
+    in the JOIN condition, not a WHERE — the classic outer-join trap),
+    then the distribution of those counts. Two keyed aggregates; the
+    second groups on a tiny domain."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q20_part_promotion_suppliers",
+    oracle="""
+WITH hot_parts AS (
+  SELECT l_partkey, l_suppkey
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 30
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE EXISTS (
+  SELECT 1 FROM hot_parts hp
+  JOIN part p ON p.p_partkey = hp.l_partkey AND p.p_brand = 'Brand#2'
+  WHERE hp.l_suppkey = s.s_suppkey
+)
+""",
+)
+def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped nested-semi chain: suppliers who moved more than
+    a threshold quantity of a target brand's parts in a year. The inner
+    HAVING aggregate collapses lineitem to (part, supplier) totals
+    FIRST, the brand filter broadcasts against it, and the outer EXISTS
+    is a semi join — the fact table is aggregated before any join
+    touches it, so no supplier row ever fans out."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    s = load_table(spark, sf_dir, "supplier")
+    hot = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        .filter(F.col("q") > 30)
+    )
+    qualified = hot.join(F.broadcast(p), p.p_partkey == hot.l_partkey).select(
+        "l_suppkey"
+    )
+    return s.join(
+        qualified, s.s_suppkey == qualified.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")

@@ -64,6 +64,8 @@ _FRONT: list[str] = [
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",
+    "q13_customer_distribution",
+    "q20_part_promotion_suppliers",
     "q15_top_supplier",
     "q16_supplier_part_counts",
     "q19_discounted_revenue",
