@@ -86,6 +86,8 @@ def test_no_unintended_cartesian_or_nested_loop(spark):
         # one-row corpus-stats (N, avgdl) broadcast into the scorer —
         # constant-size nested loop, the documented benign pattern
         "e13_bm25_retrieval",
+        # one-row corpus-size broadcast into the tf-idf scorer
+        "e16_tfidf_keywords",
         # one-row scalar-average broadcast (q22 pos_avg)
         "q22_global_sales_opportunity",
         # K-row centroid frames broadcast into the assignment scorer
@@ -132,6 +134,8 @@ def test_no_unpartitioned_window_in_declared_set(spark):
         "e14_kmeans_assign",
         # one-row wide profile aggregate unpivoted into per-column rows
         "prof1_table_profile",
+        # one-row corpus-size aggregate feeding the tf-idf scorer
+        "e16_tfidf_keywords",
         # one-row global aggregates joined back (argmax / scalar avg)
         "q15_top_supplier",
         "q19_discounted_revenue",
@@ -153,3 +157,10 @@ def test_no_unpartitioned_window_in_declared_set(spark):
 def test_j1_zip_join_has_no_global_window(spark):
     plan = formatted_plan(_q("j1_positional_zip_join")(spark, SF_ORACLE))
     assert "SinglePartition" not in plan, plan[:2000]
+
+
+def test_w6_rank_pushdown(spark):
+    """w6 claims WindowGroupLimit (per-group rank pushdown): each task
+    keeps only N rows per group before the window shuffle."""
+    plan = formatted_plan(_q("w6_top_n_per_group")(spark, SF_ORACLE))
+    assert "WindowGroupLimit" in plan, plan[:2000]

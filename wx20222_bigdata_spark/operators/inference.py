@@ -303,3 +303,38 @@ def x4c_broadcast_weights_scoring(spark: SparkSession, sf_dir: str) -> DataFrame
     return emb.mapInPandas(
         score_batches, "vec_id bigint, label int, pred int, best_score double"
     )
+
+
+@query(
+    "x6_map_in_arrow",
+    oracle="""
+SELECT o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders
+""",
+)
+def x6_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-family completion: ``mapInArrow`` — the zero-copy Arrow
+    RecordBatch iterator API (Spark 4), one level below mapInPandas (no
+    pandas materialization at all; the kernel sees Arrow buffers). The
+    kernel is a self-contained closure (imports inside — the cloudpickle
+    module-reference gotcha, SKILL.md) doing vectorized money→cents
+    integerization via pyarrow.compute. Arrow's round is half-to-even
+    vs Spark/DuckDB half-away, but 2-dp money ×100 never lands on .5,
+    so all three engines agree exactly — asserted by the oracle."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+
+    def to_cents(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            cents = pc.cast(
+                pc.round(pc.multiply(b.column("o_totalprice"), pa.scalar(100.0))),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("o_orderkey"), cents], ["o_orderkey", "price_cents"]
+            )
+
+    return o.mapInArrow(to_cents, "o_orderkey bigint, price_cents bigint")

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from wx20222_bigdata_spark.catalog import load_table
 from wx20222_bigdata_spark.registry import query
@@ -126,4 +127,68 @@ def e13_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("doc_id", F.round("raw", 6).alias("bm25_score"))
         .orderBy(F.desc("bm25_score"), "doc_id")
         .limit(TOP_K)
+    )
+
+
+@query(
+    "e16_tfidf_keywords",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                    x -> length(x) > 0)) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, tok, tfidf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, tok) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT doc_id, tok, rnk, tfidf FROM ranked WHERE rnk <= 3
+""",
+)
+def e16_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extractive keyword mining: top-3 TF-IDF tokens per document — the
+    per-doc feature-extraction dual of the corpus-level BM25 ranker
+    (shared df/idf machinery; here the window partitions on doc_id, so
+    ranking is embarrassingly parallel). The corpus size N is a one-row
+    broadcast (documented benign pattern). Scores are rounded to 6
+    BEFORE ranking, with the token as tiebreak, so both engines rank
+    identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(text, ' '), x -> length(x) > 0)")
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "rnk", "tfidf")
     )

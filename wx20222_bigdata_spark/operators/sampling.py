@@ -101,3 +101,40 @@ def o7_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     w = Window.orderBy(F.rand(7), "doc_id")
     return docs.select("doc_id", F.row_number().over(w).alias("shuffle_rank"))
+
+
+@query(
+    "o10_hash_split",
+    oracle="""
+WITH b AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       bucket
+FROM b
+""",
+)
+def o10_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content-stable hash — the
+    production LLM-data idiom (never random(): a doc's split assignment
+    must survive reprocessing, dataset growth, and engine changes).
+    md5-prefix bucket 0-99 → 90/5/5. Pure projection, no shuffle, and
+    the SAME document lands in the SAME split on any engine — which is
+    exactly what the oracle asserts."""
+    from wx20222_bigdata_spark.functions.hashing import spark_md5_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(f"{spark_md5_hash('CAST(doc_id AS STRING)')} % 100")
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+        bucket.alias("bucket"),
+    )

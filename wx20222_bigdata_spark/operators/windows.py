@@ -305,3 +305,36 @@ def w5_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rolling, rolling.window_day == days.day_idx)
         .select("day_idx", "daily_users", "rolling_7d_users")
     )
+
+
+@query(
+    "w6_top_n_per_group",
+    oracle="""
+SELECT c_mktsegment, o_orderkey, o_totalprice, rnk
+FROM (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                 ORDER BY o.o_totalprice DESC, o.o_orderkey) AS BIGINT) AS rnk
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+)
+WHERE rnk <= 3
+""",
+)
+def w6_top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group — the partitioned-window complement of the global
+    top-k (o4/e4b): the 3 largest orders per market segment. The window
+    partitions on the group key, so unlike a global sort every partition
+    ranks independently; at 100 TB Catalyst inserts a WindowGroupLimit
+    (rank pushdown) so each task keeps only N rows per group before the
+    shuffle — assert-worthy plan behavior, pinned in test_plans."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+    )

@@ -75,6 +75,10 @@ _FRONT: list[str] = [
     "t7_cohort_retention",
     "prof1_table_profile",
     "w5_rolling_active_users",
+    "o10_hash_split",
+    "w6_top_n_per_group",
+    "x6_map_in_arrow",
+    "e16_tfidf_keywords",
     "f7_vocab_tokenize",
     "e5c_decode_features",
     "e6_sequence_packing",
