@@ -124,19 +124,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from Catalyst for free — callers should filter/select eagerly and let the
     optimizer push it into the scan.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark does not
-    map natively: read it as raw nanos (``nanosAsLong``) and floor-convert to
-    a microsecond timestamp — the same truncation DuckDB applies, so oracle
-    comparisons agree.
+    ``events.ts`` has shipped in two physical layouts across testdata
+    generations: parquet TIMESTAMP(NANOS) (unmapped by Spark — read as raw
+    nanos via ``nanosAsLong`` and floor-convert to microseconds, the same
+    truncation DuckDB applies) and plain TIMESTAMP(MICROS)
+    (isAdjustedToUTC=false → TIMESTAMP_NTZ). Both normalize to a session-tz
+    microsecond timestamp; the session tz is pinned UTC (session.py), so the
+    NTZ→TZ cast is epoch-preserving and oracle comparisons agree either way.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = raw.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):  # legacy nanos layout
+            df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:  # micros layout: NTZ wall-clock == UTC epoch under UTC session tz
+            df = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     _validate_schema(name, df)

@@ -83,10 +83,10 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "e14_kmeans_assign",
-    oracle=f"""
-WITH init AS (
+#: Shared DuckDB CTE chain producing ``a2`` = the final (vec_id, k, d)
+#: assignment after two Lloyd iterations — reused verbatim by e14 and the
+#: SemDeDup prune (operators/semdedup.py) so both oracles share one spec.
+LLOYD2_CTES = f"""init AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k,
          [CAST(embedding[i] AS DOUBLE) for i in range(1, {DIM + 1})] AS c_arr
   FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {K})
@@ -119,16 +119,13 @@ a2 AS (
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
         FROM s2)
   WHERE rn = 1
-),
-sizes AS (SELECT k, COUNT(*) AS cluster_size FROM a2 GROUP BY k)
-SELECT a2.vec_id, CAST(a2.k AS BIGINT) AS cluster,
-       ROUND(a2.d, 6) AS sqdist, sizes.cluster_size
-FROM a2 JOIN sizes ON sizes.k = a2.k
-""",
-)
-def e14_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Final assignment after two deterministic Lloyd iterations:
-    (vec_id, cluster, squared distance to its centroid, cluster size)."""
+)"""
+
+
+def lloyd2_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic Lloyd iterations over the embedding corpus;
+    returns the final assignment frame (vec_id, embedding, k, d). The
+    Spark twin of :data:`LLOYD2_CTES`."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # K-row deterministic init: lowest vec_ids, ranked into cluster ids.
     # The global window ranks K rows (bounded) — pinned exempt in
@@ -143,7 +140,23 @@ def e14_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a1 = _assign(emb, init)
     cent1 = _update(a1)
-    a2 = _assign(emb, cent1)
+    return _assign(emb, cent1)
+
+
+@query(
+    "e14_kmeans_assign",
+    oracle=f"""
+WITH {LLOYD2_CTES},
+sizes AS (SELECT k, COUNT(*) AS cluster_size FROM a2 GROUP BY k)
+SELECT a2.vec_id, CAST(a2.k AS BIGINT) AS cluster,
+       ROUND(a2.d, 6) AS sqdist, sizes.cluster_size
+FROM a2 JOIN sizes ON sizes.k = a2.k
+""",
+)
+def e14_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final assignment after two deterministic Lloyd iterations:
+    (vec_id, cluster, squared distance to its centroid, cluster size)."""
+    a2 = lloyd2_assignment(spark, sf_dir)
     sizes = a2.groupBy("k").agg(F.count("*").alias("cluster_size"))
     return a2.join(sizes, "k").select(
         "vec_id",

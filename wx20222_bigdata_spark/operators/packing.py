@@ -163,3 +163,97 @@ def e8_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("chunk_text"),
     )
+
+
+CDC_DIVISOR = 16  #: boundary probability 1/16 → expected 16-token chunks
+
+
+def _cdc_oracle() -> str:
+    from wx20222_bigdata_spark.functions.hashing import duck_md5_hash
+
+    bnd = duck_md5_hash("toks[i + 1]", CDC_DIVISOR)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, toks, len(toks) AS n_tok FROM t WHERE len(toks) >= 1
+),
+st AS (
+  SELECT doc_id, toks, n_tok,
+         list_filter(
+           list_concat([1], [i + 2 for i in range(0, n_tok) if {bnd} = 0]),
+           s -> s <= n_tok) AS starts
+  FROM sized
+),
+bd AS (
+  SELECT doc_id, toks,
+         unnest([{{'cid': j - 1, 's': starts[j],
+                   'e': coalesce(starts[j + 1] - 1, n_tok)}}
+                 for j in range(1, len(starts) + 1)]) AS b
+  FROM st
+)
+SELECT doc_id,
+       CAST(b.cid AS BIGINT) AS chunk_id,
+       CAST(b.e - b.s + 1 AS BIGINT) AS n_chunk_toks,
+       md5(array_to_string(list_slice(toks, b.s, b.e), ' ')) AS chunk_hash
+FROM bd
+"""
+
+
+@query("e18_cdc_chunking", oracle=_cdc_oracle())
+def e18_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18 content-defined chunking — the shift-robust dual of e8's fixed
+    windows: a chunk boundary falls AFTER any token whose 60-bit md5 prefix
+    is ≡ 0 (mod CDC_DIVISOR), the token-level Rabin fingerprint rule used
+    by dedup stores (LBFS/Venti lineage). Because boundaries depend only on
+    content, inserting a sentence early in a document shifts every e8
+    window but leaves all later CDC chunks (and their hashes) intact —
+    which is what makes chunk-hash dedup across document revisions work.
+
+    Plan: pure narrow HOF pipeline (tokenize → boundary positions →
+    chunk-bound structs → posexplode → slice), zero shuffles; the md5
+    boundary test is JVM whole-stage-codegen via the repo's cross-engine
+    md5-prefix primitive (functions/hashing.py). Chunks are emitted as
+    (count, md5-of-text) so output stays compact while content is pinned.
+    """
+    from wx20222_bigdata_spark.functions.hashing import spark_md5_hash
+
+    bnd = spark_md5_hash("t", CDC_DIVISOR)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.expr("filter(split(text, ' '), x -> length(x) > 0)").alias("toks"),
+        )
+        .withColumn("n_tok", F.size("toks"))
+        .filter(F.col("n_tok") >= 1)
+    )
+    starts = toks.withColumn(
+        "starts",
+        F.expr(
+            f"filter(concat(array(1), filter(transform(toks,"
+            f" (t, i) -> IF({bnd} = 0, i + 2, NULL)), x -> x IS NOT NULL)),"
+            f" s -> s <= n_tok)"
+        ),
+    )
+    bounds = starts.withColumn(
+        "b",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(starts)), j -> named_struct("
+                "'cid', j - 1, 's', element_at(starts, j),"
+                "'e', coalesce(try_element_at(starts, j + 1) - 1, n_tok)))"
+            )
+        ),
+    )
+    return bounds.select(
+        "doc_id",
+        F.col("b.cid").cast("bigint").alias("chunk_id"),
+        (F.col("b.e") - F.col("b.s") + 1).cast("bigint").alias("n_chunk_toks"),
+        F.md5(F.expr("array_join(slice(toks, b.s, b.e - b.s + 1), ' ')")).alias(
+            "chunk_hash"
+        ),
+    )
