@@ -92,6 +92,11 @@ def test_no_unintended_cartesian_or_nested_loop(spark):
         "q22_global_sales_opportunity",
         # K-row centroid frames broadcast into the assignment scorer
         "e14_kmeans_assign",
+        # same K-row centroid broadcast (shares e14's Lloyd assignment)
+        "e17_semantic_dedup",
+        # one-row token-total + tercile-boundary aggregates broadcast
+        # into the per-doc scorer
+        "e19_unigram_logprob",
     }
     for name, fn in all_queries().items():
         df = fn(spark, SF_ORACLE)
@@ -132,6 +137,10 @@ def test_no_unpartitioned_window_in_declared_set(spark):
         "e13_bm25_retrieval",
         # K-row deterministic k-means init (bounded LIMIT-K frame)
         "e14_kmeans_assign",
+        # same bounded k-means init via the shared Lloyd assignment
+        "e17_semantic_dedup",
+        # one-row aggregates: token total + corpus perplexity terciles
+        "e19_unigram_logprob",
         # one-row wide profile aggregate unpivoted into per-column rows
         "prof1_table_profile",
         # one-row corpus-size aggregate feeding the tf-idf scorer

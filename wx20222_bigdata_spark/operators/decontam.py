@@ -160,3 +160,131 @@ def e10_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("contamination_ratio"),
         (F.col("n_contaminated") >= MIN_HITS).alias("is_contaminated"),
     )
+
+
+BLOOM_BITS = 8192      # m: bloom bitset size (fits in one broadcast packet)
+BLOOM_HASHES = 3       # k: salted md5-prefix hash functions
+
+
+@query(
+    "x7_bloom_decontaminate",
+    oracle=f"""
+WITH {_SPLITS_DUCK},
+tr_toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+  FROM train
+),
+tr_gr AS (
+  SELECT DISTINCT doc_id, g
+  FROM (SELECT doc_id, unnest({_DUCK_NGRAMS}) AS g FROM tr_toks)
+),
+ev_toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+  FROM ev
+),
+ev_gr AS (
+  SELECT DISTINCT g
+  FROM (SELECT doc_id, unnest({_DUCK_NGRAMS}) AS g FROM ev_toks)
+),
+salts AS (SELECT unnest(range(0, {BLOOM_HASHES})) AS j),
+ev_bits AS (
+  SELECT DISTINCT {duck_md5_hash("(g || '|' || CAST(j AS VARCHAR))", mod=BLOOM_BITS)} AS bit
+  FROM ev_gr, salts
+),
+tr_bits AS (
+  SELECT doc_id, g, {duck_md5_hash("(g || '|' || CAST(j AS VARCHAR))", mod=BLOOM_BITS)} AS bit
+  FROM tr_gr, salts
+),
+gram_hits AS (
+  SELECT doc_id, g
+  FROM tr_bits JOIN ev_bits USING (bit)
+  GROUP BY doc_id, g
+  HAVING COUNT(*) = {BLOOM_HASHES}
+),
+exact_hits AS (SELECT doc_id, g FROM tr_gr JOIN ev_gr USING (g)),
+per_doc AS (
+  SELECT tg.doc_id,
+         COUNT(*) AS n_grams,
+         COUNT(gh.g) AS n_bloom_hits,
+         COUNT(eh.g) AS n_exact_hits
+  FROM tr_gr tg
+  LEFT JOIN gram_hits gh ON gh.doc_id = tg.doc_id AND gh.g = tg.g
+  LEFT JOIN exact_hits eh ON eh.doc_id = tg.doc_id AND eh.g = tg.g
+  GROUP BY tg.doc_id
+)
+SELECT doc_id, n_grams, n_bloom_hits, n_exact_hits,
+       n_bloom_hits - n_exact_hits AS n_false_pos
+FROM per_doc
+WHERE n_bloom_hits > 0
+""",
+)
+def x7_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 Bloom-filter decontamination — e10's broadcast side shrunk from
+    the eval set's full n-gram hash set to an m-bit Bloom bitset
+    (m={BLOOM_BITS}, k={BLOOM_HASHES} salted md5-prefix hashes). At 100 TB
+    this is the difference between broadcasting a 100M-entry benchmark
+    hash set and broadcasting kilobytes: Bloom admits false POSITIVES
+    (over-flagging is safe for hygiene filters — a flagged doc is
+    re-checked or dropped) but never false negatives, so no leaked doc
+    escapes. The filter is built declaratively (eval grams × k salts →
+    distinct set bits) so the whole thing — including the false-positive
+    count vs the exact e10 membership — is oracle-checkable; Spark's
+    native runtime bloom (perf_experiments §4) applies the same idea
+    below the plan.
+
+    Plan: the bit table (≤ m rows) is broadcast; the corpus is scanned
+    once; a gram is bloom-positive iff all k salted bits hit (HAVING
+    COUNT = k). No shuffle touches the corpus until the per-doc
+    aggregate, which partial-aggregates map-side.
+    """
+    train, ev = _splits_spark(spark, sf_dir)
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = df.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+        return toks.select(
+            "doc_id", F.explode(F.expr(_SPARK_NGRAMS)).alias("g")
+        ).distinct()
+
+    salted = spark_md5_hash("concat(g, '|', cast(j as string))", mod=BLOOM_BITS)
+    tr_gr = grams(train)
+    ev_gr = grams(ev).select("g").distinct()
+    salts = F.explode(F.expr(f"sequence(0, {BLOOM_HASHES - 1})")).alias("j")
+    ev_bits = ev_gr.select("g", salts).select(F.expr(salted).alias("bit")).distinct()
+    tr_bits = tr_gr.select("doc_id", "g", salts).select(
+        "doc_id", "g", F.expr(salted).alias("bit")
+    )
+    gram_hits = (
+        tr_bits.join(F.broadcast(ev_bits), "bit")
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("nb"))
+        .filter(F.col("nb") == BLOOM_HASHES)
+        .select(F.col("doc_id").alias("gd"), F.col("g").alias("gh"))
+    )
+    exact_hits = tr_gr.join(F.broadcast(ev_gr), "g").select(
+        F.col("doc_id").alias("ed"), F.col("g").alias("eh")
+    )
+    per_doc = (
+        tr_gr.join(
+            gram_hits,
+            (F.col("doc_id") == F.col("gd")) & (F.col("g") == F.col("gh")),
+            "left",
+        )
+        .join(
+            exact_hits,
+            (F.col("doc_id") == F.col("ed")) & (F.col("g") == F.col("eh")),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("gh").alias("n_bloom_hits"),
+            F.count("eh").alias("n_exact_hits"),
+        )
+    )
+    return per_doc.filter(F.col("n_bloom_hits") > 0).select(
+        "doc_id",
+        "n_grams",
+        "n_bloom_hits",
+        "n_exact_hits",
+        (F.col("n_bloom_hits") - F.col("n_exact_hits")).alias("n_false_pos"),
+    )

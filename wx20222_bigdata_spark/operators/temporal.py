@@ -336,3 +336,38 @@ def t7_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active_users"))
     )
+
+
+@query(
+    "t8_grouping_sets",
+    oracle="""
+SELECT CAST(CASE WHEN GROUPING(o_orderstatus) = 0 THEN o_orderstatus END AS VARCHAR) AS o_orderstatus,
+       CAST(CASE WHEN GROUPING(o_orderpriority) = 0 THEN o_orderpriority END AS VARCHAR) AS o_orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""",
+)
+def t8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the asymmetric aggregation lattice CUBE
+    (t4) and ROLLUP (a3) can't express: detail, one marginal, and the
+    grand total in a single pass, with ``grouping_id`` disambiguating
+    NULL-as-group-all from NULL-as-value. One shuffle total; the
+    alternative (three groupBys + union) scans the fact table three
+    times. Revenue goes through DECIMAL so the sum is order-exact."""
+    from wx20222_bigdata_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(CASE WHEN grouping(o_orderstatus) = 0 THEN o_orderstatus END AS STRING) AS o_orderstatus,
+               CAST(CASE WHEN grouping(o_orderpriority) = 0 THEN o_orderpriority END AS STRING) AS o_orderpriority,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )

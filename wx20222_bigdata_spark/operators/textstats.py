@@ -418,3 +418,97 @@ def e15_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("redacted").cast("bigint").alias("redacted_len"),
         F.md5("redacted").alias("redacted_md5"),
     )
+
+
+@query(
+    "e19_unigram_logprob",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                    x -> length(x) > 0)) AS tok
+  FROM documents
+),
+freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT COUNT(*) AS total FROM toks),
+lp AS (
+  SELECT doc_id, tok, ln(CAST(cnt AS DOUBLE) / total) AS lp
+  FROM toks JOIN freq USING (tok) CROSS JOIN tot
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_tok, list_sum(list(lp ORDER BY tok)) AS slp
+  FROM lp GROUP BY doc_id
+),
+scored AS (SELECT doc_id, n_tok, slp / n_tok AS avg_raw FROM agg),
+bands AS (
+  SELECT quantile_cont(avg_raw, 1.0/3) AS b1, quantile_cont(avg_raw, 2.0/3) AS b2
+  FROM scored
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       ROUND(avg_raw, 6) AS avg_logprob,
+       ROUND(exp(-avg_raw), 6) AS perplexity,
+       CASE WHEN avg_raw <= b1 THEN 'low'
+            WHEN avg_raw <= b2 THEN 'mid'
+            ELSE 'high' END AS ppl_band
+FROM scored CROSS JOIN bands
+""",
+)
+def e19_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19 language-model quality score — the CCNet/RedPajama perplexity
+    filter with the LM reduced to its oracle-checkable core: each document
+    scored by the mean log-probability of its tokens under the corpus's
+    own unigram MLE model, then binned into perplexity terciles (CCNet
+    keeps the middle band: 'low' ppl ≈ boilerplate, 'high' ≈ noise). A
+    production pipeline swaps the unigram table for KenLM scores via a
+    pandas UDF — the surrounding plan (score → corpus quantiles →
+    band gate) is unchanged.
+
+    Plan: one token explode feeds both the |vocab|-row frequency table
+    (map-side-combinable count, broadcast back) and the per-doc fold; the
+    tercile boundaries are a one-row aggregate crossJoined in (documented
+    benign pattern). Float discipline: per-doc sums fold in sorted token
+    order (landmine 16) so every avg is cross-engine bit-exact BEFORE the
+    band comparison; band boundaries use exact interpolated percentiles
+    (a13 parity) on those exact avgs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(text, ' '), x -> length(x) > 0)")
+        ).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = toks.agg(F.count("*").alias("total"))
+    lp = (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "tok",
+            F.log(F.col("cnt").cast("double") / F.col("total")).alias("lp"),
+        )
+    )
+    agg = lp.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(tok, lp))),"
+            " s -> s.lp), 0D, (a, x) -> a + x)"
+        ).alias("slp"),
+    )
+    scored = agg.select(
+        "doc_id", "n_tok", (F.col("slp") / F.col("n_tok")).alias("avg_raw")
+    )
+    bands = scored.agg(
+        F.expr("percentile(avg_raw, 1.0/3)").alias("b1"),
+        F.expr("percentile(avg_raw, 2.0/3)").alias("b2"),
+    )
+    return scored.crossJoin(F.broadcast(bands)).select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        F.round("avg_raw", 6).alias("avg_logprob"),
+        F.round(F.exp(-F.col("avg_raw")), 6).alias("perplexity"),
+        F.when(F.col("avg_raw") <= F.col("b1"), "low")
+        .when(F.col("avg_raw") <= F.col("b2"), "mid")
+        .otherwise("high")
+        .alias("ppl_band"),
+    )

@@ -338,3 +338,74 @@ def w6_top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+@query(
+    "w7_gap_fill",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS cnt
+  FROM events WHERE user_id % 97 = 0
+  GROUP BY user_id, date_trunc('day', ts)
+),
+span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id),
+cal AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM span
+),
+j AS (
+  SELECT c.user_id, c.day, d.cnt
+  FROM cal c LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day
+),
+f AS (
+  SELECT user_id, day, cnt,
+         last_value(cnt IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff
+  FROM j
+)
+SELECT user_id,
+       strftime(day, '%Y-%m-%d') AS day,
+       CAST(COALESCE(cnt, 0) AS BIGINT) AS n_events,
+       cnt IS NULL AS is_gap,
+       CAST(ff AS BIGINT) AS ffill_events
+FROM f
+""",
+)
+def w7_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 time-series gap filling — the resample step every monitoring /
+    feature pipeline needs before windowed models see the data: each
+    sampled user's sparse daily activity is densified onto their own
+    min→max calendar (``sequence`` + explode — rows materialize lazily,
+    never on the driver), missing days zero-filled AND forward-filled
+    (``last(..., ignorenulls)``), with the gap flag kept explicit.
+
+    Plan: one grouped count, a per-user span aggregate whose calendar
+    explode is narrow, one equi left join back, and a window partitioned
+    by user — nothing global, so the plan is indifferent to user count.
+    All-integer outputs (counts, not float sums) keep it bit-exact
+    cross-engine; dates leave as formatted strings (registry rule)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 97 == 0)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    j = cal.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("cnt", F.lit(0)).cast("bigint").alias("n_events"),
+        F.col("cnt").isNull().alias("is_gap"),
+        F.last("cnt", ignorenulls=True).over(w).cast("bigint").alias("ffill_events"),
+    )

@@ -47,6 +47,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # CORRECTNESS row yet — plus anything new/changed this round — get checked
 # before already-driver-verified ones. See NOTES_r2.md.
 _FRONT: list[str] = [
+    # new in the round-2 continuation session (no driver row yet)
+    "e17_semantic_dedup",
+    "e18_cdc_chunking",
+    "e19_unigram_logprob",
+    "w7_gap_fill",
+    "t8_grouping_sets",
+    "x7_bloom_decontaminate",
     # new / materially changed in round 2
     "e9_dedup_clusters",
     "e9b_triangle_count",
