@@ -203,6 +203,12 @@ FROM bd
 """
 
 
+def cdc_chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The e18 chunk frame (doc_id, chunk_id, n_chunk_toks, chunk_hash) —
+    shared by the declared e18 query and the e20 chunk-level dedup."""
+    return e18_cdc_chunking(spark, sf_dir)
+
+
 @query("e18_cdc_chunking", oracle=_cdc_oracle())
 def e18_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E18 content-defined chunking — the shift-robust dual of e8's fixed
@@ -256,4 +262,51 @@ def e18_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.expr("array_join(slice(toks, b.s, b.e - b.s + 1), ' ')")).alias(
             "chunk_hash"
         ),
+    )
+
+
+@query(
+    "e20_chunk_dedup",
+    oracle=f"""
+WITH chunks AS ({_cdc_oracle()})
+SELECT chunk_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST((COUNT(*) - 1) * MIN(n_chunk_toks) AS BIGINT) AS dup_tokens
+FROM chunks
+GROUP BY chunk_hash
+HAVING COUNT(DISTINCT doc_id) > 1
+""",
+)
+def e20_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20 cross-document substring dedup — the practical approximation
+    of suffix-array substring dedup (Lee et al. 2022 'Deduplicating
+    Training Data Makes Language Models Better') that actually runs at
+    100 TB: because e18's chunk boundaries are content-defined, any
+    shared span long enough to contain a boundary window yields
+    IDENTICAL chunk hashes in every document it appears in, no matter
+    where it sits. Grouping chunk hashes across the corpus therefore
+    finds repeated spans (boilerplate, licenses, templates) that
+    document-level dedup (e1) and near-dup (e2) both miss, and
+    ``dup_tokens`` prices the redundancy in training tokens. Identical
+    hash ⇒ identical text ⇒ identical token count, so MIN(n_chunk_toks)
+    is exact, not a heuristic.
+
+    Plan: the narrow e18 chunker feeds ONE map-side-combinable groupBy
+    on chunk_hash — the only shuffle carries (hash, count) pairs, ~the
+    distinct-chunk cardinality. Min-doc_id keeper follows the repo-wide
+    dedup survivor rule."""
+    chunks = cdc_chunk_frame(spark, sf_dir)
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+            ((F.count("*") - 1) * F.min("n_chunk_toks"))
+            .cast("bigint")
+            .alias("dup_tokens"),
+        )
+        .filter(F.col("n_docs") > 1)
     )

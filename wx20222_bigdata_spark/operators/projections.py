@@ -379,3 +379,32 @@ def f_conditional_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clamped"
         ),
     )
+
+
+@query(
+    "s10_python_datasource",
+    oracle="""
+SELECT i AS doc_id,
+       md5(CAST(i AS VARCHAR)) AS content_md5,
+       CAST(concat('0x', substring(md5(CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+FROM range(0, 2000) t(i)
+""",
+)
+def s10_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 custom Python data source (Spark 4 Python Data Source API):
+    ``spark.read.format("docgen")`` backed by
+    :mod:`wx20222_bigdata_spark.sources.pyds` — a planned, partitioned
+    source implemented entirely in Python (8 InputPartitions → 8 scan
+    tasks). Because the generated content is md5-derived from the row id,
+    the DuckDB oracle regenerates the identical rows from ``range()`` —
+    a custom SOURCE with a value-level correctness gate, not just a
+    smoke test. ``sf_dir`` is unused: the source IS the data."""
+    from wx20222_bigdata_spark.sources.pyds import register_docgen
+
+    register_docgen(spark)
+    return (
+        spark.read.format("docgen")
+        .option("n_rows", 2000)
+        .option("n_partitions", 8)
+        .load()
+    )

@@ -138,3 +138,53 @@ def o10_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
         bucket.alias("bucket"),
     )
+
+
+SAMPLE_K = 50          # weighted-sample size
+_U_DENOM = float(1 << 60)  # md5 prefix is 60 bits -> (h+1)/2^60 in (0, 1]
+
+
+@query(
+    "o11_weighted_sample",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         ROUND(
+           ln((CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+              / {_U_DENOM}) / n_chars,
+           6) AS sample_key
+  FROM documents
+)
+SELECT doc_id, n_chars, sample_key
+FROM keyed
+ORDER BY sample_key DESC, doc_id
+LIMIT {SAMPLE_K}
+""",
+)
+def o11_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11 weighted sampling without replacement, the distributed way
+    (Efraimidis–Spirakis A-Res, Inf.Proc.Lett. 2006): each item draws
+    u ∈ (0,1] and keeps key u^(1/w); the global top-K keys ARE a weighted
+    sample. Taking logs, rank by ln(u)/w — monotone-equivalent and
+    numerically safer. Here u is derived from the content-stable md5
+    prefix (the o10 discipline: reprocessing-stable, engine-independent,
+    oracle-checkable — production swaps in a salted seed per draw),
+    weight = n_chars, so long documents are proportionally favoured.
+
+    Plan: pure projection + TakeOrderedAndProject — per-partition top-K
+    heaps merged on the driver, no global sort, no shuffle of the corpus;
+    THE way to sample 100 TB by weight in one pass. Keys are rounded to 6
+    before ordering with doc_id tiebreak so both engines rank
+    identically."""
+    from wx20222_bigdata_spark.functions.hashing import spark_md5_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = spark_md5_hash("CAST(doc_id AS STRING)")
+    key = F.round(
+        F.log((F.expr(h) + 1) / F.lit(_U_DENOM)) / F.col("n_chars"), 6
+    )
+    return (
+        docs.select("doc_id", "n_chars", key.alias("sample_key"))
+        .orderBy(F.desc("sample_key"), "doc_id")
+        .limit(SAMPLE_K)
+    )

@@ -409,3 +409,160 @@ def w7_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").isNull().alias("is_gap"),
         F.last("cnt", ignorenulls=True).over(w).cast("bigint").alias("ffill_events"),
     )
+
+
+@query(
+    "w8_rolling_zscore",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS cnt
+  FROM events
+  GROUP BY event_type, date_trunc('day', ts)
+),
+rolled AS (
+  SELECT event_type, day, cnt,
+         COUNT(*)            OVER w AS n,
+         SUM(cnt)            OVER w AS s1,
+         SUM(cnt * cnt)      OVER w AS s2
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+       strftime(day, '%Y-%m-%d') AS day,
+       CAST(cnt AS BIGINT) AS n_events,
+       CASE WHEN n >= 3 AND n * s2 > s1 * s1 THEN
+         ROUND((cnt - CAST(s1 AS DOUBLE) / n)
+               / sqrt((n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)
+                      / (n * (n - 1.0))), 6)
+       END AS zscore,
+       COALESCE(
+         CASE WHEN n >= 3 AND n * s2 > s1 * s1 THEN
+           abs((cnt - CAST(s1 AS DOUBLE) / n)
+               / sqrt((n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)
+                      / (n * (n - 1.0)))) > 2.0
+         END, FALSE) AS is_anomaly
+FROM rolled
+""",
+)
+def w8_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 rolling z-score anomaly flags over the per-type daily event
+    series — the monitoring primitive every ingestion pipeline runs over
+    its own volume counts. The trailing-7-day mean/std are derived from
+    INTEGER window sums (n, Σx, Σx²), so the float math is a fixed
+    expression over exact integers — cross-engine bit-identical with no
+    ordered-fold machinery (the trick that makes windowed variance
+    oracle-checkable; compare a14's rounded-only moments). Degenerate
+    frames (n < 3, zero variance) yield NULL scores, flags default FALSE.
+
+    Plan: one grouped count, then a single window partitioned by
+    event_type — bounded partitions (one row per day), no global state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    rolled = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.count("*").over(w).alias("n"),
+        F.sum("cnt").over(w).alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("s2"),
+    )
+    var = (
+        F.col("n") * F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1")
+    ) / (F.col("n") * (F.col("n") - F.lit(1.0)))
+    z = (F.col("cnt") - F.col("s1").cast("double") / F.col("n")) / F.sqrt(var)
+    ok = (F.col("n") >= 3) & (F.col("n") * F.col("s2") > F.col("s1") * F.col("s1"))
+    return rolled.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("cnt").cast("bigint").alias("n_events"),
+        F.when(ok, F.round(z, 6)).alias("zscore"),
+        F.coalesce(F.when(ok, F.abs(z) > 2.0), F.lit(False)).alias("is_anomaly"),
+    )
+
+
+SESSION_GAP_S = 1800  #: inactivity gap (30 min) that closes a session
+
+
+@query(
+    "w9_sessionization",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+),
+flagged AS (
+  SELECT user_id, sec,
+         CASE WHEN sec - lag(sec) OVER w > {SESSION_GAP_S}
+              OR lag(sec) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+),
+sess AS (
+  SELECT user_id, sec,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       CAST(sid AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       MIN(sec) AS start_sec,
+       MAX(sec) AS end_sec,
+       MAX(sec) - MIN(sec) AS duration_sec
+FROM sess
+GROUP BY user_id, sid
+""",
+)
+def w9_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 batch sessionization — the gap-rule dual of the streaming
+    session windows (s9c): an event opens a new session when it follows
+    the user's previous event by more than SESSION_GAP_S seconds; the
+    session id is the running count of such openings. The lag-flag →
+    running-sum pattern is THE general sessionizer: any custom gap rule
+    (per-user gaps, event-type resets) drops into the CASE without
+    touching the plan.
+
+    Plan: two windows and one aggregate, all partitioned by user_id —
+    sessionizing 100 TB of events is embarrassingly parallel in the user
+    dimension (the same reason the streaming version keys state by
+    user). Event times floor to whole epoch seconds (the t6 idiom), so
+    everything downstream is exact integer arithmetic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").cast("bigint").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            (F.col("sec") - F.lag("sec").over(w) > SESSION_GAP_S)
+            | F.lag("sec").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id")
+            .orderBy("sec")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "sid").agg(
+        F.count("*").alias("n_events"),
+        F.min("sec").alias("start_sec"),
+        F.max("sec").alias("end_sec"),
+        (F.max("sec") - F.min("sec")).alias("duration_sec"),
+    ).select(
+        "user_id",
+        F.col("sid").cast("bigint").alias("session_id"),
+        "n_events",
+        "start_sec",
+        "end_sec",
+        "duration_sec",
+    )

@@ -54,6 +54,11 @@ _FRONT: list[str] = [
     "w7_gap_fill",
     "t8_grouping_sets",
     "x7_bloom_decontaminate",
+    "o11_weighted_sample",
+    "w8_rolling_zscore",
+    "s10_python_datasource",
+    "w9_sessionization",
+    "e20_chunk_dedup",
     # new / materially changed in round 2
     "e9_dedup_clusters",
     "e9b_triangle_count",

@@ -1,0 +1,77 @@
+"""Custom Python DataSource (Spark 4 Python Data Source API) — the
+engine's demonstration that its source surface is *extensible from
+Python*: a deterministic synthetic-document generator registered as a
+first-class ``spark.read.format("docgen")`` source with explicit input
+partitions, exactly how a user would wrap an in-house record service or
+proprietary file format without touching the JVM.
+
+The reference's equivalent seat is its ad-hoc corpus loaders
+(``data_helper.py`` builds record dicts in a Python loop); here the same
+row generation becomes a *planned* source: Spark asks the reader for its
+partition list, schedules one task per partition, and each task yields
+Arrow-batched rows — so a Python-defined source still scales out across
+executors and its scan parallelism is visible to the optimizer.
+
+Content is md5-derived from the row id, so the emitted rows are
+bit-reproducible on any engine — the registered query
+``s10_python_datasource`` is oracle-checked against DuckDB *generating
+the same rows from scratch* (the o10/o11 content-stable-hash
+discipline applied to a source).
+
+Pickle discipline (the repo-wide UDF rule): every class is defined
+inside the factory function so cloudpickle serializes them by VALUE —
+executors never need this repo on ``sys.path``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+DOCGEN_SCHEMA = "doc_id bigint, content_md5 string, bucket bigint"
+
+
+def register_docgen(spark: SparkSession) -> None:
+    """Register the ``docgen`` Python data source on this session.
+
+    Options: ``n_rows`` (default 1000), ``n_partitions`` (default 8).
+    Emits ``doc_id`` ∈ [0, n_rows), its md5 hex digest, and the o10-style
+    0-99 hash bucket — one InputPartition per contiguous id range.
+    """
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _RangePartition(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start = start
+            self.end = end
+
+    class _DocGenReader(DataSourceReader):
+        def __init__(self, options):
+            self.n_rows = int(options.get("n_rows", 1000))
+            self.n_partitions = int(options.get("n_partitions", 8))
+
+        def partitions(self):
+            step = -(-self.n_rows // self.n_partitions)  # ceil div
+            return [
+                _RangePartition(lo, min(lo + step, self.n_rows))
+                for lo in range(0, self.n_rows, step)
+            ]
+
+        def read(self, partition):
+            import hashlib
+
+            for i in range(partition.start, partition.end):
+                h = hashlib.md5(str(i).encode("utf-8")).hexdigest()
+                yield (i, h, int(h[:15], 16) % 100)
+
+    class DocGenSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "docgen"
+
+        def schema(self) -> str:
+            return DOCGEN_SCHEMA
+
+        def reader(self, schema):
+            return _DocGenReader(self.options)
+
+    spark.dataSource.register(DocGenSource)

@@ -36,3 +36,22 @@ def write_json_manifest(manifest: dict, path: str) -> None:
     driver-side JSON; tiny by contract."""
     with open(path, "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    n_shards: int | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Format-parametric sink: the same compaction/partitioning contract
+    as :func:`write_sharded_parquet` over any Spark-native columnar or
+    line format (``parquet``, ``orc``, ``json``, ``csv``). ORC matters
+    for interop with Hive-era warehouses; JSON/CSV for export surfaces —
+    one writer path, so shard sizing and layout policy stay uniform."""
+    out = df.repartition(n_shards) if n_shards is not None else df
+    writer = out.write.mode("overwrite").format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
