@@ -141,6 +141,8 @@ def test_no_unpartitioned_window_in_declared_set(spark):
         "e17_semantic_dedup",
         # one-row aggregates: token total + corpus perplexity terciles
         "e19_unigram_logprob",
+        # one-row wide constraint aggregate unpivoted into rule rows
+        "dq1_constraint_report",
         # one-row wide profile aggregate unpivoted into per-column rows
         "prof1_table_profile",
         # one-row corpus-size aggregate feeding the tf-idf scorer

@@ -446,8 +446,8 @@ bands AS (
 SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
        ROUND(avg_raw, 6) AS avg_logprob,
        ROUND(exp(-avg_raw), 6) AS perplexity,
-       CASE WHEN avg_raw <= b1 THEN 'low'
-            WHEN avg_raw <= b2 THEN 'mid'
+       CASE WHEN ROUND(avg_raw, 6) <= ROUND(b1, 6) THEN 'low'
+            WHEN ROUND(avg_raw, 6) <= ROUND(b2, 6) THEN 'mid'
             ELSE 'high' END AS ppl_band
 FROM scored CROSS JOIN bands
 """,
@@ -461,6 +461,12 @@ def e19_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     production pipeline swaps the unigram table for KenLM scores via a
     pandas UDF — the surrounding plan (score → corpus quantiles →
     band gate) is unchanged.
+
+    The band compares ROUND-6 score vs ROUND-6 boundary: interpolated
+    percentiles differ across engines by 1 ulp (lo+(hi-lo)*f vs
+    lo*(1-f)+hi*f), and at sf1 nine replicated docs sat inside that ulp
+    gap — comparing at the printed precision removes the edge (and makes
+    the band consistent with the emitted avg_logprob).
 
     Plan: one token explode feeds both the |vocab|-row frequency table
     (map-side-combinable count, broadcast back) and the per-doc fold; the
@@ -507,8 +513,8 @@ def e19_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tok").cast("bigint").alias("n_tok"),
         F.round("avg_raw", 6).alias("avg_logprob"),
         F.round(F.exp(-F.col("avg_raw")), 6).alias("perplexity"),
-        F.when(F.col("avg_raw") <= F.col("b1"), "low")
-        .when(F.col("avg_raw") <= F.col("b2"), "mid")
+        F.when(F.round("avg_raw", 6) <= F.round("b1", 6), "low")
+        .when(F.round("avg_raw", 6) <= F.round("b2", 6), "mid")
         .otherwise("high")
         .alias("ppl_band"),
     )

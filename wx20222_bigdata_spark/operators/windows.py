@@ -493,19 +493,19 @@ SESSION_GAP_S = 1800  #: inactivity gap (30 min) that closes a session
     "w9_sessionization",
     oracle=f"""
 WITH e AS (
-  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
   FROM events
 ),
 flagged AS (
-  SELECT user_id, sec,
+  SELECT user_id, event_id, sec,
          CASE WHEN sec - lag(sec) OVER w > {SESSION_GAP_S}
               OR lag(sec) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
   FROM e
-  WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
 ),
 sess AS (
   SELECT user_id, sec,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM flagged
 )
@@ -528,15 +528,21 @@ def w9_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-user gaps, event-type resets) drops into the CASE without
     touching the plan.
 
+    The window order is TOTAL — (sec, event_id) — because two window
+    evaluations over the same non-total ORDER BY may sort ties
+    differently even within one engine: an unflagged duplicate-timestamp
+    row re-sorted ahead of its group's flagged row would take running
+    sum 0 and mint a phantom session 0 (observed at sf1; landmine).
+
     Plan: two windows and one aggregate, all partitioned by user_id —
     sessionizing 100 TB of events is embarrassingly parallel in the user
     dimension (the same reason the streaming version keys state by
     user). Event times floor to whole epoch seconds (the t6 idiom), so
     everything downstream is exact integer arithmetic."""
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.unix_timestamp("ts").cast("bigint").alias("sec")
+        "user_id", "event_id", F.unix_timestamp("ts").cast("bigint").alias("sec")
     )
-    w = Window.partitionBy("user_id").orderBy("sec")
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
     flagged = ev.withColumn(
         "new_s",
         F.when(
@@ -549,7 +555,7 @@ def w9_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sid",
         F.sum("new_s").over(
             Window.partitionBy("user_id")
-            .orderBy("sec")
+            .orderBy("sec", "event_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )

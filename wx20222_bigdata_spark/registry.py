@@ -59,6 +59,7 @@ _FRONT: list[str] = [
     "s10_python_datasource",
     "w9_sessionization",
     "e20_chunk_dedup",
+    "dq1_constraint_report",
     # new / materially changed in round 2
     "e9_dedup_clusters",
     "e9b_triangle_count",
