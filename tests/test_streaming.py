@@ -291,3 +291,45 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     got = spark.read.parquet(f"{out_root}/epoch=*")
     assert got.count() == ev.count()  # nothing lost, nothing reprocessed
     assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_transform_with_state_running_totals(spark, events_dir):
+    """Spark 4 transformWithStateInPandas: per-user running (count, sum)
+    carried in a named ValueState must equal the batch aggregate after
+    one availableNow pass. Skips where google.protobuf (the
+    transformWithState state-server protocol dep) is unavailable."""
+    import pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not available (transformWithState protocol dep)")
+    from wx20222_bigdata_spark.streaming.jobs import (
+        read_events_stream,
+        stateful_running_totals,
+    )
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stateful_running_totals(read_events_stream(spark, events_dir))
+        got = _run(spark, stream, "t_tws", mode="update").toPandas()
+    finally:
+        if old:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    ev = spark.read.parquet(events_dir)
+    batch = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .toPandas()
+    )
+    g = got.groupby("user_id").last().reset_index()
+    m = g.merge(batch, on="user_id", suffixes=("_s", "_b"))
+    assert len(m) == len(batch) > 0
+    assert (m["n_events_s"] == m["n_events_b"]).all()
+    assert (abs(m["total_value_s"] - m["total_value_b"]) < 1e-6).all()

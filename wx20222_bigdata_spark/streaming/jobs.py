@@ -206,3 +206,79 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "up
     )
     q.awaitTermination()
     return q
+
+
+_TWS_OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+
+
+def stateful_running_totals(events: DataFrame) -> DataFrame:
+    """``transformWithStateInPandas`` running per-user totals — the
+    Spark 4 arbitrary-state API (StatefulProcessor + typed state
+    handles) beside the classic ``applyInPandasWithState`` EMA above:
+    state is a named ValueState in the state store (O(users), RocksDB-
+    backed on a real cluster, TTL-capable), and the processor is the
+    extension point for custom stateful operators the SQL surface lacks.
+
+    The processor class is defined INSIDE this function (pickle-by-value
+    discipline): executors never need this repo on sys.path.
+
+    Runtime requirements (import-gated, not assumed): the
+    transformWithState protocol speaks protobuf between the JVM state
+    server and the Python worker (``google.protobuf``), and the operator
+    itself requires the RocksDB state store provider. The test skips
+    when protobuf is absent; on a real cluster both ship with the
+    distribution."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        raise ImportError(
+            "transformWithStateInPandas requires google.protobuf "
+            "(state-server protocol); not available in this environment"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            if self._totals.exists():
+                n, total = self._totals.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", "1 minute")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=_TWS_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
