@@ -1299,3 +1299,58 @@ def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(
         qualified, s.s_suppkey == qualified.l_suppkey, "left_semi"
     ).select("s_suppkey", "s_name")
+
+
+@query(
+    "u3_bag_set_ops",
+    oracle="""
+SELECT o_custkey AS custkey, 'excess_orders' AS side, COUNT(*) AS n
+FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+GROUP BY o_custkey
+UNION ALL
+SELECT o_custkey AS custkey, 'matched_pairs' AS side, COUNT(*) AS n
+FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  INTERSECT ALL
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+GROUP BY o_custkey
+""",
+)
+def u3_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 bag-semantics set ops (``exceptAll`` / ``intersectAll``) —
+    multiplicity-preserving EXCEPT/INTERSECT, the §2.7 surface the
+    DISTINCT forms (set_intersect_except) cannot express: per customer,
+    how many open orders exceed their finished orders (excess) and how
+    many pair off (matched). Spark plans both as a single aggregate
+    computing per-key multiplicities plus a generate — one shuffle each,
+    no join. The output aggregates to (customer, side, count) so the
+    multiset semantics are value-checked, not just row counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    open_o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin_o = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    excess = (
+        open_o.exceptAll(fin_o)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.lit("excess_orders").alias("side"),
+            "n",
+        )
+    )
+    matched = (
+        open_o.intersectAll(fin_o)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.lit("matched_pairs").alias("side"),
+            "n",
+        )
+    )
+    return excess.unionByName(matched)

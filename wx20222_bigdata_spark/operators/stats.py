@@ -346,3 +346,39 @@ def m3_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_price",
         "new_price",
     )
+
+
+HIST_LO = 0.0    #: histogram domain lower bound (events.value ∈ [0, 100))
+HIST_HI = 100.0  #: upper bound
+HIST_BUCKETS = 10
+
+
+@query(
+    "a15_value_histogram",
+    oracle=f"""
+SELECT event_type,
+       CAST(least(greatest(floor((value - {HIST_LO}) / (({HIST_HI} - {HIST_LO}) / {HIST_BUCKETS})), 0), {HIST_BUCKETS - 1}) AS BIGINT) AS bucket,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type,
+         CAST(least(greatest(floor((value - {HIST_LO}) / (({HIST_HI} - {HIST_LO}) / {HIST_BUCKETS})), 0), {HIST_BUCKETS - 1}) AS BIGINT)
+""",
+)
+def a15_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 fixed-width histogram per event type — the profiling companion
+    to a13's percentiles: 10 equal buckets over the value domain with
+    edge clamping. Bucketing is a pure projection (floor of one double
+    expression — identical IEEE ops on both engines, no interpolation,
+    so no quantile-drift landmine), and the count is one
+    map-side-combinable groupBy whose shuffle carries
+    |event_type|×|buckets| rows. At 100 TB this is THE cheap
+    distribution sketch: one pass, fixed output size."""
+    ev = load_table(spark, sf_dir, "events")
+    step = (HIST_HI - HIST_LO) / HIST_BUCKETS
+    bucket = F.least(
+        F.greatest(F.floor((F.col("value") - HIST_LO) / step), F.lit(0)),
+        F.lit(HIST_BUCKETS - 1),
+    ).cast("bigint")
+    return ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count("*").alias("n")
+    )

@@ -518,3 +518,68 @@ def e19_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("high")
         .alias("ppl_band"),
     )
+
+
+HASH_DIM = 64  #: feature-hashing output dimensionality
+
+
+@query(
+    "e22_feature_hashing",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                    x -> length(x) > 0)) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         {duck_md5_hash("tok")} % {HASH_DIM} AS bucket,
+         CASE WHEN ({duck_md5_hash("tok")} // {HASH_DIM}) % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM toks
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(SUM(sgn) AS BIGINT) AS weight
+FROM hashed
+GROUP BY doc_id, bucket
+HAVING SUM(sgn) <> 0
+""",
+)
+def e22_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 feature hashing (the 'hashing trick', Weinberger et al. 2009)
+    — the vocabulary-free text vectorizer: each token maps to one of
+    HASH_DIM buckets by content-stable md5, with a second hash bit
+    choosing ±1 so collisions cancel in expectation. Emitted in sparse
+    (doc_id, bucket, weight) form with zeros dropped — the input shape
+    for linear models and MinHash-free similarity at corpus scale, with
+    NO dictionary to build, broadcast, or version (contrast f7's
+    vocab-broadcast tokenizer; this is what production uses when the
+    vocabulary is open).
+
+    Plan: one narrow projection over the token explode, one
+    map-side-combinable groupBy on (doc_id, bucket). All-integer."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = spark_md5_hash("tok")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(text, ' '), x -> length(x) > 0)")
+        ).alias("tok"),
+    )
+    hashed = toks.select(
+        "doc_id",
+        F.expr(f"pmod({h}, {HASH_DIM})").alias("bucket"),
+        F.when(F.expr(f"({h} div {HASH_DIM}) % 2") == 0, 1)
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    return (
+        hashed.groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").alias("weight"))
+        .filter(F.col("weight") != 0)
+        .select(
+            "doc_id",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("weight").cast("bigint").alias("weight"),
+        )
+    )

@@ -168,3 +168,63 @@ def f7_vocab_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_real"),
         F.col("n_unk").cast("bigint").alias("n_unk"),
     )
+
+
+BPE_TOP_K = 20  #: merge candidates reported per BPE iteration
+
+
+@query(
+    "e21_bpe_pair_counts",
+    oracle=f"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '),
+                            x -> length(x) > 0)) AS w
+  FROM documents
+),
+wf AS (SELECT w, COUNT(*) AS freq FROM words GROUP BY w),
+pairs AS (
+  SELECT substring(w, i, 2) AS pair, freq
+  FROM wf, LATERAL (SELECT unnest(range(1, length(w))) AS i)
+  WHERE length(w) >= 2
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+FROM pairs
+GROUP BY pair
+ORDER BY pair_count DESC, pair
+LIMIT {BPE_TOP_K}
+""",
+)
+def e21_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E21 BPE merge statistics — ONE iteration of byte-pair-encoding
+    tokenizer training (Sennrich et al. 2016) as a declarative plan: the
+    corpus's word-frequency table weights every adjacent character pair,
+    and the top pair IS the next merge rule. The reference consumes a
+    pretrained vocab (``data_helper.py:55-57``); this is the operator
+    that BUILDS one, and iterating it (re-segment with the merged symbol,
+    recount) is a driver loop over this exact plan — the iterative.py
+    persist/checkpoint discipline applies unchanged.
+
+    Scale shape: pair counting runs over the DISTINCT-WORD table, not
+    the corpus (wf aggregation collapses 100 TB of text to |vocab| rows
+    first — the classic BPE-training trick), pair explosion is narrow
+    over that bounded table, and the top-k is TakeOrderedAndProject.
+    All-integer, bit-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> length(x) > 0)")
+        ).alias("w")
+    )
+    wf = words.groupBy("w").agg(F.count("*").alias("freq"))
+    pairs = wf.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(BPE_TOP_K)
+    )

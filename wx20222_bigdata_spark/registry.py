@@ -60,6 +60,10 @@ _FRONT: list[str] = [
     "w9_sessionization",
     "e20_chunk_dedup",
     "dq1_constraint_report",
+    "e21_bpe_pair_counts",
+    "e22_feature_hashing",
+    "a15_value_histogram",
+    "u3_bag_set_ops",
     # new / materially changed in round 2
     "e9_dedup_clusters",
     "e9b_triangle_count",
