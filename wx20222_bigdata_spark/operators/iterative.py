@@ -96,3 +96,108 @@ def i1_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = power_iteration_scores(edges, n_iter=5)
     out = ranks.select("node", F.round("rank", 6).alias("rank"))
     return out
+
+
+PR_DAMPING = 0.85
+PR_NODES = 50  #: deterministic graph size (i1's edge rule)
+
+_PR_EDGES_DUCK = f"""
+edges AS (
+  SELECT o_custkey % {PR_NODES} AS src,
+         (o_custkey + o_orderkey) % {PR_NODES} AS dst
+  FROM orders
+  WHERE o_custkey % {PR_NODES} <> (o_custkey + o_orderkey) % {PR_NODES}
+),
+ew AS (SELECT src, dst, COUNT(*) AS w FROM edges GROUP BY src, dst),
+outdeg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS od FROM ew GROUP BY src),
+nodes AS (
+  SELECT DISTINCT n FROM (
+    SELECT src AS n FROM ew UNION ALL SELECT dst FROM ew
+  )
+)"""
+
+
+def _pr_iter_duck(prev: str, out: str) -> str:
+    """One DuckDB PageRank round: ordered in-contribution fold per dst."""
+    return f"""
+{out}_c AS (
+  SELECT ew.dst AS n, ew.src, r.rank * ew.w / outdeg.od AS c
+  FROM {prev} r JOIN ew ON ew.src = r.n JOIN outdeg ON outdeg.src = ew.src
+),
+{out} AS (
+  SELECT nodes.n,
+         {1 - PR_DAMPING} + {PR_DAMPING} * COALESCE(s.insum, 0.0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT n, list_sum(list(c ORDER BY src)) AS insum FROM {out}_c GROUP BY n
+  ) s ON s.n = nodes.n
+)"""
+
+
+@query(
+    "i2_pagerank_2iter",
+    oracle=f"""
+WITH {_PR_EDGES_DUCK},
+r0 AS (SELECT n, 1.0 AS rank FROM nodes),
+{_pr_iter_duck("r0", "r1")[1:]},
+{_pr_iter_duck("r1", "r2")[1:]}
+SELECT r2.n AS node, ROUND(r2.rank, 6) AS rank,
+       CAST(COALESCE(ind.ind, 0) AS BIGINT) AS in_degree
+FROM r2 LEFT JOIN (SELECT dst, SUM(w) AS ind FROM ew GROUP BY dst) ind
+  ON ind.dst = r2.n
+""",
+)
+def i2_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two PageRank rounds UNROLLED into one declarative DAG with
+    bit-exact oracle parity — the checked twin of i1's driver-loop form
+    (same graph, same recurrence): multi-edges collapse to (src, dst,
+    weight) first so each destination folds ONE contribution per source
+    in ascending src order (the e14 ordered-fold discipline — float
+    parity needs a total fold order, and multi-edge duplicates would
+    break per-src sorting).
+
+    Per round: one broadcast-size join (ranks ⋈ weighted edges) + one
+    grouped ordered fold; the unrolled form is how you'd express a FIXED
+    small iteration count (2-4 rounds of label refinement); i1's
+    persist/localCheckpoint loop takes over for run-to-convergence."""
+    orders = load_table(spark, sf_dir, "orders")
+    edges = orders.select(
+        (F.col("o_custkey") % PR_NODES).alias("src"),
+        ((F.col("o_custkey") + F.col("o_orderkey")) % PR_NODES).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    ew = edges.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    outdeg = ew.groupBy("src").agg(F.sum("w").cast("bigint").alias("od"))
+    nodes = (
+        ew.select(F.col("src").alias("n"))
+        .unionByName(ew.select(F.col("dst").alias("n")))
+        .distinct()
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(2):
+        contribs = (
+            ranks.join(ew, ranks.n == ew.src)
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("cn"),
+                "src",
+                (F.col("rank") * F.col("w") / F.col("od")).alias("c"),
+            )
+        )
+        insum = contribs.groupBy("cn").agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(src, c))),"
+                " s -> s.c), 0D, (a, x) -> a + x)"
+            ).alias("insum")
+        )
+        ranks = nodes.join(insum, nodes.n == insum.cn, "left").select(
+            "n",
+            (
+                F.lit(1 - PR_DAMPING)
+                + F.lit(PR_DAMPING) * F.coalesce("insum", F.lit(0.0))
+            ).alias("rank"),
+        )
+    ind = ew.groupBy("dst").agg(F.sum("w").alias("ind"))
+    return ranks.join(ind, ranks.n == ind.dst, "left").select(
+        F.col("n").alias("node"),
+        F.round("rank", 6).alias("rank"),
+        F.coalesce("ind", F.lit(0)).cast("bigint").alias("in_degree"),
+    )

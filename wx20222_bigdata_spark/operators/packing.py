@@ -310,3 +310,56 @@ def e20_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@query("e23_ffd_packing")
+def e23_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E23 first-fit-decreasing packing — the bin-QUALITY tier above
+    e6's contiguous greedy: within each shard (source), documents are
+    placed largest-first into the first bin with room, the classic FFD
+    heuristic (≤ 11/9·OPT + 1 bins). Unlike e6, a straddling document
+    never overflows its bin — oversized docs (> budget) get singleton
+    bins and are the chunker's (e8/e18) problem.
+
+    FFD is inherently sequential WITHIN a shard, so this is the
+    documented X2 shape: ``applyInPandas`` over the source partition —
+    state is shard-local (the open-bin table), cross-shard parallelism
+    is preserved, and the kernel is a nested closure (pickle-by-value;
+    executors never need this repo). Rows-only by design: FFD's
+    sequential scan has no ANSI-SQL form — the packing LAWS (capacity,
+    lower bound vs e6, determinism) are pinned in
+    tests/test_ffd_packing.py instead."""
+    import pandas as pd
+
+    budget = PACK_BUDGET
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tok", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bins: list[int] = []  # remaining capacity per bin
+        assigned = []
+        for t in pdf["n_tok"]:
+            t = int(t)
+            for b, room in enumerate(bins):
+                if t <= room:
+                    bins[b] = room - t
+                    assigned.append(b)
+                    break
+            else:
+                bins.append(max(budget - t, 0))
+                assigned.append(len(bins) - 1)
+        pdf["bin_id"] = pd.Series(assigned, dtype="int64")
+        return pdf[["source", "doc_id", "n_tok", "bin_id"]]
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.expr("filter(split(text, ' '), x -> length(x) > 0)")).alias(
+            "n_tok"
+        ),
+    )
+    return sized.groupBy("source").applyInPandas(
+        ffd, schema="source string, doc_id bigint, n_tok int, bin_id bigint"
+    )

@@ -64,6 +64,8 @@ _FRONT: list[str] = [
     "e22_feature_hashing",
     "a15_value_histogram",
     "u3_bag_set_ops",
+    "i2_pagerank_2iter",
+    "e23_ffd_packing",
     # new / materially changed in round 2
     "e9_dedup_clusters",
     "e9b_triangle_count",
