@@ -97,6 +97,8 @@ def test_no_unintended_cartesian_or_nested_loop(spark):
         # one-row token-total + tercile-boundary aggregates broadcast
         # into the per-doc scorer
         "e19_unigram_logprob",
+        # one-row global-max bucket broadcast (naive-pad comparison)
+        "e24_length_bucketing",
     }
     for name, fn in all_queries().items():
         df = fn(spark, SF_ORACLE)
@@ -143,6 +145,9 @@ def test_no_unpartitioned_window_in_declared_set(spark):
         "e19_unigram_logprob",
         # one-row wide constraint aggregate unpivoted into rule rows
         "dq1_constraint_report",
+        # one-row global-max bucket aggregate broadcast into the
+        # padding-waste comparison
+        "e24_length_bucketing",
         # one-row wide profile aggregate unpivoted into per-column rows
         "prof1_table_profile",
         # one-row corpus-size aggregate feeding the tf-idf scorer

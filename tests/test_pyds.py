@@ -47,3 +47,45 @@ def test_docgen_filter_and_projection(spark):
     out = df.collect()
     assert all(r.bucket < 10 for r in out)
     assert 0 < len(out) < 1000
+
+
+def test_docgen_stream_reader(spark, tmp_path):
+    """The same Python source read as a STREAM: micro-batches walk the
+    id space via the replayable offset dict; an availableNow pass drains
+    exactly the configured row range, each row exactly once."""
+    from wx20222_bigdata_spark.sources.pyds import register_docgen
+
+    register_docgen(spark)
+    stream = (
+        spark.readStream.format("docgen")
+        .option("n_rows", 100)
+        .option("batch_size", 30)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("docgen_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    # a SimpleDataSourceStreamReader prefetches one batch per trigger, so
+    # drain with a running micro-batch trigger and stop once the finite id
+    # space is exhausted.
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.sql("SELECT COUNT(*) c FROM docgen_stream").first().c >= 100:
+            break
+        time.sleep(1)
+    q.stop()
+    got = spark.sql("SELECT * FROM docgen_stream").collect()
+    assert sorted(r.doc_id for r in got) == list(range(100))
+    import hashlib
+
+    by_id = {r.doc_id: r for r in got}
+    h42 = hashlib.md5(b"42").hexdigest()
+    assert by_id[42].content_md5 == h42
+    assert by_id[42].bucket == int(h42[:15], 16) % 100

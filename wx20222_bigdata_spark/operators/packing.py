@@ -363,3 +363,79 @@ def e23_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sized.groupBy("source").applyInPandas(
         ffd, schema="source string, doc_id bigint, n_tok int, bin_id bigint"
     )
+
+
+BUCKET_STEP = 32  #: length buckets are multiples of 32 tokens
+
+
+@query(
+    "e24_length_bucketing",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n_tok
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tok,
+         CAST(greatest(ceil(CAST(n_tok AS DOUBLE) / {BUCKET_STEP}), 1) * {BUCKET_STEP} AS BIGINT) AS bucket
+  FROM sized
+),
+g AS (SELECT MAX(bucket) AS max_bucket FROM b)
+SELECT bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS real_tokens,
+       CAST(bucket * COUNT(*) - SUM(n_tok) AS BIGINT) AS bucket_pad_waste,
+       CAST(max_bucket * COUNT(*) - SUM(n_tok) AS BIGINT) AS naive_pad_waste
+FROM b CROSS JOIN g
+GROUP BY bucket, max_bucket
+""",
+)
+def e24_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E24 length-bucketed batching — the inference-side dual of training
+    packing (e6/e23): documents grouped into pad-to-multiple-of-32
+    buckets so a batch only pads to ITS bucket, not the corpus max. The
+    reference pads every sample to the fixed budget
+    (``data_helper.py:55-57`` ``padding='max_length'`` — exactly the
+    ``naive_pad_waste`` column); the per-bucket column prices what
+    dynamic batching saves, which is the number a serving pipeline
+    tunes BUCKET_STEP against.
+
+    Plan: pure projection bucketing (integer ceil — no float boundary),
+    one map-side-combinable groupBy carrying |buckets| rows, one-row
+    global-max broadcast (documented benign pattern). All-integer."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(F.expr("filter(split(text, ' '), x -> length(x) > 0)")).alias(
+            "n_tok"
+        ),
+    )
+    b = sized.select(
+        "doc_id",
+        "n_tok",
+        (
+            F.greatest(
+                F.ceil(F.col("n_tok").cast("double") / BUCKET_STEP), F.lit(1)
+            )
+            * BUCKET_STEP
+        )
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    g = b.agg(F.max("bucket").alias("max_bucket"))
+    return (
+        b.crossJoin(F.broadcast(g))
+        .groupBy("bucket", "max_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("real_tokens"),
+            (F.col("bucket") * F.count("*") - F.sum("n_tok"))
+            .cast("bigint")
+            .alias("bucket_pad_waste"),
+            (F.col("max_bucket") * F.count("*") - F.sum("n_tok"))
+            .cast("bigint")
+            .alias("naive_pad_waste"),
+        )
+        .drop("max_bucket")
+    )

@@ -66,6 +66,7 @@ _FRONT: list[str] = [
     "u3_bag_set_ops",
     "i2_pagerank_2iter",
     "e23_ffd_packing",
+    "e24_length_bucketing",
     # new / materially changed in round 2
     "e9_dedup_clusters",
     "e9b_triangle_count",

@@ -33,11 +33,20 @@ DOCGEN_SCHEMA = "doc_id bigint, content_md5 string, bucket bigint"
 def register_docgen(spark: SparkSession) -> None:
     """Register the ``docgen`` Python data source on this session.
 
-    Options: ``n_rows`` (default 1000), ``n_partitions`` (default 8).
-    Emits ``doc_id`` ∈ [0, n_rows), its md5 hex digest, and the o10-style
-    0-99 hash bucket — one InputPartition per contiguous id range.
+    Options: ``n_rows`` (default 1000), ``n_partitions`` (default 8),
+    ``batch_size`` (streaming, default 100). Emits ``doc_id`` ∈
+    [0, n_rows), its md5 hex digest, and the o10-style 0-99 hash bucket —
+    one InputPartition per contiguous id range in batch, and the same id
+    space walked by a replayable offset dict under ``readStream`` (the
+    SimpleDataSourceStreamReader protocol; checkpoint recovery re-reads
+    identical rows because the generator is deterministic).
     """
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
 
     class _RangePartition(InputPartition):
         def __init__(self, start: int, end: int):
@@ -63,6 +72,34 @@ def register_docgen(spark: SparkSession) -> None:
                 h = hashlib.md5(str(i).encode("utf-8")).hexdigest()
                 yield (i, h, int(h[:15], 16) % 100)
 
+    class _DocGenStreamReader(SimpleDataSourceStreamReader):
+        """Micro-batch reader over the same deterministic id space: each
+        batch covers [offset, offset + batch_size) up to n_rows; the
+        offset dict is the replayable stream position, so recovery from
+        a checkpoint re-reads identical rows (exactly-once with a
+        deterministic generator)."""
+
+        def __init__(self, options):
+            self.n_rows = int(options.get("n_rows", 1000))
+            self.batch_size = int(options.get("batch_size", 100))
+
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            import hashlib
+
+            lo = int(start["i"])
+            hi = min(lo + self.batch_size, self.n_rows)
+            rows = []
+            for i in range(lo, hi):
+                h = hashlib.md5(str(i).encode("utf-8")).hexdigest()
+                rows.append((i, h, int(h[:15], 16) % 100))
+            return iter(rows), {"i": hi}
+
+        def commit(self, end):
+            pass
+
     class DocGenSource(DataSource):
         @classmethod
         def name(cls) -> str:
@@ -73,5 +110,8 @@ def register_docgen(spark: SparkSession) -> None:
 
         def reader(self, schema):
             return _DocGenReader(self.options)
+
+        def simpleStreamReader(self, schema):
+            return _DocGenStreamReader(self.options)
 
     spark.dataSource.register(DocGenSource)
