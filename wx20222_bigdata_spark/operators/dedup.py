@@ -480,3 +480,83 @@ def e2h_levenshtein_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= F.floor(F.col("_ml") / 2))
         .drop("_ml")
     )
+
+
+@query(
+    "e25_incremental_dedup",
+    oracle="""
+WITH batches AS (
+  SELECT doc_id, source, md5(text) AS content_key,
+         CASE WHEN doc_id % 3 = 0 THEN 'corpus' ELSE 'incoming' END AS batch
+  FROM documents
+),
+corpus_keys AS (
+  SELECT DISTINCT content_key FROM batches WHERE batch = 'corpus'
+),
+incoming AS (
+  SELECT b.doc_id, b.source, b.content_key,
+         CASE WHEN c.content_key IS NOT NULL THEN 'dup_vs_corpus'
+              WHEN ROW_NUMBER() OVER (
+                     PARTITION BY b.content_key ORDER BY b.doc_id) > 1
+                   THEN 'dup_in_batch'
+              ELSE 'admitted' END AS decision
+  FROM batches b LEFT JOIN corpus_keys c USING (content_key)
+  WHERE b.batch = 'incoming'
+)
+SELECT source, decision,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM incoming
+GROUP BY source, decision
+""",
+)
+def e25_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E25 incremental ingest dedup — the continuous-crawl shape of E1:
+    a NEW batch of documents is admitted only if its content hash is
+    absent from the existing corpus AND it is the first occurrence
+    within the batch itself. This is how 100 TB corpora actually grow —
+    full-corpus re-dedup (e1) per ingest is O(corpus) every day, while
+    this plan is O(batch) + one semi-join against the corpus key index:
+    the corpus side projects to its distinct md5 keys only (a narrow
+    bounded column, storable as a bucketed key table or Bloom filter —
+    the x7 tier), so the corpus text is never re-read, and AQE picks a
+    broadcast for small key sets. Within-batch first-wins follows the
+    repo dedup survivor rule (min doc_id via a partitioned window whose
+    groups are duplicate counts, never the corpus).
+
+    Batch split is deterministic (doc_id % 3) so the decision ledger —
+    admitted / dup_vs_corpus / dup_in_batch per source — is oracle-exact.
+    Reference parity: the reference ingests annotation shards
+    incrementally too (src/split_pretrain_data.py:15-35) but never
+    dedups across shards; this op is the scale-mandatory extension.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("content_key"),
+        F.when(F.col("doc_id") % 3 == 0, "corpus")
+        .otherwise("incoming")
+        .alias("batch"),
+    )
+    corpus_keys = (
+        docs.filter(F.col("batch") == "corpus").select("content_key").distinct()
+    )
+    incoming = docs.filter(F.col("batch") == "incoming")
+    from pyspark.sql.window import Window
+
+    joined = incoming.join(
+        corpus_keys.withColumn("_in_corpus", F.lit(1)), "content_key", "left"
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("content_key").orderBy("doc_id")
+    )
+    decided = joined.select(
+        "doc_id",
+        "source",
+        F.when(F.col("_in_corpus").isNotNull(), "dup_vs_corpus")
+        .when(rn > 1, "dup_in_batch")
+        .otherwise("admitted")
+        .alias("decision"),
+    )
+    return decided.groupBy("source", "decision").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )

@@ -114,3 +114,108 @@ def dq1_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_violations").cast("bigint").alias("n_violations"),
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+N_BUCKETS = 4096   #: feature-hashing space for the linear classifier
+W_RANGE = 2001     #: integer weight domain [-1000, 1000] (milli-units)
+
+
+@query(
+    "e26_quality_classifier",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(w) AS tok FROM words
+  UNION ALL
+  SELECT doc_id, unnest([w[i] || '_' || w[i + 1] for i in range(1, len(w))]) AS tok
+  FROM words
+),
+buckets AS (
+  SELECT DISTINCT doc_id,
+         (CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT)
+          % {N_BUCKETS}) AS bucket
+  FROM toks
+),
+scored AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_feat,
+         CAST(SUM((CAST(concat('0x', substring(md5(concat('w', CAST(bucket AS VARCHAR))), 1, 15)) AS BIGINT)
+                   % {W_RANGE}) - {(W_RANGE - 1) // 2}) AS BIGINT) AS score_raw
+  FROM buckets GROUP BY doc_id
+)
+SELECT doc_id, n_feat, score_raw,
+       round(score_raw / (1000.0 * n_feat), 6) AS logit,
+       score_raw > 0 AS keep
+FROM scored
+""",
+)
+def e26_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E26 hashed linear quality classifier — fastText-style model
+    inference as a PURE declarative plan: unigram+bigram features, the
+    hashing trick into a fixed bucket space (Weinberger et al. 2009),
+    and a linear scoring layer whose weights are DERIVED by hashing the
+    bucket id — so scoring needs no broadcast weight table at all, and
+    the whole "model" runs inside whole-stage codegen with zero Python.
+    This is the quality-filter shape CCNet/Gopher pipelines run over
+    every document of a 100 TB crawl (the learned-weights variant is
+    x4c, broadcast weights + pandas UDF; THIS tier is the declarative
+    plumbing proof with a deterministic stand-in model).
+
+    Exactness physics: weights live in integer milli-units
+    ([-1000, 1000] from a 60-bit md5 prefix mod {W_RANGE}), so the
+    per-document score is an order-free BIGINT sum — bit-exact across
+    engines; the only float op is one final division, rounded to 6.
+    The keep decision compares the INTEGER sum to zero (landmine 19:
+    never compare floats to a threshold across engines).
+
+    Plan: split → explode → distinct (doc_id, bucket) groupBy → one
+    aggregation; the feature space is bounded ({N_BUCKETS}), so the
+    shuffle carries at most n_docs × min(n_tokens, {N_BUCKETS}) rows.
+    Reference parity: the reference scores every document with a torch
+    classifier head (src/model.py:74-90, src/inference.py:30-45); this
+    is the same per-document scoring dataflow with hashing-trick
+    features (src/data_helper.py:55-57 tokenize → ids analog).
+    """
+    from wx20222_bigdata_spark.functions.hashing import spark_md5_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> length(x) > 0)").alias("w"),
+    )
+    unis = words.select("doc_id", F.explode("w").alias("tok"))
+    bis = words.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2), "
+                "i -> concat(element_at(w, i + 1), '_', element_at(w, i + 2)))"
+            )
+        ).alias("tok"),
+    )
+    toks = unis.unionAll(bis)
+    buckets = toks.select(
+        "doc_id",
+        F.expr(spark_md5_hash("tok", mod=N_BUCKETS)).alias("bucket"),
+    ).distinct()
+    half = (W_RANGE - 1) // 2
+    w_int = (
+        F.expr(
+            spark_md5_hash("concat('w', CAST(bucket AS STRING))", mod=W_RANGE)
+        )
+        - F.lit(half)
+    )
+    scored = buckets.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_feat"),
+        F.sum(w_int).cast("bigint").alias("score_raw"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_feat",
+        "score_raw",
+        F.round(F.col("score_raw") / (1000.0 * F.col("n_feat")), 6).alias("logit"),
+        (F.col("score_raw") > 0).alias("keep"),
+    )

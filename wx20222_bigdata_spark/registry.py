@@ -47,6 +47,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # CORRECTNESS row yet — plus anything new/changed this round — get checked
 # before already-driver-verified ones. See NOTES_r2.md.
 _FRONT: list[str] = [
+    # new in the round-2 session 5 (no driver row yet)
+    "e25_incremental_dedup",
+    "e26_quality_classifier",
     # new in the round-2 continuation session (no driver row yet)
     "e17_semantic_dedup",
     "e18_cdc_chunking",
