@@ -42,3 +42,31 @@ def test_approx_percentiles_within_rank_error(spark):
                 f"{etype} {q_name}: approx {row[q_name]} outside sorted-rank "
                 f"window [{lo}, {hi}] (ranks {lo_i}..{hi_i} of {n})"
             )
+
+
+def test_x8_hll_union_matches_direct_sketch(spark):
+    """HLL law: union of per-day shard sketches == one direct sketch over
+    the same rows (register max-merge is deterministic), and the estimate
+    is within 5% of the exact distinct count."""
+    from wx20222_bigdata_spark.operators.stats import x8_hll_sketch_union
+
+    merged = {
+        r["event_type"]: r["est_users"]
+        for r in x8_hll_sketch_union(spark, SF_ORACLE).collect()
+    }
+    ev = load_table(spark, SF_ORACLE, "events")
+    direct = {
+        r["event_type"]: r["est"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert merged == direct
+    for etype, est in merged.items():
+        assert abs(est - exact[etype]) <= 0.05 * exact[etype], (etype, est, exact[etype])

@@ -1,0 +1,86 @@
+"""Data-layout operators: Z-order (Morton) clustering for multi-column
+data skipping.
+
+At 100 TB the cheapest query is the one that never reads the file: parquet
+row-group min/max statistics prune I/O, but a sort on ONE column destroys
+locality on every other. Z-ordering interleaves the bits of two (or more)
+low-cardinality-bucketed sort keys so that any contiguous z-range covers a
+small range of EACH dimension — the layout trick behind Delta/Iceberg
+`OPTIMIZE ZORDER BY` — making row-group pruning effective for predicates
+on either column (or both). The engine side is just `ORDER BY zval` before
+the write: the cluster sorts once at ingest, every later scan skips.
+
+The z-value itself is pure integer arithmetic (per-bit div/mod/scale), so
+it runs in whole-stage codegen and is bit-identical in DuckDB — the
+declared query proves the LOCALITY property (per-z-bucket bounding boxes
+are tight on both dimensions), and tests/test_layout.py proves the
+PRUNING effect on real parquet row-group footers (z-sorted vs
+linear-sorted layouts of the same rows).
+
+Reference parity: the reference packs records into 22 npy shards in *id
+order* (src/split_pretrain_data.py:28-35) — single-dimension locality
+only; this operator is the multi-dimension generalization a columnar
+lake needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wx20222_bigdata_spark.catalog import load_table
+from wx20222_bigdata_spark.registry import query
+
+Z_BITS = 10          #: bits kept per dimension (1024 buckets each)
+Z_FILE_SHIFT = 14    #: zval div 2^14 → 64 z-range "files" over the 20-bit space
+
+
+def _interleave_terms(xcol: str, ycol: str, bits: int, intdiv: str) -> str:
+    """Portable Morton interleave: bit i of x → position 2i, bit i of y →
+    position 2i+1, written as div/mod/multiply so the SAME arithmetic runs
+    on Spark (``div``) and DuckDB (``//``) without bitwise-operator
+    dialect differences. Inputs must be non-negative."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({xcol} {intdiv} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({ycol} {intdiv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def _z_query(intdiv: str) -> str:
+    """Shared query text for both engines (dialect differs only in the
+    integer-division token). x = user_id bucket, y = clamped value
+    bucket; zval interleaves them; file_id is the z-range a row would
+    land in after `ORDER BY zval` ingest-sorting."""
+    x = f"(user_id % {1 << Z_BITS})"
+    y = f"least(CAST(floor(value) AS BIGINT), {(1 << Z_BITS) - 1})"
+    z = _interleave_terms(x, y, Z_BITS, intdiv)
+    return f"""
+WITH zed AS (
+  SELECT CAST({x} AS BIGINT) AS x,
+         CAST({y} AS BIGINT) AS y,
+         CAST({z} AS BIGINT) AS zval
+  FROM events
+)
+SELECT CAST(zval {intdiv} {1 << Z_FILE_SHIFT} AS BIGINT) AS file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(x) AS x_min, MAX(x) AS x_max,
+       MIN(y) AS y_min, MAX(y) AS y_max,
+       MIN(zval) AS z_min, MAX(zval) AS z_max
+FROM zed
+GROUP BY 1
+"""
+
+
+@query("z1_zorder_stats", oracle=_z_query("//"))
+def z1_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z1 Z-order clustering statistics — computes the Morton code of
+    (user_id bucket, value bucket) for every event and reports, per
+    z-range "file", the bounding box a parquet footer would carry after
+    an `ORDER BY zval` write. The locality law (each file's box is tight
+    on BOTH x and y — unlike a single-column sort, which is tight on one
+    and spans the full domain of the other) is asserted in
+    tests/test_layout.py, along with the actual row-group pruning win on
+    written parquet. All-integer → bit-exact across engines."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_z_query("div"))

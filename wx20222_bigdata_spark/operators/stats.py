@@ -382,3 +382,99 @@ def a15_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type", bucket.alias("bucket")).agg(
         F.count("*").alias("n")
     )
+
+
+M4_CUTOFF = "2024-01-20"  #: base/delta boundary for the incremental merge
+
+
+@query(
+    "m4_incremental_agg",
+    oracle="""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def m4_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 incremental aggregate maintenance — the materialized-view
+    refresh pattern: a BASE aggregate (events before the cutoff,
+    pre-aggregated to (day, event_type) partials) is merged with a DELTA
+    batch (raw events on/after the cutoff) WITHOUT touching base fact
+    rows: union the base partials with the delta's partials and re-reduce.
+    Works because sum/count are algebraic (mergeable); avg is derived
+    from the merged (sum, count) at the very end — never averaged across
+    partials. At 100 TB this is the difference between an O(day) nightly
+    refresh and an O(corpus) recompute; the same merge tree is how Spark
+    itself does partial aggregation, applied here across TIME instead of
+    across partitions. The oracle IS the full recompute — the driver
+    check proves merge == recompute. DECIMAL(18,2) sums keep the merge
+    order-free and bit-exact (registry determinism rules).
+
+    The m-family: m1 MERGE upsert, m2 SCD2, m3 snapshot diff, m4
+    incremental aggregate maintenance."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.col("ts"),
+    )
+    cutoff = F.lit(M4_CUTOFF).cast("timestamp")
+    partial = (
+        lambda df: df.groupBy("day", "event_type").agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("v").alias("sum_v"),
+        )
+    )
+    base = partial(ev.filter(F.col("ts") < cutoff))     # stored MV partials
+    delta = partial(ev.filter(F.col("ts") >= cutoff))   # tonight's batch
+    merged = (
+        base.unionAll(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_v").alias("sum_v"),
+        )
+    )
+    return merged.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.col("sum_v").cast("double").alias("total_value"),
+        F.round(F.col("sum_v").cast("double") / F.col("n_events"), 6).alias(
+            "avg_value"
+        ),
+    )
+
+
+@query("x8_hll_sketch_union")
+def x8_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 mergeable HLL sketches — the pre-aggregation pattern that makes
+    COUNT(DISTINCT) feasible at 100 TB: each shard (here: day) builds a
+    DataSketches HLL sketch of its user ids (``hll_sketch_agg``, one
+    narrow pass, fixed ~KB state per group), and the corpus-level
+    distinct count is the ``hll_union_agg`` of the shard sketches — no
+    re-scan, no exact-distinct shuffle of raw ids. This is how a
+    materialized rollup serves "unique users per type, any date range"
+    from stored per-day sketches. a12 is the one-shot approx tier; THIS
+    is the mergeable/storable tier.
+
+    Rows-only by design (sketch internals aren't ANSI SQL); the laws —
+    union-of-shard-sketches == direct sketch (register max-merge is
+    deterministic) and estimate within 5% of exact — are pinned in
+    tests/test_stats_approx.py."""
+    ev = load_table(spark, sf_dir, "events")
+    per_day = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        per_day.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+            F.count("*").cast("bigint").alias("n_shards"),
+        )
+        .select("event_type", "est_users", "n_shards")
+    )

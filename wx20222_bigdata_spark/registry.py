@@ -50,6 +50,9 @@ _FRONT: list[str] = [
     # new in the round-2 session 5 (no driver row yet)
     "e25_incremental_dedup",
     "e26_quality_classifier",
+    "z1_zorder_stats",
+    "m4_incremental_agg",
+    "x8_hll_sketch_union",
     # new in the round-2 continuation session (no driver row yet)
     "e17_semantic_dedup",
     "e18_cdc_chunking",
