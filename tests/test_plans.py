@@ -86,6 +86,9 @@ def test_no_unintended_cartesian_or_nested_loop(spark):
         # one-row corpus-stats (N, avgdl) broadcast into the scorer —
         # constant-size nested loop, the documented benign pattern
         "e13_bm25_retrieval",
+        # one-row query-vector broadcast (e3's pattern) + the one-row
+        # corpus stats of its BM25 arm
+        "rrf1_hybrid_retrieval",
         # one-row corpus-size broadcast into the tf-idf scorer
         "e16_tfidf_keywords",
         # one-row scalar-average broadcast (q22 pos_avg)
@@ -161,6 +164,13 @@ def test_no_unpartitioned_window_in_declared_set(spark):
         # source-cardinality-bounded apportionment table (one row per
         # source) — the global window ranks ~20 aggregate rows, not data
         "e12_mixture_sampling",
+        # ranking-surface demo over the grouped customer aggregate —
+        # the global window ranks |customers| reduced rows, never the
+        # orders fact table (documented in the w10 docstring)
+        "w10_rank_surface",
+        # rank-number windows run AFTER TakeOrderedAndProject bounds
+        # each modality list to RRF_DEPTH rows (never the scored set)
+        "rrf1_hybrid_retrieval",
     }
     offenders = []
     for name, fn in all_queries().items():

@@ -192,3 +192,199 @@ def e16_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "tok", "rnk", "tfidf")
     )
+
+
+RRF_K = 60        #: reciprocal-rank-fusion constant (Cormack et al. 2009)
+RRF_DEPTH = 50    #: per-modality rank-list depth fed into the fusion
+RRF_TOP = 20      #: fused results returned
+
+
+@query(
+    "rrf1_hybrid_retrieval",
+    oracle=f"""
+WITH terms AS (
+  SELECT unnest(['{"','".join(QUERY_TERMS)}']) AS term
+),
+toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                    x -> length(x) > 0)) AS tok
+  FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf
+  FROM toks JOIN terms ON tok = term
+  GROUP BY doc_id, tok
+),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+bm25 AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+           * tf * ({K1} + 1)
+           / (tf + {K1} * (1 - {B} + {B} * dl.dl / avgdl))
+         ), 6) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+lex AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+  FROM bm25
+  QUALIFY lex_rank <= {RRF_DEPTH}
+),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cos AS (
+  SELECT vec_id AS doc_id,
+         ROUND(
+           list_sum([CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in range(1, 65)])
+           / (sqrt(list_sum([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) for i in range(1, 65)]))
+              * sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in range(1, 65)]))),
+           6) AS score
+  FROM embeddings CROSS JOIN qv
+  WHERE vec_id <> 0
+),
+sem AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS sem_rank
+  FROM cos
+  QUALIFY sem_rank <= {RRF_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+         CAST(lex.lex_rank AS BIGINT) AS lex_rank,
+         CAST(sem.sem_rank AS BIGINT) AS sem_rank,
+         ROUND(COALESCE(1.0 / ({RRF_K} + lex.lex_rank), 0)
+               + COALESCE(1.0 / ({RRF_K} + sem.sem_rank), 0), 6) AS rrf_score
+  FROM lex FULL OUTER JOIN sem USING (doc_id)
+)
+SELECT doc_id, lex_rank, sem_rank, rrf_score
+FROM fused
+ORDER BY rrf_score DESC, doc_id
+LIMIT {RRF_TOP}
+""",
+)
+def rrf1_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF1 hybrid retrieval — reciprocal-rank fusion (Cormack et al.
+    2009) of the two retrieval modalities the engine already ships:
+    BM25 lexical ranks (e13's scorer) and cosine vector ranks (e3's
+    scorer, query = vec 0), fused as Σ 1/({RRF_K}+rank) over each
+    modality's top-{RRF_DEPTH}. This is the standard first-stage ranker
+    of a modern RAG / hard-negative-mining pipeline — rank fusion needs
+    no score calibration across modalities, which is exactly why RRF is
+    the default in production hybrid search.
+
+    Determinism: each modality ranks on round-6 scores with doc_id
+    tiebreak (the repo float-ordering rule), so ranks are integers and
+    identical cross-engine; the fused score is a 2-term sum of exact
+    reciprocals, rounded once. Scale: both rank lists are
+    TakeOrderedAndProject-bounded ({RRF_DEPTH} rows), the fusion is a
+    {RRF_DEPTH}x{RRF_DEPTH}-bounded full outer join — costless beside
+    the modality scans; the vector side swaps to e3b/e3c ANN at corpus
+    scale without touching the fusion."""
+    from wx20222_bigdata_spark.functions.vector import dot as _dot
+    from wx20222_bigdata_spark.functions.vector import norm as _norm
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    terms = F.broadcast(
+        docs.sparkSession.createDataFrame([(t,) for t in QUERY_TERMS], ["term"])
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, ' '), x -> length(x) > 0)")).alias(
+            "tok"
+        ),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") / F.count("*").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        toks.join(terms, toks["tok"] == terms["term"])
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    bm25 = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(
+                        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    )
+                    * F.col("tf")
+                    * (K1 + 1)
+                    / (
+                        F.col("tf")
+                        + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    # Bound FIRST (TakeOrderedAndProject: per-partition heads merged on
+    # the driver), THEN rank — the global row_number window only ever
+    # sees the {RRF_DEPTH}-row list, never the full scored set.
+    lex = (
+        bm25.orderBy(F.desc("score"), "doc_id")
+        .limit(RRF_DEPTH)
+        .withColumn(
+            "lex_rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), "doc_id"))
+            .cast("bigint"),
+        )
+        .select("doc_id", "lex_rank")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    cos = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                _dot("qe", "embedding") / (_norm("qe") * _norm("embedding")), 6
+            ).alias("score"),
+        )
+    )
+    sem = (
+        cos.orderBy(F.desc("score"), "doc_id")
+        .limit(RRF_DEPTH)
+        .withColumn(
+            "sem_rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), "doc_id"))
+            .cast("bigint"),
+        )
+        .select("doc_id", "sem_rank")
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            F.round(
+                F.coalesce(1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("sem_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(RRF_TOP)
+    )
+    return fused

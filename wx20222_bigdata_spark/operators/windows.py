@@ -572,3 +572,60 @@ def w9_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "end_sec",
         "duration_sec",
     )
+
+
+@query(
+    "w10_rank_surface",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT o_custkey, spend,
+         CAST(RANK() OVER w AS BIGINT) AS rnk,
+         CAST(DENSE_RANK() OVER w AS BIGINT) AS dense_rnk,
+         ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+         ROUND(CUME_DIST() OVER w, 6) AS cume,
+         CAST(NTILE(10) OVER w AS BIGINT) AS decile
+  FROM spend
+  WINDOW w AS (ORDER BY spend DESC, o_custkey)
+)
+SELECT * FROM ranked WHERE rnk <= 100
+""",
+)
+def w10_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10 ranking-function surface — rank / dense_rank / percent_rank /
+    cume_dist / ntile over one shared window (customer lifetime spend),
+    the full SQL ranking toolkit in a single window evaluation. The
+    window's ORDER BY is TOTAL (spend desc, then key) per landmine 18 —
+    ties must not let two rank functions see different row orders.
+    Ranks are computed over ALL customers, then the output is cut to the
+    top 100 — so percent_rank/cume_dist keep their full-population
+    denominators (filtering first would change the semantics).
+
+    Scale note: a single global ORDER BY window is the textbook
+    Exchange SinglePartition scale-killer (landmine 10) — acceptable
+    here ONLY because the windowed input is the grouped customer
+    aggregate (|customers|, already reduced), not the fact table; the
+    fact-scale equivalents route through j1b's per-partition offsets."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("spend")
+    )
+    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    return (
+        spend.select(
+            "o_custkey",
+            "spend",
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("dense_rnk"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.ntile(10).over(w).cast("bigint").alias("decile"),
+        )
+        .filter(F.col("rnk") <= 100)
+    )

@@ -53,6 +53,8 @@ _FRONT: list[str] = [
     "z1_zorder_stats",
     "m4_incremental_agg",
     "x8_hll_sketch_union",
+    "w10_rank_surface",
+    "rrf1_hybrid_retrieval",
     # new in the round-2 continuation session (no driver row yet)
     "e17_semantic_dedup",
     "e18_cdc_chunking",
