@@ -1,0 +1,102 @@
+"""BPE train+apply laws (operators/tokenize.py e27):
+
+- training parity with an independently-written counting trainer;
+- apply parity with an independently-written encoder (same lowest-rank-
+  first spec, different implementation style);
+- reconstruction: pieces concatenate back to the word;
+- provenance: every piece is a single char or a product of the learned
+  merges;
+- compression: subword encoding never exceeds character-level cost.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import duckdb
+
+from tests.conftest import SF_ORACLE
+from wx20222_bigdata_spark.operators.tokenize import (
+    N_MERGES,
+    apply_bpe,
+    e27_bpe_apply,
+    train_bpe,
+)
+
+
+def _word_freq() -> dict[str, int]:
+    rows = duckdb.sql(
+        "SELECT w, COUNT(*) AS f FROM ("
+        "  SELECT unnest(list_filter(string_split(lower(text), ' '), "
+        "                x -> length(x) > 0)) AS w "
+        f" FROM read_parquet('{SF_ORACLE}/documents.parquet')) GROUP BY w"
+    ).fetchall()
+    return dict(rows)
+
+
+def _independent_train(wf: dict[str, int], n: int) -> list[tuple[str, str]]:
+    """Counter-based trainer written independently of train_bpe."""
+    segs = {w: list(w) for w in wf if len(w) >= 2}
+    out = []
+    for _ in range(n):
+        c: Counter = Counter()
+        for w, sym in segs.items():
+            for pair in zip(sym, sym[1:]):
+                c[pair] += wf[w]
+        if not c:
+            break
+        best = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        out.append(best)
+        for w, sym in segs.items():
+            new, i = [], 0
+            while i < len(sym):
+                if sym[i : i + 2] == list(best):
+                    new.append(best[0] + best[1])
+                    i += 2
+                else:
+                    new.append(sym[i])
+                    i += 1
+            segs[w] = new
+    return out
+
+
+def _independent_apply(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Recursive lowest-rank-first encoder (different style from apply_bpe)."""
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def step(sym: list[str]) -> list[str]:
+        cands = [
+            (ranks[(a, b)], i)
+            for i, (a, b) in enumerate(zip(sym, sym[1:]))
+            if (a, b) in ranks
+        ]
+        if not cands:
+            return sym
+        _, i = min(cands)
+        return step(sym[:i] + [sym[i] + sym[i + 1]] + sym[i + 2 :])
+
+    return step(list(word))
+
+
+def test_bpe_training_parity():
+    wf = _word_freq()
+    assert train_bpe(wf, N_MERGES) == _independent_train(wf, N_MERGES)
+
+
+def test_bpe_apply_laws(spark):
+    wf = _word_freq()
+    merges = train_bpe(wf, N_MERGES)
+    products = {a + b for a, b in merges}
+    out = {r["w"]: r for r in e27_bpe_apply(spark, SF_ORACLE).collect()}
+    assert set(out) == set(wf)
+    for w, row in out.items():
+        pieces = row["pieces_str"].split(" ")
+        assert "".join(pieces) == w
+        assert all(len(p) == 1 or p in products for p in pieces), (w, pieces)
+        assert pieces == _independent_apply(w, merges), (w, pieces)
+        assert pieces == apply_bpe(w, {p: i for i, p in enumerate(merges)})
+        assert row["n_pieces"] == len(pieces)
+        assert row["corpus_pieces"] == len(pieces) * wf[w]
+    # compression: total corpus pieces strictly below character-level cost
+    total_chars = sum(len(w) * f for w, f in wf.items())
+    assert sum(r["corpus_pieces"] for r in out.values()) < total_chars

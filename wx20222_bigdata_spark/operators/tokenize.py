@@ -228,3 +228,120 @@ def e21_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "pair")
         .limit(BPE_TOP_K)
     )
+
+
+N_MERGES = 12  #: BPE merge rules learned by e27 (reference vocab: 21128 entries)
+
+
+def train_bpe(word_freq: dict[str, int], n_merges: int) -> list[tuple[str, str]]:
+    """Standard BPE training (Sennrich et al. 2016, alg. 1): repeatedly
+    merge the most frequent adjacent symbol pair in the frequency-weighted
+    vocabulary. Ties break lexicographically — fully deterministic.
+
+    Runs on the DRIVER over the distinct-word table — the classic BPE
+    trick: 100 TB of text collapses to |vocab| rows before any Python
+    sees it, so this loop is O(|vocab| · n_merges), not O(corpus)."""
+    segs: dict[tuple[str, ...], int] = {
+        tuple(w): f for w, f in word_freq.items() if len(w) >= 2
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for sym, freq in segs.items():
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged: dict[tuple[str, ...], int] = {}
+        for sym, freq in segs.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best:
+                    out.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            merged[tuple(out)] = merged.get(tuple(out), 0) + freq
+        segs = merged
+    return merges
+
+
+def apply_bpe(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Standard BPE encode: repeatedly merge the lowest-rank adjacent
+    pair present in the word (the tokenizers-library apply order)."""
+    sym = list(word)
+    while len(sym) >= 2:
+        pairs = [(ranks.get((a, b), 1 << 30), i) for i, (a, b) in enumerate(zip(sym, sym[1:]))]
+        rank, i = min(pairs)
+        if rank >= 1 << 30:
+            break
+        sym[i : i + 2] = [sym[i] + sym[i + 1]]
+    return sym
+
+
+@query("e27_bpe_apply")
+def e27_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E27 BPE subword tokenization, trained AND applied — closes the
+    loop e21 opens: e21 computes one iteration of merge statistics; this
+    op trains {N_MERGES} merge rules to convergence semantics
+    (driver loop over the bounded distinct-word table — the standard
+    scale shape, since BPE training is O(|vocab|), never O(corpus)),
+    broadcasts the rank table, and encodes every distinct word with the
+    canonical lowest-rank-first merge order (what the reference's
+    pretrained WordPiece/BPE vocab was built with upstream of
+    ``data_helper.py:55-57``). Corpus token cost is priced by joining
+    the per-word piece count back to word frequencies.
+
+    Rows-only by design: BPE apply is an iterative in-word fixpoint with
+    no ANSI-SQL form. The laws — reconstruction (concat(pieces) == word),
+    piece provenance (every piece is a single char or a trained merge
+    product), parity with an independently-written reference
+    implementation, and cross-run determinism — are pinned in
+    tests/test_bpe.py."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> length(x) > 0)")
+        ).alias("w")
+    )
+    wf = words.groupBy("w").agg(F.count("*").cast("bigint").alias("freq"))
+    word_freq = {r["w"]: r["freq"] for r in wf.collect()}
+    merges = train_bpe(word_freq, N_MERGES)
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    bc = spark.sparkContext.broadcast(ranks)
+
+    @pandas_udf("array<string>")
+    def encode(w: pd.Series) -> pd.Series:
+        rk = bc.value
+        big = 1 << 30
+
+        def enc(word):
+            sym = list(word)
+            while len(sym) >= 2:
+                pairs = [
+                    (rk.get((a, b), big), i)
+                    for i, (a, b) in enumerate(zip(sym, sym[1:]))
+                ]
+                rank, i = min(pairs)
+                if rank >= big:
+                    break
+                sym[i : i + 2] = [sym[i] + sym[i + 1]]
+            return sym
+
+        return w.map(enc)
+
+    return (
+        wf.select("w", "freq", encode("w").alias("pieces"))
+        .select(
+            "w",
+            "freq",
+            F.concat_ws(" ", "pieces").alias("pieces_str"),
+            F.size("pieces").cast("bigint").alias("n_pieces"),
+            (F.size("pieces") * F.col("freq")).cast("bigint").alias("corpus_pieces"),
+        )
+    )

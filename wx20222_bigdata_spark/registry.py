@@ -55,6 +55,7 @@ _FRONT: list[str] = [
     "x8_hll_sketch_union",
     "w10_rank_surface",
     "rrf1_hybrid_retrieval",
+    "e27_bpe_apply",
     # new in the round-2 continuation session (no driver row yet)
     "e17_semantic_dedup",
     "e18_cdc_chunking",
