@@ -333,3 +333,24 @@ def test_transform_with_state_running_totals(spark, events_dir):
     assert len(m) == len(batch) > 0
     assert (m["n_events_s"] == m["n_events_b"]).all()
     assert (abs(m["total_value_s"] - m["total_value_b"]) < 1e-6).all()
+
+
+def test_stream_static_enrich_matches_batch(spark, events_dir):
+    from wx20222_bigdata_spark.streaming.jobs import (
+        read_events_stream,
+        stream_static_enrich,
+    )
+
+    stream = stream_static_enrich(read_events_stream(spark, events_dir))
+    got = _run(spark, stream, "t_enrich", mode="append").toPandas()
+    batch = stream_static_enrich(spark.read.parquet(events_dir)).toPandas()
+    g = got.sort_values(["window_start", "category"]).reset_index(drop=True)
+    b = batch.sort_values(["window_start", "category"]).reset_index(drop=True)
+    merged = g.merge(b, on=["window_start", "category"], suffixes=("_s", "_b"))
+    assert len(merged) == len(g) > 0
+    assert (merged["n_s"] == merged["n_b"]).all()
+    assert (abs(merged["value_sum_s"] - merged["value_sum_b"]) < 1e-9).all()
+    # every category seen in the stream output is a dim-table category
+    from wx20222_bigdata_spark.streaming.jobs import EVENT_CATEGORY
+
+    assert set(g["category"]) <= set(EVENT_CATEGORY.values())

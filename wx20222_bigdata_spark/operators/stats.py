@@ -478,3 +478,75 @@ def x8_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "est_users", "n_shards")
     )
+
+
+@query(
+    "a16_regression_stats",
+    oracle="""
+WITH pts AS (
+  SELECT event_type,
+         CAST(hour(ts) AS BIGINT) AS x,
+         CAST(value AS DECIMAL(18,2)) AS y
+  FROM events
+),
+sums AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM pts GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
+       ROUND((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr
+FROM sums
+""",
+)
+def a16_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 regression/correlation aggregates — least-squares slope,
+    intercept, and Pearson r of event value vs hour-of-day, per event
+    type. The built-in ``regr_slope``/``corr`` aggregates are NOT used:
+    their streaming float accumulation is engine-order-dependent, so the
+    cross-engine contract is instead derived from EXACT sufficient
+    statistics — x is an integer, y a DECIMAL(18,2), so n, Σx, Σy, Σxy,
+    Σx², Σy² are all exact and order-free; the regression formulas then
+    run as ONE identical double expression on both engines (registry
+    float-determinism rule (c): derive floats from exact sums at the
+    end). Distributed shape: one map-side-combinable groupBy carrying
+    six numbers per group — the same "sufficient statistics, not rows"
+    pattern x8 uses for sketches and m4 uses for merge trees.
+
+    Reference parity: offline metric fits over per-fold scores
+    (src/util.py:148-154 aggregates scalar metric series)."""
+    pts = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("x"),
+        F.col("value").cast("decimal(18,2)").alias("y"),
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr"),
+    )

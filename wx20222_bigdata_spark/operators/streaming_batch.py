@@ -255,3 +255,36 @@ def s9e_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("b_sec") - F.col("a_sec")).alias("gap_s"),
         )
     )
+
+
+@query(
+    "s9f_stream_static_enrich",
+    oracle="""
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+       CASE event_type
+         WHEN 'click' THEN 'engagement'
+         WHEN 'view' THEN 'engagement'
+         WHEN 'signup' THEN 'growth'
+         WHEN 'purchase' THEN 'commerce'
+         WHEN 'error' THEN 'ops'
+       END AS category,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+""",
+)
+def s9f_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming.jobs.stream_static_enrich`` — the
+    stream-static dimension-enrichment join (broadcast dim, stateless)
+    followed by the tumbling category rollup. Runs the SAME function in
+    batch mode: Structured Streaming's unified API means the twin is
+    the identical plan minus the watermark, which is exactly what the
+    oracle checks. The micro-batch equivalence test lives in
+    tests/test_streaming.py."""
+    from wx20222_bigdata_spark.streaming.jobs import stream_static_enrich
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    return stream_static_enrich(ev)

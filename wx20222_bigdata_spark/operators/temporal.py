@@ -371,3 +371,74 @@ def t8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+@query(
+    "t9_date_spine",
+    oracle="""
+WITH spine AS (
+  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                                     INTERVAL 1 DAY)) AS DATE) AS d
+),
+cal AS (
+  SELECT strftime(d, '%Y-%m-%d') AS day,
+         CAST((date_diff('day', DATE '1970-01-01', d) + 3) % 7 + 1 AS BIGINT) AS dow_iso,
+         strftime(d, '%Y-%m') AS month,
+         (date_diff('day', DATE '1970-01-01', d) + 3) % 7 + 1 >= 6 AS is_weekend
+  FROM spine
+),
+daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1
+)
+SELECT cal.day, dow_iso, month, is_weekend,
+       COALESCE(n_events, 0) AS n_events,
+       COALESCE(total_value, 0.0) AS total_value
+FROM cal LEFT JOIN daily ON cal.day = daily.day
+""",
+)
+def t9_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 calendar-spine generation — a date dimension produced
+    DECLARATIVELY (``sequence()`` + explode; no source table, no driver
+    loop) and left-joined to per-day event aggregates so that zero-event
+    days appear explicitly: the dimensional complement of w7's gap fill
+    (w7 interpolates an existing series; t9 manufactures the axis). The
+    day-of-week is computed from raw epoch-day arithmetic ((days+3)%7+1,
+    ISO Monday=1) rather than each engine's dayofweek builtin — Spark
+    and DuckDB disagree on week-start conventions, epoch arithmetic is
+    convention-free (the cross-engine datetime analog of the md5-hash
+    rule). At scale the spine is O(days) — trivially broadcast against
+    any fact table; this is the standard dbt date-spine pattern."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spine = spark.range(1).select(
+        F.explode(
+            F.expr("sequence(to_date('2024-01-01'), to_date('2024-01-31'))")
+        ).alias("d")
+    )
+    epoch_days = F.datediff(F.col("d"), F.to_date(F.lit("1970-01-01")))
+    cal = spine.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        ((epoch_days + 3) % 7 + 1).cast("bigint").alias("dow_iso"),
+        F.date_format("d", "yyyy-MM").alias("month"),
+        (((epoch_days + 3) % 7 + 1) >= 6).alias("is_weekend"),
+    )
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    return cal.join(daily, "day", "left").select(
+        "day",
+        "dow_iso",
+        "month",
+        "is_weekend",
+        F.coalesce("n_events", F.lit(0).cast("bigint")).alias("n_events"),
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+    )

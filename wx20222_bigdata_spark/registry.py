@@ -56,6 +56,10 @@ _FRONT: list[str] = [
     "w10_rank_surface",
     "rrf1_hybrid_retrieval",
     "e27_bpe_apply",
+    "a16_regression_stats",
+    "t9_date_spine",
+    "dq2_order_reconciliation",
+    "s9f_stream_static_enrich",
     # new in the round-2 continuation session (no driver row yet)
     "e17_semantic_dedup",
     "e18_cdc_chunking",

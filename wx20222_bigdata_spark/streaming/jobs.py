@@ -282,3 +282,46 @@ def stateful_running_totals(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+#: Static event-type dimension for the stream-static enrichment join.
+EVENT_CATEGORY = {
+    "click": "engagement",
+    "view": "engagement",
+    "signup": "growth",
+    "purchase": "commerce",
+    "error": "ops",
+}
+
+
+def stream_static_enrich(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Stream-static join: each streaming event is enriched with a
+    static dimension (event_type → category) and aggregated per
+    (hour window, category). The static side is broadcast once per
+    micro-batch and holds NO streaming state — the canonical pattern
+    for dimension enrichment at ingest (vs the stateful stream-stream
+    interval_join). Batch twin: ``s9f_stream_static_enrich``
+    (oracle-checked CASE mapping)."""
+    spark = events.sparkSession
+    dim = F.broadcast(
+        spark.createDataFrame(
+            list(EVENT_CATEGORY.items()), ["event_type", "category"]
+        )
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .join(dim, "event_type")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "category")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.unix_timestamp("w.start").cast("bigint").alias("window_start"),
+            "category",
+            "n",
+            "value_sum",
+        )
+    )
