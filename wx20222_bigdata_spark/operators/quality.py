@@ -147,7 +147,7 @@ scored AS (
   FROM buckets GROUP BY doc_id
 )
 SELECT doc_id, n_feat, score_raw,
-       round(score_raw / (1000.0 * n_feat), 6) AS logit,
+       CAST(floor(score_raw * 1000.0 / n_feat) AS BIGINT) AS logit_micro,
        score_raw > 0 AS keep
 FROM scored
 """,
@@ -167,9 +167,10 @@ def e26_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness physics: weights live in integer milli-units
     ([-1000, 1000] from a 60-bit md5 prefix mod {W_RANGE}), so the
     per-document score is an order-free BIGINT sum — bit-exact across
-    engines; the only float op is one final division, rounded to 6.
-    The keep decision compares the INTEGER sum to zero (landmine 19:
-    never compare floats to a threshold across engines).
+    engines; the mean logit is emitted in floor()'d integer micro-units
+    (round-6 sits on the decimal .5 boundary for denominators like
+    32000 — landmine 19). The keep decision compares the INTEGER sum to
+    zero (never compare floats to a threshold across engines).
 
     Plan: split → explode → distinct (doc_id, bucket) groupBy → one
     aggregation; the feature space is bounded ({N_BUCKETS}), so the
@@ -216,7 +217,14 @@ def e26_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_feat",
         "score_raw",
-        F.round(F.col("score_raw") / (1000.0 * F.col("n_feat")), 6).alias("logit"),
+        # micro-logit in INTEGER units: score_raw*1000.0 is exact in a
+        # double, the division is the identical IEEE op on both engines,
+        # and floor() of equal doubles is equal — unlike round-6, which
+        # hits the decimal .5 boundary (sf1 exposed 5 such docs:
+        # 2002/32000 = 0.0625625 rounds differently per engine).
+        F.floor(F.col("score_raw") * 1000.0 / F.col("n_feat"))
+        .cast("bigint")
+        .alias("logit_micro"),
         (F.col("score_raw") > 0).alias("keep"),
     )
 
