@@ -215,3 +215,110 @@ def e9b_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+@query(
+    "e28_cluster_survivors",
+    oracle=f"""
+WITH RECURSIVE {LSH_BANDS_DUCK_CTES},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket_key = b.bucket_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(node, root) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (
+  SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node
+),
+quality AS (
+  SELECT comp.doc_id, cluster_id, length(corpus.text) AS n_chars
+  FROM comp JOIN corpus ON comp.doc_id = corpus.doc_id
+),
+ranked AS (
+  SELECT doc_id, cluster_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM quality
+)
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS survivor_doc_id,
+       CAST(MIN(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS survivor_len,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS dropped_chars
+FROM ranked
+GROUP BY cluster_id
+""",
+)
+def e28_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E28 quality-aware survivor selection — the dedup DECISION layer on
+    top of e9's connected components: instead of the min-id convention,
+    each near-dup cluster keeps its LONGEST member (ties → min doc_id),
+    the policy real curation pipelines use (the longest version of a
+    boilerplate family is usually the complete one; cf. RefinedWeb /
+    C4's keep-longest rules). Emits a per-cluster ledger: survivor, its
+    length, and how many docs / characters dedup removes — the numbers a
+    100 TB curation run reports to its operators.
+
+    Plan shape: e9's pair graph + label propagation, then ONE
+    partitioned window over (cluster_id) — cluster populations are
+    near-dup families (bounded), never the corpus. All-integer output;
+    the oracle reuses e9's recursive-CTE reachability (landmine 15) with
+    a quality-ranked window on top."""
+    corpus = _corpus_with_mutants_spark(spark, sf_dir)
+    bands = minhash_band_keys(corpus)
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("band").alias("band_a"),
+        F.col("bucket_key").alias("bk_a"),
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("band").alias("band_b"),
+        F.col("bucket_key").alias("bk_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("bk_a") == F.col("bk_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .distinct()
+    )
+    comp = connected_components(pairs)
+    quality = comp.join(
+        corpus.select("doc_id", F.length("text").alias("n_chars")),
+        comp.node == F.col("doc_id"),
+    ).select(
+        "doc_id", F.col("label").alias("cluster_id"), "n_chars"
+    )
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
+    )
+    ranked = quality.withColumn("rn", rn)
+    return ranked.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size"),
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id")))
+        .cast("bigint")
+        .alias("survivor_doc_id"),
+        F.min(F.when(F.col("rn") == 1, F.col("n_chars")))
+        .cast("bigint")
+        .alias("survivor_len"),
+        (F.count("*") - 1).cast("bigint").alias("n_dropped"),
+        F.sum(F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("dropped_chars"),
+    )

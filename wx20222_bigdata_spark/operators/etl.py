@@ -174,3 +174,59 @@ def prepare_text_features(
         F.expr(mask).alias("attention_mask"),
         F.expr(f"size({combined})").cast("int").alias("n_tokens"),
     )
+
+
+@query(
+    "f19_minmax_scale",
+    oracle="""
+WITH cents AS (
+  SELECT event_id, event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents
+  FROM events
+),
+stats AS (
+  SELECT event_type,
+         MIN(v_cents) AS min_c, MAX(v_cents) AS max_c
+  FROM cents GROUP BY event_type
+)
+SELECT event_id, cents.event_type,
+       CAST(floor((v_cents - min_c) * 10000.0 / (max_c - min_c)) AS BIGINT)
+         AS scaled_bp
+FROM cents JOIN stats ON cents.event_type = stats.event_type
+""",
+)
+def f19_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19 min-max feature scaling — per-group normalization of a metric
+    into [0, 10000] basis points, the standard feature-engineering
+    rescale before model input (the batch analog of the reference's
+    per-feature normalization inside its torch models). Exactness
+    physics: values become integer CENTS first (DECIMAL(18,2) × 100 —
+    exact), min/max are integer aggregates, and the scale is ONE
+    identical IEEE division floor()'d to integer basis points — the
+    same float-emission rule e26 uses (round-6 would sit on decimal .5
+    boundaries).
+
+    Plan: one map-side-combinable stats aggregate (2 numbers per group),
+    broadcast back onto the stream — the fact table is scanned once and
+    never shuffled (AQE broadcasts the 5-row stats side)."""
+    cents = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("v_cents"),
+    )
+    stats = cents.groupBy("event_type").agg(
+        F.min("v_cents").alias("min_c"), F.max("v_cents").alias("max_c")
+    )
+    return cents.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        F.floor(
+            (F.col("v_cents") - F.col("min_c"))
+            * 10000.0
+            / (F.col("max_c") - F.col("min_c"))
+        )
+        .cast("bigint")
+        .alias("scaled_bp"),
+    )

@@ -60,6 +60,8 @@ _FRONT: list[str] = [
     "t9_date_spine",
     "dq2_order_reconciliation",
     "s9f_stream_static_enrich",
+    "e28_cluster_survivors",
+    "f19_minmax_scale",
     # new in the round-2 continuation session (no driver row yet)
     "e17_semantic_dedup",
     "e18_cdc_chunking",
