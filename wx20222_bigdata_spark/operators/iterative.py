@@ -201,3 +201,98 @@ def i2_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rank", 6).alias("rank"),
         F.coalesce("ind", F.lit(0)).cast("bigint").alias("in_degree"),
     )
+
+
+def _lp_round_duck(prev: str, out: str) -> str:
+    """One synchronous majority-label round as DuckDB CTEs: count
+    neighbor labels, keep the most frequent (ties → smallest label),
+    isolated nodes keep their own."""
+    return f"""
+cnt_{out} AS (
+  SELECT s.u, p.label AS vlabel, COUNT(*) AS c
+  FROM sym s JOIN {prev} p ON s.v = p.n
+  GROUP BY s.u, p.label
+),
+pick_{out} AS (
+  SELECT u, vlabel
+  FROM cnt_{out}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, vlabel) = 1
+),
+{out} AS (
+  SELECT p.n, COALESCE(k.vlabel, p.label) AS label
+  FROM {prev} p LEFT JOIN pick_{out} k ON k.u = p.n
+)"""
+
+
+@query(
+    "i3_label_propagation",
+    oracle=f"""
+WITH edges AS (
+  SELECT o_custkey % {PR_NODES} AS src,
+         (o_custkey + o_orderkey) % {PR_NODES} AS dst
+  FROM orders
+  WHERE o_custkey % {PR_NODES} <> (o_custkey + o_orderkey) % {PR_NODES}
+),
+sym AS (
+  SELECT DISTINCT src AS u, dst AS v FROM edges
+  UNION
+  SELECT DISTINCT dst AS u, src AS v FROM edges
+),
+nodes AS (SELECT DISTINCT u AS n FROM sym),
+l0 AS (SELECT n, n AS label FROM nodes),
+{_lp_round_duck("l0", "l1")[1:]},
+{_lp_round_duck("l1", "l2")[1:]}
+SELECT CAST(l2.n AS BIGINT) AS node,
+       CAST(l2.label AS BIGINT) AS label,
+       CAST(COUNT(*) OVER (PARTITION BY l2.label) AS BIGINT) AS community_size
+FROM l2
+""",
+)
+def i3_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3 community detection by synchronous label propagation (Raghavan
+    et al. 2007), two rounds UNROLLED — the graph family's third member:
+    e9 finds exact components, i2 ranks nodes, i3 finds dense
+    communities inside a component. Each node adopts its neighborhood's
+    majority label (ties → smallest), an ALL-INTEGER recurrence — so
+    unlike PageRank there is no float discipline needed at all, and the
+    argmax is expressed shuffle-free as ``max(struct(count, -label))``
+    per node (no per-node window).
+
+    Per round: one join (labels ⋈ symmetric edges, both partitioned on
+    node) + one grouped argmax — the same O(E) shuffle bound as i2; at
+    100 TB the hub-node skew answer is AQE skew split on the join (the
+    perf_experiments §5 shape). The run-to-convergence form follows
+    i1's persist/localCheckpoint loop discipline."""
+    orders = load_table(spark, sf_dir, "orders")
+    edges = orders.select(
+        (F.col("o_custkey") % PR_NODES).alias("src"),
+        ((F.col("o_custkey") + F.col("o_orderkey")) % PR_NODES).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    sym = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+    )
+    nodes = sym.select(F.col("u").alias("n")).distinct()
+    labels = nodes.select("n", F.col("n").alias("label"))
+    for _ in range(2):
+        counts = (
+            sym.join(
+                labels.select(F.col("n").alias("v"), F.col("label").alias("vlabel")),
+                "v",
+            )
+            .groupBy("u", "vlabel")
+            .agg(F.count("*").alias("c"))
+        )
+        pick = counts.groupBy("u").agg(
+            F.max(F.struct(F.col("c"), (-F.col("vlabel")).alias("neg"))).alias("m")
+        ).select("u", (-F.col("m.neg")).alias("vlabel"))
+        labels = labels.join(pick, labels.n == pick.u, "left").select(
+            "n", F.coalesce("vlabel", "label").alias("label")
+        )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("community_size"))
+    return labels.join(sizes, "label").select(
+        F.col("n").cast("bigint").alias("node"),
+        F.col("label").cast("bigint").alias("label"),
+        F.col("community_size").cast("bigint").alias("community_size"),
+    )

@@ -62,6 +62,7 @@ _FRONT: list[str] = [
     "s9f_stream_static_enrich",
     "e28_cluster_survivors",
     "f19_minmax_scale",
+    "i3_label_propagation",
     # new in the round-2 continuation session (no driver row yet)
     "e17_semantic_dedup",
     "e18_cdc_chunking",
