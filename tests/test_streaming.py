@@ -354,3 +354,38 @@ def test_stream_static_enrich_matches_batch(spark, events_dir):
     from wx20222_bigdata_spark.streaming.jobs import EVENT_CATEGORY
 
     assert set(g["category"]) <= set(EVENT_CATEGORY.values())
+
+
+def test_idempotent_sink_exactly_once(spark, events_dir, tmp_path):
+    """Crash-replay simulation: run the sink once, DELETE the stream
+    checkpoint (forcing a full replay of every micro-batch — the
+    at-least-once worst case), run again, and assert the committed view
+    still holds each input row exactly once."""
+    import shutil
+
+    from wx20222_bigdata_spark.streaming.jobs import (
+        idempotent_parquet_sink,
+        read_committed,
+        read_events_stream,
+    )
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    src = read_events_stream(spark, events_dir).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    q = idempotent_parquet_sink(src, out, ckpt).start()
+    q.awaitTermination(120)
+    first = read_committed(spark, out).toPandas()
+
+    # wipe the checkpoint: the restarted stream replays from scratch,
+    # so every batch arrives a second time (at-least-once delivery)
+    shutil.rmtree(ckpt)
+    q2 = idempotent_parquet_sink(src, out, str(tmp_path / "ckpt2")).start()
+    q2.awaitTermination(120)
+    second = read_committed(spark, out).toPandas()
+
+    expected = spark.read.parquet(events_dir).count()
+    assert len(first) == expected
+    assert len(second) == expected  # replay added nothing
+    assert second["event_id"].is_unique
