@@ -264,6 +264,42 @@ def main() -> None:
         spark.conf.unset(conf)
     results["aqe_skew_join_split_sf1"] = skew_res
 
+    # --- 6. Z-order layout: 2-D box filter over z-sorted vs linear parquet ---
+    # The pyarrow row-group analysis (tests/test_layout.py) proves the
+    # pruning geometry; this measures what Spark's scan actually saves
+    # (parquet row-group skipping via footer min/max on BOTH filter cols).
+    from wx20222_bigdata_spark.operators.layout import Z_BITS, _interleave_terms
+
+    load_table(spark, "/root/testdata/sf0.1", "events").createOrReplaceTempView(
+        "events"
+    )
+    zx = f"(user_id % {1 << Z_BITS})"
+    zy = f"least(CAST(floor(value) AS BIGINT), {(1 << Z_BITS) - 1})"
+    zed = spark.sql(
+        f"SELECT event_id, CAST({zx} AS BIGINT) AS x, CAST({zy} AS BIGINT) AS y, "
+        f"CAST({_interleave_terms(zx, zy, Z_BITS, 'div')} AS BIGINT) AS zval, "
+        f"props FROM events"
+    )
+    # small row groups so min/max stats have skippable granularity
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+    zed.orderBy("zval").coalesce(4).write.mode("overwrite").option(
+        "parquet.block.size", 64 * 1024
+    ).parquet("/tmp/perf_z_sorted")
+    zed.orderBy("event_id").coalesce(4).write.mode("overwrite").option(
+        "parquet.block.size", 64 * 1024
+    ).parquet("/tmp/perf_z_linear")
+    box = "x BETWEEN 10 AND 20 AND y BETWEEN 50 AND 80"
+    z_res = {}
+    for label, path in [("zorder", "/tmp/perf_z_sorted"), ("linear", "/tmp/perf_z_linear")]:
+        df = spark.read.parquet(path).filter(box)
+        df.count()  # warm
+        t0 = time.perf_counter()
+        n = df.count()
+        z_res[label] = {"sec": round(time.perf_counter() - t0, 3), "rows": n}
+    spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    assert z_res["zorder"]["rows"] == z_res["linear"]["rows"], "layout changed results"
+    results["zorder_box_scan_sf01"] = z_res
+
     print(json.dumps(results, indent=2))
     spark.stop()
 
