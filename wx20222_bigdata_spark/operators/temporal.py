@@ -410,8 +410,12 @@ def t9_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     and DuckDB disagree on week-start conventions, epoch arithmetic is
     convention-free (the cross-engine datetime analog of the md5-hash
     rule). At scale the spine is O(days) — trivially broadcast against
-    any fact table; this is the standard dbt date-spine pattern."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    any fact table; this is the standard dbt date-spine pattern.
+
+    (No session-conf mutation here: a per-query ``conf.set`` would make
+    sibling queries order-dependent in the driver's shared session; the
+    repo-wide contract is that the driver environment is UTC, which
+    every events query already relies on.)"""
     spine = spark.range(1).select(
         F.explode(
             F.expr("sequence(to_date('2024-01-01'), to_date('2024-01-31'))")
