@@ -135,4 +135,17 @@ def test_production_lsh_recalls_mutants(spark):
 
     pairs = all_queries()["e2g_minhash_lsh_production"](spark, SF_ORACLE).toPandas()
     mutants = pairs[pairs.id_b == pairs.id_a + 100000]
-    assert len(mutants) == 10  # doc_id % 50 == 0 in 0..499
+    # one seeded mutant per doc_id % 50 == 0 — count from the corpus so the
+    # assertion holds at ANY scale (sf0.01: 10, sf1: 1000). LSH recall is
+    # probabilistic (a mutant whose ' extra' suffix perturbs all 4 bands is
+    # missed); measured: 10/10 at sf0.01, 995/1000 at sf1 — assert a 95%
+    # floor, not perfection.
+    from wx20222_bigdata_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    expected = (
+        load_table(spark, SF_ORACLE, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .count()
+    )
+    assert len(mutants) >= 0.95 * expected, (len(mutants), expected)
