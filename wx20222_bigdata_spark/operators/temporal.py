@@ -446,3 +446,55 @@ def t9_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0).cast("bigint")).alias("n_events"),
         F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
     )
+
+
+@query(
+    "t5b_unpivot",
+    oracle="""
+WITH wide AS (
+  SELECT user_id,
+         COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+         COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
+         COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+         COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+         COUNT(*) FILTER (WHERE event_type = 'error')    AS error
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, event_type, CAST(n AS BIGINT) AS n
+FROM wide
+UNPIVOT (n FOR event_type IN (click, view, purchase, signup, error))
+WHERE n > 0
+""",
+)
+def t5b_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5b unpivot — ``stack()`` melts t5's pivoted wide table back to
+    long form, proving pivot/unpivot are inverses (zero-count cells,
+    manufactured by the pivot, are dropped on the way back; what
+    remains is exactly the direct groupBy). Wide→long is the shape
+    metric stores and ML feature logs ingest at scale; stack() is a
+    generator expression (no shuffle of its own — the only exchange
+    here belongs to the upstream pivot aggregate), so melting N metric
+    columns costs a projection, not N scans. Oracle uses DuckDB's
+    native UNPIVOT against Spark's stack() — two independent
+    implementations of the same relational operator."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .select(
+            "user_id",
+            *[F.coalesce(t, F.lit(0)).alias(t) for t in types],
+        )
+    )
+    stack_args = ", ".join(f"'{t}', {t}" for t in types)
+    return (
+        wide.select(
+            "user_id",
+            F.expr(f"stack({len(types)}, {stack_args}) AS (event_type, n)"),
+        )
+        .select("user_id", "event_type", F.col("n").cast("bigint").alias("n"))
+        .filter(F.col("n") > 0)
+    )

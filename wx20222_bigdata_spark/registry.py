@@ -63,6 +63,7 @@ _FRONT: list[str] = [
     "e28_cluster_survivors",
     "f19_minmax_scale",
     "i3_label_propagation",
+    "t5b_unpivot",
     # new in the round-2 continuation session (no driver row yet)
     "e17_semantic_dedup",
     "e18_cdc_chunking",
