@@ -338,3 +338,95 @@ def x6_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return o.mapInArrow(to_cents, "o_orderkey bigint, price_cents bigint")
+
+
+ATTRIB_WINDOW_S = 30 * 60  #: click→purchase attribution window (s9e's rule)
+
+
+@query(
+    "x9_cogroup_attribution",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events WHERE event_type = 'purchase'
+),
+users AS (
+  SELECT user_id FROM c UNION SELECT user_id FROM p
+),
+attributed AS (
+  SELECT DISTINCT p.user_id, p.event_id
+  FROM p JOIN c ON c.user_id = p.user_id
+   AND p.sec >= c.sec AND p.sec <= c.sec + {ATTRIB_WINDOW_S}
+)
+SELECT u.user_id,
+       CAST(COALESCE(cc.n, 0) AS BIGINT) AS n_clicks,
+       CAST(COALESCE(pc.n, 0) AS BIGINT) AS n_purchases,
+       CAST(COALESCE(ac.n, 0) AS BIGINT) AS n_attributed,
+       CAST(cc.first_sec AS BIGINT) AS first_click_sec,
+       CAST(pc.first_sec AS BIGINT) AS first_purchase_sec
+FROM users u
+LEFT JOIN (SELECT user_id, COUNT(*) AS n, MIN(sec) AS first_sec FROM c GROUP BY user_id) cc USING (user_id)
+LEFT JOIN (SELECT user_id, COUNT(*) AS n, MIN(sec) AS first_sec FROM p GROUP BY user_id) pc USING (user_id)
+LEFT JOIN (SELECT user_id, COUNT(*) AS n FROM attributed GROUP BY user_id) ac USING (user_id)
+""",
+)
+def x9_cogroup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 cogrouped ``applyInPandas`` — the last member of the Python
+    boundary family (X1 scalar UDF, X2 grouped UDAF, X3 UDTF, X4
+    mapInPandas, X6 mapInArrow): clicks and purchases are COGROUPED by
+    user and a single Arrow-batched kernel sees both sides of one key
+    at once — the shape for per-entity algorithms that need two aligned
+    inputs (sessionized attribution, feature/label alignment, per-user
+    diff). The kernel here recomputes s9e's 30-minute click→purchase
+    attribution per user plus side counts — deliberately SQL-expressible
+    so the cogroup path itself is ORACLE-CHECKED (the declarative twin
+    is the oracle; most cogroup kernels in the wild have no such check).
+
+    Scale shape: cogroup shuffles each side ONCE on user_id (same
+    exchange a join would need); kernel state is one user's rows, never
+    the corpus. Kernel is a nested closure over plain ints (pickle by
+    value — the repo-wide driver-import rule). Second-granularity ints
+    in, ints out: nothing float crosses the boundary."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.floor(F.unix_timestamp("ts")).cast("bigint").alias("sec")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", sec)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", sec
+    )
+    window_s = ATTRIB_WINDOW_S
+
+    def attribute(key, cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
+        (uid,) = key
+        n_attr = 0
+        if len(cdf) and len(pdf):
+            csecs = cdf["sec"].to_numpy()
+            for ps in pdf["sec"].to_numpy():
+                if ((ps >= csecs) & (ps <= csecs + window_s)).any():
+                    n_attr += 1
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_clicks": [len(cdf)],
+                "n_purchases": [len(pdf)],
+                "n_attributed": [n_attr],
+                "first_click_sec": [cdf["sec"].min() if len(cdf) else None],
+                "first_purchase_sec": [pdf["sec"].min() if len(pdf) else None],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            attribute,
+            schema=(
+                "user_id bigint, n_clicks bigint, n_purchases bigint, "
+                "n_attributed bigint, first_click_sec bigint, "
+                "first_purchase_sec bigint"
+            ),
+        )
+    )

@@ -64,6 +64,7 @@ _FRONT: list[str] = [
     "f19_minmax_scale",
     "i3_label_propagation",
     "t5b_unpivot",
+    "x9_cogroup_attribution",
     # new in the round-2 continuation session (no driver row yet)
     "e17_semantic_dedup",
     "e18_cdc_chunking",
