@@ -374,3 +374,73 @@ def recall_at_k(ann: DataFrame, exact: DataFrame) -> float:
         ).alias("r")
     )
     return float(joined.agg(F.avg("r")).collect()[0][0])
+
+
+RP_OUT_DIMS = 16  #: JL random-projection target dimensionality (64 → 16)
+
+
+def _rp_matrix() -> list[list[float]]:
+    """Deterministic dense random-projection matrix R[64][16], entries in
+    [-1, 1] milli-units derived from md5 of the cell coordinates — both
+    engines receive R as the SAME literal, so no data-dependent or
+    engine-dependent randomness exists anywhere."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"rp-{i}-{j}".encode()).hexdigest()[:15], 16) % 2001 - 1000)
+            / 1000.0
+            for j in range(RP_OUT_DIMS)
+        ]
+        for i in range(64)
+    ]
+
+
+def _rp_oracle() -> str:
+    R = _rp_matrix()
+    cols = []
+    for j in range(RP_OUT_DIMS):
+        terms = f"[CAST(embedding[i + 1] AS DOUBLE) * ([{','.join(repr(R[i][j]) for i in range(64))}])[i + 1] for i in range(0, 64)]"
+        cols.append(f"ROUND(list_sum({terms}), 6) AS d{j}")
+    inner = ",\n       ".join(cols)
+    return f"""
+WITH proj AS (
+  SELECT vec_id,
+       {inner}
+  FROM embeddings
+)
+SELECT vec_id, {", ".join(f"d{j}" for j in range(RP_OUT_DIMS))}
+FROM proj
+"""
+
+
+@query("e29_random_projection", oracle=_rp_oracle())
+def e29_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E29 Johnson–Lindenstrauss random projection — 64-d embeddings
+    densely projected to {RP_OUT_DIMS}-d with a deterministic md5-derived
+    matrix: THE preprocessing step that makes 100 TB-scale ANN tractable
+    (shrink vectors before e3b/e3c bucketing; JL guarantees pairwise
+    distances survive within ε). Pure narrow projection — zero shuffle,
+    whole-stage codegen, the matrix rides into every task as plan
+    literals (at 768-d+ you'd broadcast it and use a pandas UDF — x4c's
+    shape — but the declarative form is exact and oracle-checkable).
+
+    Exactness: each output dim is ONE fixed-order sequential fold of 64
+    multiply-adds (landmine 16: Spark aggregate(zip_with(...)) ==
+    DuckDB list_sum comprehension, bit-for-bit), rounded once at emit.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    R = _rp_matrix()
+    cols = []
+    for j in range(RP_OUT_DIMS):
+        arr = f"array({','.join(repr(R[i][j]) for i in range(64))})"
+        cols.append(
+            F.round(
+                F.expr(
+                    f"aggregate(zip_with(embedding, {arr}, "
+                    f"(x, w) -> double(x) * w), 0D, (a, v) -> a + v)"
+                ),
+                6,
+            ).alias(f"d{j}")
+        )
+    return emb.select("vec_id", *cols)

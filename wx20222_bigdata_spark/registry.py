@@ -65,6 +65,7 @@ _FRONT: list[str] = [
     "i3_label_propagation",
     "t5b_unpivot",
     "x9_cogroup_attribution",
+    "e29_random_projection",
     # new in the round-2 continuation session (no driver row yet)
     "e17_semantic_dedup",
     "e18_cdc_chunking",
