@@ -84,3 +84,77 @@ def test_ivf_concentrates_on_clustered_corpus(spark):
     assert r2 >= 0.8, r2
     emb.unpersist()
     exact.unpersist()
+
+
+def test_random_projection_preserves_neighborhoods(spark):
+    """JL law for e29 — what a 4x dimension cut PRESERVES is coarse
+    geometry, not fine rank order: on a clustered corpus every projected
+    top-10 neighbor still comes from the query's true cluster (measured
+    purity 1.0 — assert >=0.95) while exact top-10 recall is 0.4
+    (within-cluster ordering scrambles; assert >=0.3); on the isotropic
+    corpus recall is 0.14 = 7x the random baseline k/N = 0.02 (assert
+    >=0.08). Deterministic: md5-derived matrix, seeded corpus — these
+    are measurements, not guesses."""
+    import numpy as np
+
+    from wx20222_bigdata_spark.operators.similarity import (
+        RP_OUT_DIMS,
+        _rp_matrix,
+    )
+    from pyspark.sql import functions as F
+
+    R = _rp_matrix()
+
+    def project(emb_df):
+        cols = []
+        for j in range(RP_OUT_DIMS):
+            arr = f"array({','.join(repr(R[i][j]) for i in range(64))})"
+            cols.append(
+                F.expr(
+                    f"aggregate(zip_with(embedding, {arr}, "
+                    f"(x, w) -> double(x) * w), 0D, (a, v) -> a + v)"
+                ).alias(f"d{j}")
+            )
+        return (
+            emb_df.select("vec_id", *cols)
+            .select(
+                "vec_id",
+                F.array(*[f"d{j}" for j in range(RP_OUT_DIMS)]).alias("embedding"),
+            )
+            .select(
+                "vec_id",
+                F.expr("transform(embedding, x -> float(x))").alias("embedding"),
+            )
+        )
+
+    # clustered corpus: projected neighbors ≈ true neighbors
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((10, 64)).astype("float64")
+    rows = []
+    for vid in range(500):
+        v = centers[vid % 10] + 0.15 * rng.standard_normal(64)
+        rows.append((vid, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>").cache()
+    emb.count()
+    exact = exact_topk(emb, N_Q, K).cache()
+    exact.count()
+    proj_topk = exact_topk(project(emb), N_Q, K).cache()
+    proj_topk.count()
+    r_clustered = recall_at_k(proj_topk, exact)
+    assert r_clustered >= 0.3, r_clustered
+    pp = proj_topk.toPandas()
+    purity = (pp.cand_id % 10 == pp.query_id % 10).mean()
+    assert purity >= 0.95, purity
+    proj_topk.unpersist()
+    emb.unpersist()
+    exact.unpersist()
+
+    # isotropic driver corpus: must still far exceed the random baseline
+    emb_iso = load_table(spark, SF, "embeddings").cache()
+    emb_iso.count()
+    exact_iso = exact_topk(emb_iso, N_Q, K).cache()
+    exact_iso.count()
+    r_iso = recall_at_k(exact_topk(project(emb_iso), N_Q, K), exact_iso)
+    assert r_iso >= 0.08, r_iso  # random baseline would be ~0.02
+    emb_iso.unpersist()
+    exact_iso.unpersist()
