@@ -171,6 +171,9 @@ def test_no_unpartitioned_window_in_declared_set(spark):
         # rank-number windows run AFTER TakeOrderedAndProject bounds
         # each modality list to RRF_DEPTH rows (never the scored set)
         "rrf1_hybrid_retrieval",
+        # running sum over the O(days) per-day aggregate series — user
+        # rows are reduced by two groupBys before the global window
+        "w11_cumulative_actives",
     }
     offenders = []
     for name, fn in all_queries().items():

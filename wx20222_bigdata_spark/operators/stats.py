@@ -550,3 +550,71 @@ def a16_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr"),
     )
+
+
+WINSOR_Q = 0.99  #: winsorization quantile (p99 clip)
+
+
+@query(
+    "a17_winsorized_stats",
+    oracle=f"""
+WITH cents AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM events
+),
+cut AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         (list_sort(list(v)))[CAST(ceil({WINSOR_Q} * COUNT(*)) AS BIGINT)] AS p99_cents
+  FROM cents GROUP BY event_type
+)
+SELECT c.event_type,
+       cut.n,
+       cut.p99_cents,
+       CAST(SUM(LEAST(c.v, cut.p99_cents)) AS BIGINT) AS winsor_sum_cents,
+       CAST(SUM(CASE WHEN c.v > cut.p99_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+FROM cents c JOIN cut ON c.event_type = cut.event_type
+GROUP BY c.event_type, cut.n, cut.p99_cents
+""",
+)
+def a17_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 winsorized (clipped) aggregates — robust statistics for
+    heavy-tailed metrics: values above the per-group p99 are clipped to
+    it before summing, the standard guard against a single whale row
+    dominating a mean (revenue metrics, token counts, session lengths
+    all need this at 100 TB). The quantile is the DISCRETE rank
+    statistic — element ceil(q·n) of the sorted integer-cents list —
+    never the interpolated percentile (landmine 19: interpolation
+    formulas differ across engines; a discrete order statistic of
+    integers is bit-exact). All arithmetic in integer cents.
+
+    Scale shape: the per-group sorted-list quantile shown here is the
+    oracle-checkable form (group = 5 event types, bounded); at corpus
+    scale the cut row swaps to approx_percentile (a13b's tier) and the
+    clip pass is unchanged — clip-and-sum stays one broadcast join +
+    one map-side-combinable aggregate."""
+    cents = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("v"),
+    )
+    cut = cents.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr(
+            f"element_at(array_sort(collect_list(v)), "
+            f"CAST(ceil({WINSOR_Q} * count(*)) AS INT))"
+        ).alias("p99_cents"),
+    )
+    return (
+        cents.join(F.broadcast(cut), "event_type")
+        .groupBy("event_type", "n", "p99_cents")
+        .agg(
+            F.sum(F.least(F.col("v"), F.col("p99_cents")))
+            .cast("bigint")
+            .alias("winsor_sum_cents"),
+            F.sum(F.when(F.col("v") > F.col("p99_cents"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped"),
+        )
+        .select("event_type", "n", "p99_cents", "winsor_sum_cents", "n_clipped")
+    )

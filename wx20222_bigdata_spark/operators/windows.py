@@ -629,3 +629,47 @@ def w10_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 100)
     )
+
+
+@query(
+    "w11_cumulative_actives",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS day
+  FROM events GROUP BY user_id
+),
+new_per_day AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM first_seen GROUP BY day
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM new_per_day
+""",
+)
+def w11_cumulative_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11 cumulative distinct users over time — the running-COUNT(
+    DISTINCT) every growth dashboard wants, in its only scalable form:
+    a windowed ``collect_set`` would carry every id in every frame
+    (state O(users × days)); instead each user contributes once at
+    their FIRST-SEEN day (one groupBy on user), days aggregate new
+    arrivals (one groupBy on day), and a running sum over the tiny
+    per-day series finishes the job. The global window orders O(days)
+    aggregate rows, never user rows — same bounded-input justification
+    as w10. The same first-seen trick is how t7's cohort matrix and
+    w5's rolling actives stay linear."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_format("ts", "yyyy-MM-dd")).alias("day")
+    )
+    new_per_day = first_seen.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return new_per_day.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )

@@ -66,6 +66,8 @@ _FRONT: list[str] = [
     "t5b_unpivot",
     "x9_cogroup_attribution",
     "e29_random_projection",
+    "a17_winsorized_stats",
+    "w11_cumulative_actives",
     # new in the round-2 continuation session (no driver row yet)
     "e17_semantic_dedup",
     "e18_cdc_chunking",
