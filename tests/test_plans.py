@@ -89,6 +89,8 @@ def test_no_unintended_cartesian_or_nested_loop(spark):
         # one-row query-vector broadcast (e3's pattern) + the one-row
         # corpus stats of its BM25 arm
         "rrf1_hybrid_retrieval",
+        # one-row (na, nb, V) totals broadcast into the smoothed-KL terms
+        "dq3_distribution_drift",
         # one-row corpus-size broadcast into the tf-idf scorer
         "e16_tfidf_keywords",
         # one-row scalar-average broadcast (q22 pos_avg)
@@ -174,6 +176,8 @@ def test_no_unpartitioned_window_in_declared_set(spark):
         # running sum over the O(days) per-day aggregate series — user
         # rows are reduced by two groupBys before the global window
         "w11_cumulative_actives",
+        # one-row KL fold over the |vocab| count table (bounded input)
+        "dq3_distribution_drift",
     }
     offenders = []
     for name, fn in all_queries().items():

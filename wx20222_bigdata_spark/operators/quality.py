@@ -299,3 +299,98 @@ def dq2_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_orders"),
         F.sum("abs_delta").cast("double").alias("total_abs_delta"),
     )
+
+
+@query(
+    "dq3_distribution_drift",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id % 2 AS side,
+         unnest(list_filter(string_split(lower(text), ' '),
+                            x -> length(x) > 0)) AS w
+  FROM documents
+),
+counts AS (
+  SELECT w,
+         CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM toks GROUP BY w
+),
+tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM counts
+),
+terms AS (
+  SELECT w,
+         (ca + 1.0) / (na + v) AS p,
+         (cb + 1.0) / (nb + v) AS q,
+         na, nb, v
+  FROM counts CROSS JOIN tot
+)
+SELECT MAX(na) AS n_tokens_a,
+       MAX(nb) AS n_tokens_b,
+       MAX(v) AS vocab_size,
+       ROUND(list_sum(list(p * ln(p / q) ORDER BY w)), 6) AS kl_ab,
+       ROUND(list_sum(list(q * ln(q / p) ORDER BY w)), 6) AS kl_ba
+FROM terms
+""",
+)
+def dq3_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ3 corpus distribution drift — smoothed KL divergence between
+    the unigram distributions of two corpus slices (even vs odd doc
+    ids, standing in for yesterday's vs today's snapshot): the
+    data-quality gate that catches a scraper change, an encoding bug,
+    or a source mix shift BEFORE a model trains on it (the dq-family's
+    distributional member: dq1 checks rows, dq2 checks ledgers, dq3
+    checks distributions). Add-1 smoothing over the union vocabulary
+    keeps every term finite.
+
+    Float discipline: both KL sums fold in sorted-word order — Spark's
+    sorted-collect_list sequential aggregate == DuckDB's
+    list_sum(list(... ORDER BY w)) bit-for-bit (landmine 16); the
+    division and ln() are per-term identical IEEE ops. Scale: the fold
+    runs over the |vocab| count table, not the corpus; the corpus
+    contributes one map-side-combinable conditional-count groupBy. The
+    one-row output is the documented bounded SinglePartition shape."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2).alias("side"),
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> length(x) > 0)")
+        ).alias("w"),
+    )
+    counts = toks.groupBy("w").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("bigint").alias("ca"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("bigint").alias("cb"),
+    )
+    tot = counts.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.count("*").cast("bigint").alias("v"),
+    )
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        "w",
+        ((F.col("ca") + 1.0) / (F.col("na") + F.col("v"))).alias("p"),
+        ((F.col("cb") + 1.0) / (F.col("nb") + F.col("v"))).alias("q"),
+        "na",
+        "nb",
+        "v",
+    )
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(w, {t}))),"
+        " s -> s.{t}), 0D, (a, x) -> a + x)"
+    )
+    return terms.select(
+        "w",
+        "na",
+        "nb",
+        "v",
+        (F.col("p") * F.log(F.col("p") / F.col("q"))).alias("t_ab"),
+        (F.col("q") * F.log(F.col("q") / F.col("p"))).alias("t_ba"),
+    ).agg(
+        F.max("na").alias("n_tokens_a"),
+        F.max("nb").alias("n_tokens_b"),
+        F.max("v").alias("vocab_size"),
+        F.round(F.expr(fold.format(t="t_ab")), 6).alias("kl_ab"),
+        F.round(F.expr(fold.format(t="t_ba")), 6).alias("kl_ba"),
+    )

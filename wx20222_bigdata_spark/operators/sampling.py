@@ -188,3 +188,52 @@ def o11_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sample_key"), "doc_id")
         .limit(SAMPLE_K)
     )
+
+
+@query(
+    "o12_consistent_sample",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, source,
+         (CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) % 100)
+           AS bucket
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(MIN(CASE WHEN bucket < 10 THEN doc_id END) AS BIGINT) AS first_sampled
+FROM keyed
+GROUP BY source
+""",
+)
+def o12_consistent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12 content-stable (consistent) sampling — the reproducibility
+    tier of the O-family: membership is decided by the CONTENT hash
+    (md5(text) % 100 < 10 → a 10% sample), not by an RNG stream, so the
+    same document lands in the sample on every rerun, every scale,
+    every engine, and every partition layout. This is how large-corpus
+    experiments stay comparable across pipeline versions (seeded
+    ``sample()`` — o2/o7 — changes membership whenever partitioning
+    changes; content hashing never does), and how train/eval
+    sub-corpora stay consistent across re-crawls: a re-ingested
+    duplicate lands on the same side of every split. Fully oracle-exact
+    for the same reason — no RNG to reconcile. Zero shuffle up to the
+    per-source accounting aggregate."""
+    from wx20222_bigdata_spark.functions.hashing import spark_md5_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.expr(spark_md5_hash("text", mod=100)).alias("bucket"),
+    )
+    return keyed.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("bucket") < 10, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sampled"),
+        F.min(F.when(F.col("bucket") < 10, F.col("doc_id")))
+        .cast("bigint")
+        .alias("first_sampled"),
+    )

@@ -68,6 +68,8 @@ _FRONT: list[str] = [
     "e29_random_projection",
     "a17_winsorized_stats",
     "w11_cumulative_actives",
+    "o12_consistent_sample",
+    "dq3_distribution_drift",
     # new in the round-2 continuation session (no driver row yet)
     "e17_semantic_dedup",
     "e18_cdc_chunking",
