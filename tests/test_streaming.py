@@ -389,3 +389,41 @@ def test_idempotent_sink_exactly_once(spark, events_dir, tmp_path):
     assert len(first) == expected
     assert len(second) == expected  # replay added nothing
     assert second["event_id"].is_unique
+
+
+def test_streaming_agg_merge_equals_batch_recompute(spark, events_dir, tmp_path):
+    from wx20222_bigdata_spark.streaming.jobs import (
+        read_events_stream,
+        streaming_agg_merge,
+    )
+
+    state = str(tmp_path / "state")
+    src = read_events_stream(spark, events_dir)
+    q = streaming_agg_merge(src, state, str(tmp_path / "ckpt")).start()
+    q.awaitTermination(120)
+    got = (
+        spark.read.parquet(state + "/current")
+        .select(
+            "day",
+            "event_type",
+            "n_events",
+            F.col("sum_v").cast("double").alias("sum_v"),
+        )
+        .toPandas()
+        .sort_values(["day", "event_type"])
+        .reset_index(drop=True)
+    )
+    ev = spark.read.parquet(events_dir)
+    want = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_v"),
+        )
+        .toPandas()
+        .sort_values(["day", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert (got["n_events"].values == want["n_events"].values).all()
+    assert (abs(got["sum_v"].values - want["sum_v"].values) < 1e-9).all()

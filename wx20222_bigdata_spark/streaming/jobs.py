@@ -381,3 +381,68 @@ def read_committed(spark: SparkSession, out_dir: str) -> DataFrame:
     if not paths:
         return spark.createDataFrame([], "event_id bigint")
     return spark.read.parquet(*paths)
+
+
+def streaming_agg_merge(stream_df: DataFrame, state_dir: str, checkpoint_dir: str):
+    """Streaming materialized-view maintenance — m4's merge tree driven
+    by a stream: each micro-batch is reduced to (day, event_type)
+    partials, merged with the stored aggregate state (sum/count are
+    algebraic, so merge == recompute — the law m4's oracle proves in
+    batch), and the state table is atomically swapped. This is the
+    foreachBatch form of a continuously-maintained rollup: state size
+    is O(groups), independent of stream length, and a crash between
+    write and swap leaves the previous state intact (the swap is the
+    commit point; a transactional table format does the same with a
+    log entry instead of a rename).
+
+    Test (tests/test_streaming.py): final state == one-shot batch
+    recompute over the same rows, exactly."""
+    import os
+    import shutil
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = (
+            batch_df.groupBy(
+                F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_v"),
+            )
+        )
+        cur = os.path.join(state_dir, "current")
+        if os.path.exists(cur):
+            prev = spark.read.parquet(cur)
+            merged = (
+                prev.select("day", "event_type", "n_events",
+                            F.col("sum_v").cast("decimal(28,2)").alias("sum_v"))
+                .unionByName(
+                    partial.select("day", "event_type", "n_events",
+                                   F.col("sum_v").cast("decimal(28,2)").alias("sum_v"))
+                )
+                .groupBy("day", "event_type")
+                .agg(
+                    F.sum("n_events").cast("bigint").alias("n_events"),
+                    F.sum("sum_v").cast("decimal(28,2)").alias("sum_v"),
+                )
+            )
+        else:
+            merged = partial.select(
+                "day", "event_type", "n_events",
+                F.col("sum_v").cast("decimal(28,2)").alias("sum_v"),
+            )
+        nxt = os.path.join(state_dir, f"_staging_{batch_id}")
+        merged.write.mode("overwrite").parquet(nxt)
+        old = os.path.join(state_dir, f"_old_{batch_id}")
+        if os.path.exists(cur):
+            os.rename(cur, old)
+        os.rename(nxt, cur)  # atomic swap = commit point
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
