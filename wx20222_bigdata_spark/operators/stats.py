@@ -618,3 +618,69 @@ def a17_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n", "p99_cents", "winsor_sum_cents", "n_clipped")
     )
+
+
+@query(
+    "m5_changefeed_apply",
+    oracle="""
+WITH feed AS (
+  SELECT o_orderkey % 1000 AS key,
+         o_orderkey AS seq,
+         CASE WHEN o_orderkey % 11 = 0 THEN 'delete'
+              WHEN o_orderkey % 3 = 0 THEN 'update'
+              ELSE 'insert' END AS op,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS payload
+  FROM orders
+),
+latest AS (
+  SELECT key, seq, op, payload
+  FROM feed
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) = 1
+)
+SELECT key, CAST(seq AS BIGINT) AS last_seq, op AS last_op,
+       CAST(payload AS DOUBLE) AS price
+FROM latest
+WHERE op <> 'delete'
+""",
+)
+def m5_changefeed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 ordered change-feed application — the m-family's multi-change
+    member: a CDC feed carries MANY operations per key (insert/update/
+    delete, ordered by a sequence number); applying it means keeping
+    each key's LATEST operation and dropping keys whose last op is a
+    delete — last-writer-wins compaction, the exact semantics of a
+    Kafka-compacted topic replay or a Debezium snapshot apply (m1
+    handles the one-change-per-key upsert batch; real feeds aren't that
+    polite). The feed is synthesized deterministically from orders
+    (key = orderkey % 1000 → ~15 changes per key at sf0.01).
+
+    Plan: ONE window partitioned by key ordered by seq desc — the
+    shuffle is on the key (co-partitionable with the target table), and
+    per-partition state is a key's change history, never the feed. At
+    100 TB the same plan runs per ingest bucket; the window is the
+    standard replacement for a per-key reduce loop."""
+    o = load_table(spark, sf_dir, "orders")
+    feed = o.select(
+        (F.col("o_orderkey") % 1000).alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 11 == 0, "delete")
+        .when(F.col("o_orderkey") % 3 == 0, "update")
+        .otherwise("insert")
+        .alias("op"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("payload"),
+    )
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("key").orderBy(F.desc("seq"))
+    )
+    return (
+        feed.withColumn("rn", rn)
+        .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
+        .select(
+            "key",
+            F.col("seq").cast("bigint").alias("last_seq"),
+            F.col("op").alias("last_op"),
+            F.col("payload").cast("double").alias("price"),
+        )
+    )

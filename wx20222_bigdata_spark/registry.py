@@ -70,6 +70,7 @@ _FRONT: list[str] = [
     "w11_cumulative_actives",
     "o12_consistent_sample",
     "dq3_distribution_drift",
+    "m5_changefeed_apply",
     # new in the round-2 continuation session (no driver row yet)
     "e17_semantic_dedup",
     "e18_cdc_chunking",
