@@ -178,6 +178,8 @@ def test_no_unpartitioned_window_in_declared_set(spark):
         "w11_cumulative_actives",
         # one-row KL fold over the |vocab| count table (bounded input)
         "dq3_distribution_drift",
+        # one-row wide dataset-card aggregate (bounded single-partition)
+        "e30_dataset_card",
     }
     offenders = []
     for name, fn in all_queries().items():

@@ -158,3 +158,81 @@ def e7_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_bins", F.lit(0)).alias("n_bins"),
         )
     )
+
+
+@query(
+    "e30_dataset_card",
+    oracle="""
+WITH feats AS (
+  SELECT doc_id, source, lang, md5(text) AS content_key,
+         len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n_tok
+  FROM documents
+),
+card AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         CAST(COUNT(DISTINCT content_key) AS BIGINT) AS n_unique_docs,
+         (list_sort(list(n_tok)))[CAST(ceil(0.5 * COUNT(*)) AS BIGINT)] AS p50_tokens,
+         CAST(SUM(CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_length_band
+  FROM feats
+)
+SELECT n_docs, n_sources, n_langs, total_tokens, n_unique_docs,
+       CAST(floor((n_docs - n_unique_docs) * 10000.0 / n_docs) AS BIGINT) AS dup_rate_bp,
+       p50_tokens, n_in_length_band
+FROM card
+""",
+)
+def e30_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E30 dataset card — the one-row corpus summary a curation run
+    publishes with its output (HuggingFace dataset-card / Datasheets
+    shape): volume, source/language diversity, token mass, exact-dup
+    rate, median document length, and the length-band population the
+    quality gate (e7) will keep. ONE scan computes every number — each
+    statistic is a column of the same wide aggregate, so adding a card
+    field costs a projection, not a pass (dq1's rule-fusion discipline
+    applied to reporting). Dup rate is emitted in floor()'d basis
+    points (landmine 22) and the median is the discrete order statistic
+    (landmine 19). The one-row output is the documented bounded
+    SinglePartition shape; at 100 TB the sorted-list median swaps to
+    approx_percentile exactly as a17 documents."""
+    feats = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5("text").alias("content_key"),
+        F.size(
+            F.expr("filter(split(text, ' '), x -> length(x) > 0)")
+        ).cast("bigint").alias("n_tok"),
+    )
+    card = feats.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.countDistinct("content_key").cast("bigint").alias("n_unique_docs"),
+        F.expr(
+            "element_at(array_sort(collect_list(n_tok)), "
+            "CAST(ceil(0.5 * count(*)) AS INT))"
+        ).alias("p50_tokens"),
+        F.sum(F.when(F.col("n_tok").between(20, 1000), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_in_length_band"),
+    )
+    return card.select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "total_tokens",
+        "n_unique_docs",
+        F.floor(
+            (F.col("n_docs") - F.col("n_unique_docs"))
+            * 10000.0
+            / F.col("n_docs")
+        )
+        .cast("bigint")
+        .alias("dup_rate_bp"),
+        "p50_tokens",
+        "n_in_length_band",
+    )

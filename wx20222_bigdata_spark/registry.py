@@ -71,6 +71,7 @@ _FRONT: list[str] = [
     "o12_consistent_sample",
     "dq3_distribution_drift",
     "m5_changefeed_apply",
+    "e30_dataset_card",
     # new in the round-2 continuation session (no driver row yet)
     "e17_semantic_dedup",
     "e18_cdc_chunking",
