@@ -91,6 +91,11 @@ def test_no_unintended_cartesian_or_nested_loop(spark):
         "rrf1_hybrid_retrieval",
         # one-row (na, nb, V) totals broadcast into the smoothed-KL terms
         "dq3_distribution_drift",
+        # one-row global-total broadcast (Q11 threshold); both q2/q11
+        # also cross the 4-row replication frame of the synthesized
+        # partsupp (constant-size broadcast)
+        "q11_important_stock",
+        "q2_min_cost_supplier",
         # one-row corpus-size broadcast into the tf-idf scorer
         "e16_tfidf_keywords",
         # one-row scalar-average broadcast (q22 pos_avg)
@@ -161,6 +166,8 @@ def test_no_unpartitioned_window_in_declared_set(spark):
         "q15_top_supplier",
         "q19_discounted_revenue",
         "q22_global_sales_opportunity",
+        # one-row global-value threshold broadcast (Q11's scalar subquery)
+        "q11_important_stock",
         # seeded global reorder demo (documented rows-only)
         "o7_seeded_shuffle",
         # source-cardinality-bounded apportionment table (one row per

@@ -72,6 +72,8 @@ _FRONT: list[str] = [
     "dq3_distribution_drift",
     "m5_changefeed_apply",
     "e30_dataset_card",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
     # new in the round-2 continuation session (no driver row yet)
     "e17_semantic_dedup",
     "e18_cdc_chunking",
