@@ -673,3 +673,56 @@ def w11_cumulative_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
     )
+
+
+@query(
+    "w12_range_frame",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT event_id, user_id, sec,
+       CAST(SUM(v_cents) OVER w AS BIGINT) AS hour_sum_cents,
+       CAST(COUNT(*) OVER w AS BIGINT) AS hour_n
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""",
+)
+def w12_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12 RANGE window frame — the VALUE-based frame the W-family
+    lacked: each purchase carries the trailing-hour sum/count for its
+    user, bounded by event-TIME distance (RANGE BETWEEN 3600 PRECEDING),
+    not row count (w3's ROWS frames) and not bucket alignment (s9b's
+    sliding windows) — three genuinely different windowing semantics,
+    now all declared. RANGE frames are how "rate over the last hour"
+    limits and trailing-exposure features are computed per entity.
+
+    Exactness: the frame key is integer epoch seconds and the measure
+    integer cents, so frame membership AND the aggregate are exact on
+    both engines (a raw-timestamp RANGE frame would hit the tz landmine;
+    a float measure would hit ordering drift). Partitioned by user —
+    no global window; per-partition state is one frame's rows."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "event_id",
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("sec"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("v_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "sec",
+        F.sum("v_cents").over(w).cast("bigint").alias("hour_sum_cents"),
+        F.count("*").over(w).cast("bigint").alias("hour_n"),
+    )

@@ -74,6 +74,7 @@ _FRONT: list[str] = [
     "e30_dataset_card",
     "q2_min_cost_supplier",
     "q11_important_stock",
+    "w12_range_frame",
     # new in the round-2 continuation session (no driver row yet)
     "e17_semantic_dedup",
     "e18_cdc_chunking",
