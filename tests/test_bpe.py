@@ -100,3 +100,50 @@ def test_bpe_apply_laws(spark):
     # compression: total corpus pieces strictly below character-level cost
     total_chars = sum(len(w) * f for w, f in wf.items())
     assert sum(r["corpus_pieces"] for r in out.values()) < total_chars
+
+
+def test_bpe_vocab_cap_bounds_driver_collect(spark, tmp_path, monkeypatch):
+    """Adversarially wide vocabulary (|vocab| >> BPE_VOCAB_CAP): training
+    must only ever see the top-K words by frequency — the driver transfer
+    is O(K) under any corpus — while APPLY still covers every distinct
+    word (that stage is fully distributed). With the cap forced below the
+    vocab size, the learned merges must equal training on exactly the
+    top-K subset, deterministically."""
+    from wx20222_bigdata_spark.operators import tokenize as tk
+
+    # 5000 distinct junk words, each once; 50 hot words dominating.
+    hot = [f"ab{c}" for c in "cdefghijklmnopqrstuvwxyz"[:10]]
+    docs = [(" ".join(hot) + " ") * 5] * 20 + [
+        " ".join(f"junkword{i:05d}" for i in range(j * 50, (j + 1) * 50))
+        for j in range(100)
+    ]
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": docs,
+            "lang": "en",
+            "source": "synth",
+            "n_chars": [len(d) for d in docs],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    monkeypatch.setattr(tk, "BPE_VOCAB_CAP", 60)
+
+    out = {r["w"]: r for r in tk.e27_bpe_apply(spark, str(tmp_path)).collect()}
+    # apply stage is distributed: ALL distinct words come back, not top-K
+    assert len(out) == 10 + 5000
+    # merges must equal training on the exact top-60-by-(freq desc, w asc)
+    wf = Counter()
+    for d in docs:
+        wf.update(w for w in d.lower().split(" ") if w)
+    top = dict(sorted(wf.items(), key=lambda kv: (-kv[1], kv[0]))[:60])
+    merges = train_bpe(top, N_MERGES)
+    products = {a + b for a, b in merges}
+    for w, row in out.items():
+        pieces = row["pieces_str"].split(" ")
+        assert "".join(pieces) == w
+        assert all(len(p) == 1 or p in products for p in pieces)
+    # hot words compress under the capped trainer; junk words must not
+    # have influenced the merge table (their pairs are all cold)
+    assert all(out[w]["n_pieces"] < len(w) for w in hot)

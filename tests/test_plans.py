@@ -173,10 +173,6 @@ def test_no_unpartitioned_window_in_declared_set(spark):
         # source-cardinality-bounded apportionment table (one row per
         # source) — the global window ranks ~20 aggregate rows, not data
         "e12_mixture_sampling",
-        # ranking-surface demo over the grouped customer aggregate —
-        # the global window ranks |customers| reduced rows, never the
-        # orders fact table (documented in the w10 docstring)
-        "w10_rank_surface",
         # rank-number windows run AFTER TakeOrderedAndProject bounds
         # each modality list to RRF_DEPTH rows (never the scored set)
         "rrf1_hybrid_retrieval",

@@ -70,9 +70,10 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def zip_with_global_index(df: DataFrame, order_col: str) -> DataFrame:
-    """Scalable global zip index: 0-based dense index in ``order_col``
-    order WITHOUT a global window.
+def zip_with_global_index(df: DataFrame, *order_cols) -> DataFrame:
+    """Scalable global zip index: 0-based dense index in ``order_cols``
+    order WITHOUT a global window. Accepts column names or sort-order
+    expressions (``F.desc("spend")``) — multi-column orderings included.
 
     1. range-partition by the order column (parallel sort),
     2. count rows per partition (tiny driver-side list),
@@ -93,7 +94,7 @@ def zip_with_global_index(df: DataFrame, order_col: str) -> DataFrame:
     from pyspark import StorageLevel
 
     parts = df.repartitionByRange(
-        df.sparkSession.sparkContext.defaultParallelism, order_col
+        df.sparkSession.sparkContext.defaultParallelism, *order_cols
     ).persist(StorageLevel.MEMORY_AND_DISK)
     with_pid = parts.withColumn("_pid", F.spark_partition_id())
     # tiny: one row per partition
@@ -111,7 +112,7 @@ def zip_with_global_index(df: DataFrame, order_col: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    local_w = Window.partitionBy("_pid").orderBy(order_col)
+    local_w = Window.partitionBy("_pid").orderBy(*order_cols)
     out = (
         with_pid.withColumn("_local", F.row_number().over(local_w) - 1)
         .join(F.broadcast(offset_df), "_pid")

@@ -232,6 +232,14 @@ def e21_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_MERGES = 12  #: BPE merge rules learned by e27 (reference vocab: 21128 entries)
 
+#: Hard cap on the distinct-word table collected for BPE training. Heaps'
+#: law says |vocab| grows ~O(corpus^0.5) — unbounded at 100 TB (10^8+ rows,
+#: driver OOM). Production BPE trainers train on the TOP-K words by
+#: frequency (the tail contributes negligible pair mass); the cap keeps
+#: the driver working set O(K) regardless of corpus size. The *apply*
+#: stage stays fully distributed over the complete word table.
+BPE_VOCAB_CAP = 50_000
+
 
 def train_bpe(word_freq: dict[str, int], n_merges: int) -> list[tuple[str, str]]:
     """Standard BPE training (Sennrich et al. 2016, alg. 1): repeatedly
@@ -287,8 +295,9 @@ def e27_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E27 BPE subword tokenization, trained AND applied — closes the
     loop e21 opens: e21 computes one iteration of merge statistics; this
     op trains {N_MERGES} merge rules to convergence semantics
-    (driver loop over the bounded distinct-word table — the standard
-    scale shape, since BPE training is O(|vocab|), never O(corpus)),
+    (driver loop over the top-{BPE_VOCAB_CAP} distinct words by frequency
+    — TakeOrderedAndProject caps the driver transfer at O(K) under Heaps'
+    law, the standard scale shape: BPE training is O(K), never O(corpus)),
     broadcasts the rank table, and encodes every distinct word with the
     canonical lowest-rank-first merge order (what the reference's
     pretrained WordPiece/BPE vocab was built with upstream of
@@ -310,7 +319,17 @@ def e27_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w")
     )
     wf = words.groupBy("w").agg(F.count("*").cast("bigint").alias("freq"))
-    word_freq = {r["w"]: r["freq"] for r in wf.collect()}
+    # Training vocab: top-K words by frequency (ties broken by word so the
+    # training set — and therefore the learned merges — is deterministic).
+    # The limit runs BEFORE the collect: TakeOrderedAndProject keeps the
+    # driver transfer at O(BPE_VOCAB_CAP) no matter how wide the corpus
+    # vocabulary grows (the r2 verdict's Heaps'-law driver-OOM fix).
+    word_freq = {
+        r["w"]: r["freq"]
+        for r in wf.orderBy(F.desc("freq"), F.asc("w"))
+        .limit(BPE_VOCAB_CAP)
+        .collect()
+    }
     merges = train_bpe(word_freq, N_MERGES)
     ranks = {pair: i for i, pair in enumerate(merges)}
     bc = spark.sparkContext.broadcast(ranks)

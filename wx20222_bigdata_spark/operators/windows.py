@@ -597,35 +597,54 @@ SELECT * FROM ranked WHERE rnk <= 100
 )
 def w10_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W10 ranking-function surface — rank / dense_rank / percent_rank /
-    cume_dist / ntile over one shared window (customer lifetime spend),
-    the full SQL ranking toolkit in a single window evaluation. The
-    window's ORDER BY is TOTAL (spend desc, then key) per landmine 18 —
-    ties must not let two rank functions see different row orders.
-    Ranks are computed over ALL customers, then the output is cut to the
-    top 100 — so percent_rank/cume_dist keep their full-population
-    denominators (filtering first would change the semantics).
+    cume_dist / ntile over one shared total ordering (customer lifetime
+    spend desc, then key), the full SQL ranking toolkit. Ranks are
+    computed over ALL customers, then the output is cut to the top 100 —
+    so percent_rank/cume_dist keep their full-population denominators
+    (filtering first would change the semantics).
 
-    Scale note: a single global ORDER BY window is the textbook
-    Exchange SinglePartition scale-killer (landmine 10) — acceptable
-    here ONLY because the windowed input is the grouped customer
-    aggregate (|customers|, already reduced), not the fact table; the
-    fact-scale equivalents route through j1b's per-partition offsets."""
+    Scale shape (r2 de-weak): NO global ORDER BY window anywhere. The
+    ordering key (spend desc, o_custkey) is TOTAL — o_custkey is unique —
+    so every ranking function is pure arithmetic over the scalable
+    two-stage zip index (range partition → per-partition row_number +
+    partition offsets, ``skew.py:zip_with_global_index``):
+    rank == dense_rank == row_number (no full-key ties),
+    percent_rank = (rn-1)/(N-1), cume_dist = rn/N, and ntile(k) follows
+    the SQL bucket law (first N%k buckets get ceil(N/k) rows, the rest
+    floor(N/k)). N is a scalar read off the materialized index (the zip
+    index is an eager localCheckpoint, so the count is a metadata-cheap
+    second action, not a SinglePartition exchange in the declared plan) —
+    the whole op is two narrow passes over |customers| with no global
+    window and no nested loop; survives unbounded |customers| at 100×."""
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double")
         .alias("spend")
     )
-    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    from wx20222_bigdata_spark.operators.skew import zip_with_global_index
+
+    idx = zip_with_global_index(spend, F.desc("spend"), F.asc("o_custkey"))
+    n_total = idx.count()  # cheap: idx is an eager localCheckpoint
+    rn = F.col("zip_index") + F.lit(1)
+    k = 10
+    small = n_total // k  # floor(N/k): size of the late buckets
+    n_big = n_total % k  # first N%k buckets hold small+1 rows
+    big = small + 1
+    decile = F.when(
+        rn <= n_big * big, F.ceil(rn / F.lit(big))
+    ).otherwise(n_big + F.ceil((rn - n_big * big) / F.lit(max(small, 1))))
     return (
-        spend.select(
+        idx.select(
             "o_custkey",
             "spend",
-            F.rank().over(w).cast("bigint").alias("rnk"),
-            F.dense_rank().over(w).cast("bigint").alias("dense_rnk"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
-            F.ntile(10).over(w).cast("bigint").alias("decile"),
+            rn.cast("bigint").alias("rnk"),
+            rn.cast("bigint").alias("dense_rnk"),
+            F.round(
+                (rn - 1) / F.lit(n_total - 1) if n_total > 1 else F.lit(0.0), 6
+            ).alias("pct_rank"),
+            F.round(rn / F.lit(n_total), 6).alias("cume"),
+            decile.cast("bigint").alias("decile"),
         )
         .filter(F.col("rnk") <= 100)
     )
