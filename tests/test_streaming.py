@@ -293,35 +293,53 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     assert got.select("event_id").distinct().count() == ev.count()
 
 
-def test_transform_with_state_running_totals(spark, events_dir):
-    """Spark 4 transformWithStateInPandas: per-user running (count, sum)
-    carried in a named ValueState must equal the batch aggregate after
-    one availableNow pass. Skips where google.protobuf (the
-    transformWithState state-server protocol dep) is unavailable."""
-    import pytest
+def test_stateful_running_totals_matches_batch(spark, events_dir):
+    """Per-user running (count, sum) carried in explicit streaming state
+    must equal the batch aggregate after one availableNow pass.
 
-    try:
-        import google.protobuf  # noqa: F401
-    except ImportError:
-        pytest.skip("google.protobuf not available (transformWithState protocol dep)")
+    Runs the ``applyInPandasWithState`` twin where google.protobuf (the
+    transformWithState state-server protocol dep) is unavailable —
+    identical output contract — and the Spark 4
+    ``transformWithStateInPandas`` variant where it is, so the test is
+    never skipped and the declared API surface is exercised either way."""
     from wx20222_bigdata_spark.streaming.jobs import (
         read_events_stream,
         stateful_running_totals,
+        stateful_running_totals_classic,
     )
 
-    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
     try:
-        stream = stateful_running_totals(read_events_stream(spark, events_dir))
-        got = _run(spark, stream, "t_tws", mode="update").toPandas()
-    finally:
-        if old:
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
-        else:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        import google.protobuf  # noqa: F401
+
+        have_protobuf = True
+    except ImportError:
+        have_protobuf = False
+
+    if have_protobuf:
+        old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            stream = stateful_running_totals(read_events_stream(spark, events_dir))
+            got = _run(spark, stream, "t_tws", mode="update").toPandas()
+        finally:
+            if old:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", old
+                )
+            else:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    else:
+        # the transformWithState variant must fail loud, not wrong
+        with pytest.raises(ImportError, match="protobuf"):
+            stateful_running_totals(read_events_stream(spark, events_dir))
+        stream = stateful_running_totals_classic(
+            read_events_stream(spark, events_dir)
+        )
+        got = _run(spark, stream, "t_totals_classic", mode="update").toPandas()
     ev = spark.read.parquet(events_dir)
     batch = (
         ev.groupBy("user_id")
@@ -427,3 +445,88 @@ def test_streaming_agg_merge_equals_batch_recompute(spark, events_dir, tmp_path)
     assert len(got) == len(want) > 0
     assert (got["n_events"].values == want["n_events"].values).all()
     assert (abs(got["sum_v"].values - want["sum_v"].values) < 1e-9).all()
+
+
+def _last_batch_id(ckpt: str) -> int:
+    """Highest committed micro-batch id in a streaming checkpoint."""
+    import os
+
+    commits = os.path.join(ckpt, "commits")
+    return max(int(f) for f in os.listdir(commits) if not f.startswith("."))
+
+
+def test_idempotent_sink_same_lineage_replay(spark, events_dir, tmp_path):
+    """True at-least-once replay (same checkpoint lineage): re-deliver
+    the last batch_id to the sink's batch writer — exactly what a
+    restart inside the crash window does — and assert the on-disk marker
+    swallows it, keeping each row exactly once even though the replayed
+    'batch' carries extra rows (a marker-less sink would write them)."""
+    from wx20222_bigdata_spark.streaming.jobs import (
+        idempotent_parquet_sink,
+        make_idempotent_batch_writer,
+        read_committed,
+        read_events_stream,
+    )
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    src = read_events_stream(spark, events_dir).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    q = idempotent_parquet_sink(src, out, ckpt).start()
+    q.awaitTermination(120)
+    expected = spark.read.parquet(events_dir).count()
+    assert read_committed(spark, out).count() == expected
+
+    replayed = spark.read.parquet(events_dir).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    make_idempotent_batch_writer(out, ckpt)(replayed, _last_batch_id(ckpt))
+    got = read_committed(spark, out).toPandas()
+    assert len(got) == expected
+    assert got["event_id"].is_unique
+
+
+def test_streaming_agg_merge_replay_does_not_double_count(
+    spark, events_dir, tmp_path
+):
+    """streaming_agg_merge under the foreachBatch at-least-once contract:
+    re-merging an already-applied batch_id must leave the state
+    bit-identical — the _last_batch record committed atomically with the
+    state swap is the replay guard (r2 ADVICE: marker-less merge
+    double-counted n_events/sum_v)."""
+    from wx20222_bigdata_spark.streaming.jobs import (
+        make_agg_merge_batch,
+        read_events_stream,
+        streaming_agg_merge,
+    )
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    src = read_events_stream(spark, events_dir)
+    q = streaming_agg_merge(src, state, ckpt).start()
+    q.awaitTermination(120)
+
+    def snapshot():
+        return (
+            spark.read.parquet(state + "/current")
+            .select(
+                "day", "event_type", "n_events", F.col("sum_v").cast("double")
+            )
+            .toPandas()
+            .sort_values(["day", "event_type"])
+            .reset_index(drop=True)
+        )
+
+    before = snapshot()
+    # replay the last applied batch (same id, full data) — must be a no-op
+    make_agg_merge_batch(state)(
+        spark.read.parquet(events_dir), _last_batch_id(ckpt)
+    )
+    assert before.equals(snapshot())  # no double count
+    # a genuinely NEW batch id still merges (the guard is not a tombstone)
+    make_agg_merge_batch(state)(
+        spark.read.parquet(events_dir).limit(5), _last_batch_id(ckpt) + 1
+    )
+    after = snapshot()
+    assert int(after["n_events"].sum()) == int(before["n_events"].sum()) + 5

@@ -211,6 +211,46 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "up
 _TWS_OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 
 
+def stateful_running_totals_classic(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum) via ``applyInPandasWithState`` — the
+    portable twin of :func:`stateful_running_totals`: identical output
+    contract, no protobuf state-server dependency, runs on any Spark ≥3.4
+    (the transformWithState variant below needs the RocksDB provider +
+    google.protobuf and is the forward-looking path on clusters that ship
+    them). State is one (n, total) pair per user — O(users)."""
+
+    def totals_fn(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.withWatermark("ts", "1 minute")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            totals_fn,
+            outputStructType=_TWS_OUT_SCHEMA,
+            stateStructType="n bigint, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stateful_running_totals(events: DataFrame) -> DataFrame:
     """``transformWithStateInPandas`` running per-user totals — the
     Spark 4 arbitrary-state API (StatefulProcessor + typed state
@@ -338,28 +378,25 @@ def idempotent_parquet_sink(stream_df: DataFrame, out_dir: str, checkpoint_dir: 
     Structured Streaming's at-least-once ``foreachBatch`` contract —
     at-least-once replay + idempotent writes = exactly-once output.
 
-    The marker lives NEXT TO the data (``_committed_N``), not in the
-    stream checkpoint: recovery must survive the checkpoint and the
-    data dir disagreeing, which is precisely the crash window. At
-    100 TB the marker directory is a transaction log; compaction of
-    committed partitions is a downstream maintenance job (S6's sharded
-    writer). Test: tests/test_streaming.py stops the stream between
-    batches, restarts from the same checkpoint, and asserts no
-    duplicate rows in the committed view."""
-    import os
-
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(out_dir, f"_committed_{batch_id}")
-        if os.path.exists(marker):
-            return  # replayed batch — already committed, skip (idempotent)
-        (
-            batch_df.write.mode("overwrite").parquet(
-                os.path.join(out_dir, f"batch_id={batch_id}")
-            )
-        )
-        with open(marker, "w") as f:
-            f.write("ok")
-
+    The marker lives NEXT TO the data (``_committed_<run>_<batch>``), not
+    in the stream checkpoint: recovery must survive the checkpoint and the
+    data dir disagreeing, which is precisely the crash window. Markers —
+    and the batch partitions themselves — are namespaced by the
+    **checkpoint lineage id** (the streaming query id persisted in
+    ``<checkpoint>/metadata``, stable across restarts from the same
+    checkpoint, fresh for a new checkpoint): batch N of a NEW lineage is
+    a different batch than batch N of the old one, so a marker from a
+    previous lineage can never silently swallow new data (r2 ADVICE).
+    ``read_committed`` reads the CURRENT lineage only — each lineage of
+    an availableNow file-source query is a complete, self-contained view
+    of the source, so "current lineage's committed set" is the
+    exactly-once contract. At 100 TB the marker directory is a
+    transaction log; compaction of committed partitions is a downstream
+    maintenance job (S6's sharded writer). Test: tests/test_streaming.py
+    replays a batch within one lineage (checkpoint commit record deleted)
+    AND re-runs under a fresh checkpoint, asserting the committed view
+    holds each input row exactly once both times."""
+    write_batch = make_idempotent_batch_writer(out_dir, checkpoint_dir)
     return (
         stream_df.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint_dir)
@@ -367,17 +404,61 @@ def idempotent_parquet_sink(stream_df: DataFrame, out_dir: str, checkpoint_dir: 
     )
 
 
-def read_committed(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Read ONLY committed batch partitions of an idempotent_parquet_sink
-    output dir (the reader half of the commit protocol)."""
+def make_idempotent_batch_writer(out_dir: str, checkpoint_dir: str):
+    """The foreachBatch callable behind :func:`idempotent_parquet_sink`,
+    exposed so the at-least-once replay path (same batch_id delivered
+    twice) is directly testable."""
+    import json
     import os
 
+    def _lineage_id() -> str:
+        # streaming query id: written by Spark to <checkpoint>/metadata
+        # before the first batch runs; stable across restarts.
+        meta = os.path.join(checkpoint_dir, "metadata")
+        with open(meta) as f:
+            return json.load(f)["id"]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        run = _lineage_id()
+        marker = os.path.join(out_dir, f"_committed_{run}_{batch_id}")
+        pointer = os.path.join(out_dir, "_current_run")
+        if os.path.exists(marker):
+            return  # replayed batch — already committed in THIS lineage
+        (
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"run={run}", f"batch_id={batch_id}")
+            )
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+        # advance the reader pointer last (idempotent overwrite): readers
+        # always see a lineage whose markers are already on disk
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(run)
+        os.replace(tmp, pointer)
+
+    return write_batch
+
+
+def read_committed(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read ONLY the current lineage's committed batch partitions of an
+    idempotent_parquet_sink output dir (the reader half of the commit
+    protocol — see the lineage-namespacing note there)."""
+    import os
+
+    pointer = os.path.join(out_dir, "_current_run")
+    if not os.path.exists(pointer):
+        return spark.createDataFrame([], "event_id bigint")
+    with open(pointer) as f:
+        run = f.read().strip()
+    prefix = f"_committed_{run}_"
     committed = [
-        p.split("_committed_")[1]
-        for p in os.listdir(out_dir)
-        if p.startswith("_committed_")
+        p.removeprefix(prefix) for p in os.listdir(out_dir) if p.startswith(prefix)
     ]
-    paths = [os.path.join(out_dir, f"batch_id={b}") for b in committed]
+    paths = [
+        os.path.join(out_dir, f"run={run}", f"batch_id={b}") for b in committed
+    ]
     if not paths:
         return spark.createDataFrame([], "event_id bigint")
     return spark.read.parquet(*paths)
@@ -395,13 +476,44 @@ def streaming_agg_merge(stream_df: DataFrame, state_dir: str, checkpoint_dir: st
     commit point; a transactional table format does the same with a
     log entry instead of a rename).
 
+    Replay guard (r2 ADVICE): ``foreachBatch`` is at-least-once — a crash
+    after the swap but before the streaming checkpoint records the batch
+    replays the same batch_id, and merging it twice double-counts. Real
+    transactional sinks record the applied txn id WITH the data; here the
+    applied ``batch_id`` is written into the staging directory as
+    ``_last_batch`` BEFORE the rename, so the swap atomically commits
+    state + applied-id together (no marker-after-commit crash window).
+    ``merge_batch`` returns early when the incoming batch_id is ≤ the
+    recorded one (micro-batch ids are monotone; only the latest
+    uncommitted batch can replay). Files starting with ``_`` are ignored
+    by Spark's parquet reader, so the marker rides inside the state dir.
+
     Test (tests/test_streaming.py): final state == one-shot batch
-    recompute over the same rows, exactly."""
+    recompute over the same rows, exactly; a forced same-batch replay
+    leaves the state unchanged."""
+    merge_batch = make_agg_merge_batch(state_dir)
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def make_agg_merge_batch(state_dir: str):
+    """The foreachBatch callable behind :func:`streaming_agg_merge`,
+    exposed so the replay guard (same batch_id merged twice) is directly
+    testable."""
     import os
     import shutil
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        cur = os.path.join(state_dir, "current")
+        applied = os.path.join(cur, "_last_batch")
+        if os.path.exists(applied):
+            with open(applied) as f:
+                if batch_id <= int(f.read().strip()):
+                    return  # replayed batch — already merged, skip
         partial = (
             batch_df.groupBy(
                 F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
@@ -411,7 +523,6 @@ def streaming_agg_merge(stream_df: DataFrame, state_dir: str, checkpoint_dir: st
                 F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_v"),
             )
         )
-        cur = os.path.join(state_dir, "current")
         if os.path.exists(cur):
             prev = spark.read.parquet(cur)
             merged = (
@@ -434,15 +545,15 @@ def streaming_agg_merge(stream_df: DataFrame, state_dir: str, checkpoint_dir: st
             )
         nxt = os.path.join(state_dir, f"_staging_{batch_id}")
         merged.write.mode("overwrite").parquet(nxt)
+        # applied-batch record travels INSIDE the staged state: the rename
+        # below commits data and replay-guard in one atomic step
+        with open(os.path.join(nxt, "_last_batch"), "w") as f:
+            f.write(str(batch_id))
         old = os.path.join(state_dir, f"_old_{batch_id}")
         if os.path.exists(cur):
             os.rename(cur, old)
-        os.rename(nxt, cur)  # atomic swap = commit point
+        os.rename(nxt, cur)  # atomic swap = commit point (data + _last_batch)
         if os.path.exists(old):
             shutil.rmtree(old)
 
-    return (
-        stream_df.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-    )
+    return merge_batch
