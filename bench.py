@@ -12,15 +12,27 @@ codegen so measured times reflect steady-state execution.
 
 ``--sf1`` benches the 10× soak set instead (built on first use at
 /tmp/sf1 via tools/make_sf1.py — see SCALE.md 'sf1 soak').
+
+Noise control (r2 verdict item 4): each query runs N_RUNS=5 times and
+reports the per-query MEDIAN (plus stdev in the same JSON line), so a
+reported drift is a real plan change, not VM jitter. ``bench_budgets.json``
+pins the r-baseline per-query medians; any query whose median exceeds
+1.5× its budget is listed under ``budget_violations`` in the output (and
+``--enforce`` turns violations into a nonzero exit for CI use).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
+
+N_RUNS = 5  #: runs per query; median reported (odd → true middle sample)
+BUDGET_FILE = "bench_budgets.json"
+BUDGET_FACTOR = 1.5  #: flag a query when median > factor × budget
 
 REPO_ROOT = str(Path(__file__).resolve().parent)
 if REPO_ROOT not in sys.path:
@@ -100,17 +112,19 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        # steady-state: min of two runs; the plan is rebuilt per run so
+        # steady-state: median of N_RUNS; the plan is rebuilt per run so
         # Spark cannot reuse shuffle files across runs (skipped stages
         # would understate real execution cost).
-        for _ in range(2):
+        samples = []
+        for _ in range(N_RUNS):
             df = queries[name](spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+        spreads[name] = round(statistics.stdev(samples), 3)
 
     # ETL throughput: the reference's §3.1-step-2 pipeline (flatten →
     # budget cascade → tokenize → pad/mask) over annotation-shaped rows
@@ -133,29 +147,52 @@ def main() -> None:
             )
         ).alias("ocr"),
     )
-    best = float("inf")
-    for _ in range(2):  # min-of-2, same steady-state policy as the suite
+    samples = []
+    for _ in range(N_RUNS):  # same median-of-N policy as the suite
         t0 = time.perf_counter()
         prepare_text_features(anns, budget=256).write.format("noop").mode(
             "overwrite"
         ).save()
-        best = min(best, time.perf_counter() - t0)
-    timings["etl_prepare_features"] = round(best, 3)
+        samples.append(time.perf_counter() - t0)
+    timings["etl_prepare_features"] = round(statistics.median(samples), 3)
+    spreads["etl_prepare_features"] = round(statistics.stdev(samples), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # budget gate: a median > BUDGET_FACTOR × its pinned budget is a real
+    # regression (the median already filters VM jitter). Budgets are the
+    # committed per-query medians of the last recorded round at sf0.1.
+    violations: dict[str, dict[str, float]] = {}
+    budget_path = Path(REPO_ROOT) / BUDGET_FILE
+    if budget_path.exists() and os.path.basename(sf_dir) == "sf0.1":
+        budgets = json.loads(budget_path.read_text())
+        for name, med in timings.items():
+            b = budgets.get(name)
+            if b is not None and med > BUDGET_FACTOR * b:
+                violations[name] = {"median": med, "budget": b}
+                print(
+                    f"BUDGET VIOLATION {name}: median {med}s > "
+                    f"{BUDGET_FACTOR}x budget {b}s",
+                    file=sys.stderr,
+                )
+
     result = {
         "metric": "headline_suite_wall_clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "stdev": spreads,
+        "stat": f"median_of_{N_RUNS}",
+        "budget_violations": violations,
         "sf": sf_val,
     }
     print(json.dumps(result))
     spark.stop()
+    if violations and "--enforce" in sys.argv[1:]:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
