@@ -35,6 +35,28 @@ SHOWN = [
     ("m4_incremental_agg", "MV refresh: base partials + delta partials merged, base facts never re-read"),
     ("e25_incremental_dedup", "ingest dedup: corpus side reduced to distinct md5 keys before the semi-join"),
     ("f19_minmax_scale", "group stats broadcast back onto the fact scan — no fact shuffle"),
+    # --- remaining headline-suite queries (bench.py HEADLINE, VERDICT r2 item 8) ---
+    ("flagship_two_level_metrics", "two-level rollup: joins of small aggregates, fact read once per branch"),
+    ("a7_ensemble_argmax", "explode + wide groupBy: partial aggregation before the shuffle"),
+    ("a9_ema_ordered_fold", "per-key ordered fold: single keyed shuffle, fold inside the aggregate"),
+    ("w3_running_total", "running window partitioned by key — no SinglePartition"),
+    ("o6_ntile_kfold", "stratified ntile: label-partitioned window only"),
+    ("e1_exact_dedup", "exact dedup: one shuffle on md5 key, map-side combine"),
+    ("e2g_minhash_lsh_production", "production LSH tier: xxhash64 JVM hashing, banded self-equi-join"),
+    ("e2c_simhash", "simhash fingerprints: narrow bit arithmetic, no Python"),
+    ("e3_cosine_topk", "brute-force ANN baseline: small query side broadcast (documented baseline only)"),
+    ("e4b_token_freq_topk", "token frequency: explode + count + TakeOrderedAndProject"),
+    ("e4d_quality_score", "quality scoring: narrow text-feature pass, zero shuffles"),
+    ("f8_budget_cascade", "budget cascade: pure HOF projection chain, no shuffle"),
+    ("e8_document_chunking", "overlapping chunks: narrow explode, no shuffle"),
+    ("x4_map_in_pandas_scoring", "Arrow-batched inference: mapInPandas between scan and sink, no shuffle"),
+    ("s9_tumbling_window", "tumbling window agg: keyed by (window, type), partial agg before shuffle"),
+    ("s9c_session_windows", "session windows: user-partitioned lag/cumsum windows, no global state"),
+    ("q5_local_supplier_volume", "6-way star join: dims broadcast, fact never shuffled for the joins"),
+    ("q17_small_quantity_revenue", "decorrelated agg filter: per-part avg joined back, one fact scan per side"),
+    ("t1_asof_join", "as-of join: union + per-key window — no range explosion"),
+    ("t3_time_rollup", "grouping-sets rollup: one expand + one aggregate"),
+    ("m1_upsert_merge", "CDC merge: key-partitioned latest-wins window, co-partitioned union"),
 ]
 
 

@@ -16,6 +16,7 @@ import pytest
 from wx20222_bigdata_spark.catalog import load_table
 from wx20222_bigdata_spark.operators.similarity import (
     exact_topk,
+    ivf_kmeans_topk,
     ivf_topk,
     lsh_multitable_topk,
     recall_at_k,
@@ -81,6 +82,47 @@ def test_ivf_concentrates_on_clustered_corpus(spark):
     exact = exact_topk(emb, N_Q, K).cache()
     exact.count()
     r2 = recall_at_k(ivf_topk(emb, N_Q, K, n_probe=2), exact)
+    assert r2 >= 0.8, r2
+    emb.unpersist()
+    exact.unpersist()
+
+
+def test_ivf_kmeans_production_default_recall(emb, exact):
+    """The production ANN route (ivf_kmeans_topk: quantizer trained from
+    the data, no label column) on the isotropic driver corpus: recall ≈
+    probed fraction, so 8 of 10 trained lists must clear the 0.8 floor —
+    and widening probes must not reduce recall. Deterministic init +
+    plain Lloyd means: no RNG anywhere."""
+    r8 = recall_at_k(ivf_kmeans_topk(emb, N_Q, K, n_lists=10, n_probe=8), exact)
+    assert r8 >= 0.8, r8
+    r10 = recall_at_k(
+        ivf_kmeans_topk(emb, N_Q, K, n_lists=10, n_probe=10), exact
+    )
+    assert r10 >= r8 >= 0.8, (r8, r10)
+
+
+def test_ivf_kmeans_concentrates_on_clustered_corpus(spark):
+    """Same clustered-corpus law as ivf_topk, but with the quantizer
+    TRAINED from the data (the production path — no ground-truth labels):
+    2 probes of 10 trained lists must clear recall@10 ≥ 0.8."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((10, 64)).astype("float64")
+    rows = []
+    for vid in range(500):
+        lab = vid % 10
+        v = centers[lab] + 0.15 * rng.standard_normal(64)
+        rows.append((vid, [float(x) for x in v]))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    ).cache()
+    emb.count()
+    exact = exact_topk(emb, N_Q, K).cache()
+    exact.count()
+    r2 = recall_at_k(
+        ivf_kmeans_topk(emb, N_Q, K, n_lists=10, n_probe=2, n_iters=3), exact
+    )
     assert r2 >= 0.8, r2
     emb.unpersist()
     exact.unpersist()

@@ -12,6 +12,18 @@ Three tiers:
   nearest partitions only (rows-only: float centroid means are not
   bit-reproducible across engines).
 
+**Production ANN default: :func:`ivf_kmeans_topk`** — IVF whose coarse
+quantizer is trained FROM THE DATA (Lloyd iterations, deterministic init),
+not taken from a pre-existing label column. This is the route a 100 TB
+deployment runs: k-means||-style training on a sample, broadcast centroid
+table, map-side list assignment, probe the ``n_probe`` nearest lists.
+Recall is corpus-dependent and therefore MEASURED, not assumed: on
+clustered corpora (the case IVF exists for) 2 probes of 10 lists clear
+recall@10 ≥ 0.8; on the synthetic isotropic testdata embeddings recall
+approaches n_probe/n_lists, so hitting 0.8 needs ~8/10 probes — both
+curves are recorded in SCALE.md and floor-asserted in
+tests/test_similarity_recall.py at sf0.01 and (SCALE.md) sf1.
+
 Dot products use the ``zip_with``/``aggregate`` fold (F11) — element order
 fixed, math in double, cosine rounded to 6.
 """
@@ -349,6 +361,117 @@ def ivf_topk(
     cosine = _dot("qe", "ce") / (_norm("qe") * _norm("ce"))
     cand = (
         probes.join(c, "list_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cosine.alias("cosine"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "rnk")
+    )
+
+
+def train_ivf_centroids(
+    emb: DataFrame, n_lists: int, n_iters: int = 3
+) -> DataFrame:
+    """Train an IVF coarse quantizer from the corpus itself: ``n_iters``
+    Lloyd iterations from a deterministic init (the ``n_lists`` lowest
+    vec_ids). Returns (list_id, centroid array<double>).
+
+    Scale shape: each iteration is one broadcast of the K-row centroid
+    table (map-side nearest-centroid assignment — no shuffle of vectors)
+    plus one (k, dim) aggregation shuffle for the update; K·D is tiny.
+    At 100 TB you train on a sample (quantizer quality needs only
+    O(K·reps) vectors) and this exact plan runs on ``emb.sample(...)``;
+    kmeans.py's ordered-fold variant exists where bit-reproducibility
+    against an external oracle is required — this production path uses
+    plain float means."""
+    v = emb.select("vec_id", F.expr("transform(embedding, x -> double(x))").alias("ve"))
+    cent = (
+        v.orderBy("vec_id")
+        .limit(n_lists)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("list_id"),
+            F.col("ve").alias("centroid"),
+        )
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(ve, centroid, (x, c) -> (x - c) * (x - c)), 0D, (a, s) -> a + s)"
+    )
+    for _ in range(n_iters):
+        scored = v.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "ve", "list_id", d2.alias("d")
+        )
+        w = Window.partitionBy("vec_id").orderBy("d", "list_id")
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "ve", "list_id")
+        )
+        cent = (
+            assigned.select("list_id", F.posexplode("ve").alias("i", "x"))
+            .groupBy("list_id", "i")
+            .agg(F.avg("x").alias("c"))
+            .groupBy("list_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(i, c))), s -> s.c)"
+                ).alias("centroid")
+            )
+        )
+    return cent
+
+
+def ivf_kmeans_topk(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    n_lists: int = 10,
+    n_probe: int = 2,
+    n_iters: int = 3,
+) -> DataFrame:
+    """**Production ANN default**: IVF search over a coarse quantizer
+    trained from the data (:func:`train_ivf_centroids`) — no reliance on
+    a pre-existing label column. Corpus vectors are assigned to their
+    nearest centroid once (map-side, broadcast centroids); each query
+    probes its ``n_probe`` nearest lists and ranks exact cosine within
+    the probed candidates. Work per query = n_probe/n_lists of the
+    corpus; the candidate join is an equi-join on list_id."""
+    cent = F.broadcast(train_ivf_centroids(emb, n_lists, n_iters))
+    v = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr("transform(embedding, x -> double(x))").alias("ve"),
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(ve, centroid, (x, c) -> (x - c) * (x - c)), 0D, (a, s) -> a + s)"
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "list_id")
+    assigned = (
+        v.crossJoin(cent)
+        .select("vec_id", "embedding", "ve", "list_id", d2.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    lists = assigned.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+        "list_id",
+    )
+    probes = (
+        assigned.filter(F.col("vec_id") < n_queries)
+        .filter(F.col("rn") <= n_probe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            "list_id",
+        )
+    )
+    cosine = _dot("qe", "ce") / (_norm("qe") * _norm("ce"))
+    cand = (
+        probes.join(lists, "list_id")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id", cosine.alias("cosine"))
     )
