@@ -109,6 +109,9 @@ def test_no_unintended_cartesian_or_nested_loop(spark):
         "e19_unigram_logprob",
         # one-row global-max bucket broadcast (naive-pad comparison)
         "e24_length_bucketing",
+        # one-row (tt, tr, V) smoothing totals broadcast into the
+        # DSIR log-ratio weight table (e19's documented pattern)
+        "e31_dsir_importance",
     }
     for name, fn in all_queries().items():
         df = fn(spark, SF_ORACLE)
@@ -183,6 +186,8 @@ def test_no_unpartitioned_window_in_declared_set(spark):
         "dq3_distribution_drift",
         # one-row wide dataset-card aggregate (bounded single-partition)
         "e30_dataset_card",
+        # one-row (tt, tr, V) smoothing-totals aggregate (DSIR weights)
+        "e31_dsir_importance",
     }
     offenders = []
     for name, fn in all_queries().items():

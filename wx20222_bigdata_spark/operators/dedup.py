@@ -560,3 +560,90 @@ def e25_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.min("doc_id").cast("bigint").alias("first_doc"),
     )
+
+
+SEG_WORDS = 5  #: words per paragraph-segment in e32 (RefinedWeb dedups lines)
+
+
+@query(
+    "e32_paragraph_dedup",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS seg_idx,
+         array_to_string(ws[j * {SEG_WORDS} + 1 : (j + 1) * {SEG_WORDS}], ' ') AS seg
+  FROM words,
+       LATERAL (SELECT unnest(range(0, CAST(ceil(len(ws) / {SEG_WORDS}.0) AS BIGINT))) AS j)
+),
+winners AS (
+  SELECT seg, MIN(ROW(doc_id, seg_idx)) AS w FROM segs GROUP BY seg
+),
+kept AS (
+  SELECT s.doc_id, s.seg_idx, s.seg,
+         (w.w = ROW(s.doc_id, s.seg_idx)) AS keep
+  FROM segs s JOIN winners w USING (seg)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx),
+                '') AS dedup_text
+FROM kept
+GROUP BY doc_id
+""",
+)
+def e32_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E32 paragraph-level exact dedup — the RefinedWeb/C4 line-dedup
+    pass: split every document into {SEG_WORDS}-word segments (the
+    stand-in for paragraphs in the space-separated testdata), keep only
+    the GLOBALLY FIRST occurrence of each segment (ordered by (doc_id,
+    seg_idx) — fully deterministic), and reassemble each document from
+    its surviving segments. Unlike doc-level dedup (e1), this removes
+    boilerplate repeated ACROSS distinct documents while keeping the
+    novel remainder of each.
+
+    Scale shape: the winner per segment is ``groupBy(seg).min(struct)``
+    — map-side combinable (each map partition pre-reduces its segments
+    to one candidate winner), so the shuffle carries partial winners,
+    not raw segment occurrences; the join back is an equi-join on the
+    segment key. No windows over unbounded partitions, no driver state.
+    At 100 TB the segment key would be md5(seg) (16 bytes vs the text);
+    the text key here keeps the oracle exact and readable."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> length(x) > 0)").alias("ws"),
+    )
+    segs = words.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int(ceil(size(ws) / {SEG_WORDS}.0)) - 1),"
+                f" j -> concat_ws(' ', slice(ws, j * {SEG_WORDS} + 1, {SEG_WORDS})))"
+            )
+        ).alias("seg_idx", "seg"),
+    ).select("doc_id", F.col("seg_idx").cast("bigint").alias("seg_idx"), "seg")
+    winners = segs.groupBy("seg").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("w")
+    )
+    kept = segs.join(winners, "seg").select(
+        "doc_id",
+        "seg_idx",
+        "seg",
+        (F.col("w") == F.struct("doc_id", "seg_idx")).alias("keep"),
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_segs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list(CASE WHEN keep THEN"
+                " struct(seg_idx, seg) END)), s -> s.seg)"
+            ),
+        ).alias("dedup_text"),
+    )

@@ -184,3 +184,82 @@ def e5c_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("aggregate(flatten(frames), 0D, (a, x) -> a + double(x))"), 6
         ).alias("feat_sum"),
     )
+
+
+N_SAMPLE_FRAMES = 3  #: frames sampled per clip by e5d (even spacing incl. ends)
+
+
+@query(
+    "e5d_frame_sample",
+    oracle=f"""
+WITH clips AS (
+  SELECT doc_id, md5(text) AS hex,
+         (n_chars % 5) + 4 AS n_frames
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, hex, n_frames,
+         CAST((j * (n_frames - 1)) // ({N_SAMPLE_FRAMES} - 1) AS INT) AS frame_idx
+  FROM clips, LATERAL (SELECT unnest(range(0, {N_SAMPLE_FRAMES})) AS j)
+)
+SELECT doc_id, CAST(n_frames AS INT) AS n_frames, frame_idx,
+       CAST(frame_idx * 2 AS INT) AS byte_off,
+       substring(hex, frame_idx * 4 + 1, 4) AS frame_hex
+FROM idx
+""",
+)
+def e5d_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 video frame sampling — the even-stride frame-selection pass a
+    video pipeline runs before decode (sample k of n frames, endpoints
+    included: idx_j = floor(j·(n-1)/(k-1))), exercised over a REAL binary
+    column end to end: the clip payload is a BinaryType column, frame j
+    is its 2-byte slice at offset idx_j·2, and the slicing happens on raw
+    ``bytes`` inside an Arrow-batched ``mapInPandas`` kernel — the exact
+    plumbing (schema, batch iteration, per-row byte math) a real
+    ffmpeg-backed sampler uses, with the codec swapped for deterministic
+    byte slices the DuckDB oracle reproduces from the md5 hex string.
+    The reference decodes per-key frame features the same shape
+    (``data_helper.py:155-183``); e5c covers decode, this op covers the
+    SELECTION stage upstream of it.
+
+    Scale shape: one narrow pass — no shuffle at all; the kernel is a
+    nested closure (pickle-by-value; executors never import this repo).
+    Payloads stream through Arrow in bounded batches, so executor memory
+    is O(batch), independent of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    clips = docs.select(
+        "doc_id",
+        F.unhex(F.md5("text")).alias("payload"),
+        ((F.col("n_chars") % 5) + 4).cast("int").alias("n_frames"),
+    )
+
+    k = N_SAMPLE_FRAMES
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "n_frames": [],
+                "frame_idx": [],
+                "byte_off": [],
+                "frame_hex": [],
+            }
+            for doc_id, payload, n in zip(
+                pdf["doc_id"], pdf["payload"], pdf["n_frames"]
+            ):
+                b = bytes(payload)
+                for j in range(k):
+                    idx = j * (int(n) - 1) // (k - 1)
+                    off = idx * 2
+                    out["doc_id"].append(doc_id)
+                    out["n_frames"].append(int(n))
+                    out["frame_idx"].append(idx)
+                    out["byte_off"].append(off)
+                    out["frame_hex"].append(b[off : off + 2].hex())
+            yield pd.DataFrame(out)
+
+    return clips.mapInPandas(
+        kernel,
+        "doc_id bigint, n_frames int, frame_idx int, byte_off int, "
+        "frame_hex string",
+    )

@@ -394,3 +394,112 @@ def dq3_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(fold.format(t="t_ab")), 6).alias("kl_ab"),
         F.round(F.expr(fold.format(t="t_ba")), 6).alias("kl_ba"),
     )
+
+
+@query(
+    "e31_dsir_importance",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '),
+                                          x -> length(x) > 0)) AS tok
+  FROM documents
+),
+vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM toks),
+tgt AS (
+  SELECT tok, COUNT(*) AS cnt_t FROM toks WHERE lang = 'en' GROUP BY tok
+),
+raw AS (SELECT tok, COUNT(*) AS cnt_r FROM toks GROUP BY tok),
+tots AS (
+  SELECT (SELECT COUNT(*) FROM toks WHERE lang = 'en') AS tt,
+         (SELECT COUNT(*) FROM toks) AS tr,
+         (SELECT v FROM vocab) AS v
+),
+w AS (
+  SELECT raw.tok,
+         ln((COALESCE(tgt.cnt_t, 0) + 1.0) / (tots.tt + tots.v))
+           - ln((raw.cnt_r + 1.0) / (tots.tr + tots.v)) AS w
+  FROM raw LEFT JOIN tgt USING (tok) CROSS JOIN tots
+),
+agg AS (
+  SELECT t.doc_id, ANY_VALUE(t.lang) AS lang, COUNT(*) AS n_tok,
+         list_sum(list(w.w ORDER BY t.tok)) AS sw
+  FROM toks t JOIN w USING (tok)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+       ROUND(sw / n_tok, 6) AS dsir_score,
+       CAST(CASE WHEN ROUND(sw / n_tok, 6) > 0 THEN 1 ELSE 0 END AS INT)
+         AS keep
+FROM agg
+""",
+)
+def e31_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E31 DSIR-style importance weighting (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by the mean per-token log-likelihood ratio between a
+    TARGET distribution (here the lang='en' slice — in production, a
+    trusted high-quality corpus) and the RAW corpus, both as add-1-
+    smoothed unigram models over a shared vocabulary. keep=1 marks
+    documents that look more target-like than raw-like — the importance-
+    resampling admission gate of a pretraining curation funnel. DSIR
+    proper hashes n-grams into buckets first; the hashing variant is the
+    composition of this op with e22's feature hashing and changes only
+    the token→feature map, not the plan.
+
+    Scale shape: ONE token explode feeds the target counts, the raw
+    counts, and the per-doc fold; the weight table is |vocab| rows
+    (broadcast back onto tokens); totals are a one-row aggregate
+    (documented benign crossJoin pattern, cf. e19). Per-doc sums fold in
+    sorted token order (landmine 16) so every score is cross-engine
+    bit-exact before the keep-gate comparison at round-6 precision."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("filter(split(text, ' '), x -> length(x) > 0)")
+        ).alias("tok"),
+    )
+    tgt = toks.filter(F.col("lang") == "en").groupBy("tok").agg(
+        F.count("*").alias("cnt_t")
+    )
+    raw = toks.groupBy("tok").agg(F.count("*").alias("cnt_r"))
+    tots = toks.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tt"),
+        F.count("*").alias("tr"),
+        F.countDistinct("tok").alias("v"),
+    )
+    w = (
+        raw.join(tgt, "tok", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "tok",
+            (
+                F.log(
+                    (F.coalesce("cnt_t", F.lit(0)) + F.lit(1.0))
+                    / (F.col("tt") + F.col("v"))
+                )
+                - F.log((F.col("cnt_r") + F.lit(1.0)) / (F.col("tr") + F.col("v")))
+            ).alias("w"),
+        )
+    )
+    agg = (
+        toks.join(w, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.count("*").alias("n_tok"),
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(tok, w))),"
+                " s -> s.w), 0D, (a, x) -> a + x)"
+            ).alias("sw"),
+        )
+    )
+    score = F.round(F.col("sw") / F.col("n_tok"), 6)
+    return agg.select(
+        "doc_id",
+        "lang",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        score.alias("dsir_score"),
+        F.when(score > 0, 1).otherwise(0).cast("int").alias("keep"),
+    )

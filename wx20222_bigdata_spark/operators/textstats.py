@@ -583,3 +583,76 @@ def e22_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("weight").cast("bigint").alias("weight"),
         )
     )
+
+
+@query(
+    "e33_ngram_novelty",
+    oracle="""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ws[j] || ' ' || ws[j + 1] || ' ' || ws[j + 2] AS g
+  FROM words, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS j)
+),
+df AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       ROUND(AVG(CASE WHEN df.df = 1 THEN 1.0 ELSE 0.0 END), 6) AS novelty,
+       CAST(MAX(df.df) AS BIGINT) AS max_df
+FROM grams g JOIN df USING (g)
+GROUP BY g.doc_id
+""",
+)
+def e33_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E33 cross-corpus n-gram novelty — per document, the fraction of
+    its DISTINCT word trigrams that occur in no other document
+    (document frequency 1). Low novelty flags boilerplate/template text
+    that e32's segment dedup would shred; max_df surfaces how viral the
+    doc's most common trigram is. This is the contamination/novelty
+    signal RedPajama-style audits compute corpus-wide, and the
+    shingle-level dual of e10's decontamination (which tests n-grams
+    against an EXTERNAL eval set; here the corpus is tested against
+    itself).
+
+    Scale shape: trigram explode → per-doc DISTINCT (map-side
+    combinable) → |distinct-gram| doc-frequency table → equi-join back
+    on the gram key → per-doc mean. Every aggregate pre-reduces before
+    its shuffle; novelty is an integer ratio (count of df==1 over
+    count), so round-6 is cross-engine exact. At 100 TB the gram key
+    would be md5(g) (cf. e2's hash tiers); text keys keep the oracle
+    readable."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "doc_id",
+            F.expr(
+                "filter(split(lower(text), ' '), x -> length(x) > 0)"
+            ).alias("ws"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 2),"
+                    " j -> concat(ws[j - 1], ' ', ws[j], ' ', ws[j + 1]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    df = grams.groupBy("g").agg(F.count("*").alias("df"))
+    return (
+        grams.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_ngrams"),
+            F.round(
+                F.avg(F.when(F.col("df") == 1, 1.0).otherwise(0.0)), 6
+            ).alias("novelty"),
+            F.max("df").cast("bigint").alias("max_df"),
+        )
+    )
