@@ -68,6 +68,12 @@ HEADLINE = [
     "t1_asof_join",               # as-of join (union-and-window)
     "t3_time_rollup",             # grouping-sets time rollup
     "m1_upsert_merge",            # CDC merge
+    # round-3 additions
+    "e31_dsir_importance",        # DSIR importance weights (target vs raw LM)
+    "e32_paragraph_dedup",        # segment-level dedup + doc reassembly
+    "e33_ngram_novelty",          # per-doc trigram novelty / contamination
+    "e5d_frame_sample",           # binary frame sampling via mapInPandas
+    "f20_robust_scale",           # exact disc-quantile robust scaling
 ]
 
 

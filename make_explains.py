@@ -57,6 +57,12 @@ SHOWN = [
     ("t1_asof_join", "as-of join: union + per-key window — no range explosion"),
     ("t3_time_rollup", "grouping-sets rollup: one expand + one aggregate"),
     ("m1_upsert_merge", "CDC merge: key-partitioned latest-wins window, co-partitioned union"),
+    # --- round-3 additions ---
+    ("e31_dsir_importance", "DSIR weights: one token explode feeds target/raw counts + per-doc fold; |vocab| weight table broadcast back"),
+    ("e32_paragraph_dedup", "segment dedup: map-side-combinable min-struct winner per segment, equi-join back — no windows over segments"),
+    ("e33_ngram_novelty", "trigram novelty: distinct-then-count with partial aggregation; gram-keyed equi-join"),
+    ("e5d_frame_sample", "frame sampling: single narrow mapInPandas pass over the binary column, zero shuffles"),
+    ("f20_robust_scale", "robust scaling: exact disc quantiles from the bounded value histogram, 3-number stats broadcast onto one fact scan"),
 ]
 
 

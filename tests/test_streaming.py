@@ -530,3 +530,61 @@ def test_streaming_agg_merge_replay_does_not_double_count(
     )
     after = snapshot()
     assert int(after["n_events"].sum()) == int(before["n_events"].sum()) + 5
+
+
+def test_streaming_ingest_dedup_matches_batch_first_occurrence(
+    spark, tmp_path
+):
+    """streaming_ingest_dedup law: after a full availableNow pass, the
+    admitted set must equal the BATCH first-occurrence-per-content-key
+    set (lowest doc_id wins), the key index must hold exactly the
+    admitted keys, and replaying an applied batch_id must change
+    nothing. A subsequent batch with one seen and one novel document
+    admits only the novel one — the O(batch) growth shape of e25."""
+    from wx20222_bigdata_spark.catalog import load_table
+    from wx20222_bigdata_spark.streaming.jobs import (
+        make_ingest_dedup_batch,
+        streaming_ingest_dedup,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs")
+    docs.coalesce(2).write.mode("overwrite").parquet(src)
+
+    index_dir = str(tmp_path / "index")
+    out = str(tmp_path / "admitted")
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    q = streaming_ingest_dedup(stream, index_dir, out, str(tmp_path / "ckpt"))
+    q.start().awaitTermination(120)
+
+    admitted = spark.read.parquet(f"{out}/batch_id=*")
+    want = (
+        docs.withColumn("k", F.md5("text"))
+        .groupBy("k")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    got_ids = {r["doc_id"] for r in admitted.select("doc_id").collect()}
+    want_ids = {r["doc_id"] for r in want.collect()}
+    assert got_ids == want_ids and len(got_ids) > 0
+    index = spark.read.parquet(f"{index_dir}/keys")
+    assert index.distinct().count() == len(want_ids)
+
+    # replay of an applied batch id: marker short-circuits, nothing changes
+    make_ingest_dedup_batch(index_dir, out)(docs, 0)
+    assert {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/batch_id=*").select("doc_id").collect()
+    } == want_ids
+
+    # next batch: one seen text + one novel text -> only the novel admits
+    seen_text = docs.orderBy("doc_id").first()["text"]
+    nxt = spark.createDataFrame(
+        [(10_000_000, seen_text), (10_000_001, "genuinely novel text")],
+        "doc_id bigint, text string",
+    )
+    make_ingest_dedup_batch(index_dir, out)(nxt, 99)
+    after = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/batch_id=*").select("doc_id").collect()
+    }
+    assert after == want_ids | {10_000_001}

@@ -230,3 +230,110 @@ def f19_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("scaled_bp"),
     )
+
+
+@query(
+    "f20_robust_scale",
+    oracle="""
+WITH cents AS (
+  SELECT event_id, event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents
+  FROM events
+),
+hist AS (
+  SELECT event_type, v_cents, COUNT(*) AS cnt
+  FROM cents GROUP BY event_type, v_cents
+),
+cum AS (
+  SELECT event_type, v_cents, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY v_cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS c
+  FROM hist
+),
+grp AS (SELECT event_type, SUM(cnt) AS n FROM hist GROUP BY event_type),
+stats AS (
+  SELECT cum.event_type,
+         MIN(CASE WHEN c >= (n - 1) // 4 + 1     THEN v_cents END) AS p25,
+         MIN(CASE WHEN c >= (n - 1) // 2 + 1     THEN v_cents END) AS med,
+         MIN(CASE WHEN c >= (n - 1) * 3 // 4 + 1 THEN v_cents END) AS p75
+  FROM cum JOIN grp USING (event_type)
+  GROUP BY cum.event_type
+)
+SELECT event_id, cents.event_type,
+       CAST(CASE WHEN p75 = p25 THEN 0
+                 ELSE floor((v_cents - med) * 10000.0 / (p75 - p25)) END
+            AS BIGINT) AS robust_bp
+FROM cents JOIN stats ON cents.event_type = stats.event_type
+""",
+)
+def f20_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20 robust feature scaling — (value − median) / IQR per group,
+    the outlier-resistant sibling of f19's min-max (sklearn
+    RobustScaler). Exactness physics: values become integer CENTS, the
+    three quartiles are DISCRETE order statistics (the element at
+    1-based rank floor((n−1)·q)+1 — integers, no interpolation, so no
+    cross-engine 1-ulp drift), and the output is ONE identical IEEE
+    division floor()'d to basis points (f19's emission rule). IQR=0
+    groups emit 0.
+
+    Scale shape: the quantiles come from the per-group VALUE HISTOGRAM
+    — groupBy (group, cents) is map-side combinable and its size is
+    bounded by the value domain, not the row count; the running-count
+    window runs over that bounded histogram (never the fact table), and
+    the 3-number stats row per group broadcasts back onto a single fact
+    scan. This is how exact quantiles survive 100 TB: reduce to the
+    value domain first (a15's histogram discipline), sort only that."""
+    from pyspark.sql.window import Window
+
+    cents = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("v_cents"),
+    )
+    hist = cents.groupBy("event_type", "v_cents").agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("c", F.sum("cnt").over(w))
+    grp = hist.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    stats = (
+        cum.join(F.broadcast(grp), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("c") >= F.floor((F.col("n") - 1) / 4) + 1, F.col("v_cents")
+                )
+            ).alias("p25"),
+            F.min(
+                F.when(
+                    F.col("c") >= F.floor((F.col("n") - 1) / 2) + 1, F.col("v_cents")
+                )
+            ).alias("med"),
+            F.min(
+                F.when(
+                    F.col("c") >= F.floor((F.col("n") - 1) * 3 / 4) + 1,
+                    F.col("v_cents"),
+                )
+            ).alias("p75"),
+        )
+    )
+    return cents.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("p75") == F.col("p25"), F.lit(0))
+        .otherwise(
+            F.floor(
+                (F.col("v_cents") - F.col("med"))
+                * 10000.0
+                / (F.col("p75") - F.col("p25"))
+            )
+        )
+        .cast("bigint")
+        .alias("robust_bp"),
+    )

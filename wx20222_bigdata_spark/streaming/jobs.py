@@ -557,3 +557,71 @@ def make_agg_merge_batch(state_dir: str):
             shutil.rmtree(old)
 
     return merge_batch
+
+
+def streaming_ingest_dedup(
+    stream_df: DataFrame, index_dir: str, out_dir: str, checkpoint_dir: str
+):
+    """Streaming twin of e25's incremental ingest dedup (dedup.py:513):
+    each micro-batch of documents is admitted only if its content key is
+    (a) not in the persistent corpus KEY INDEX and (b) the first
+    occurrence within the batch; admitted keys are appended to the index
+    so later batches — and later RESTARTS — see them. This is the
+    streaming front door of a growing 100 TB corpus: per batch the work
+    is O(batch) hashing + one semi-join against the key index (never a
+    re-read of corpus text), and the index append is the only state
+    growth.
+
+    Exactly-once: admitted rows and index entries are both written
+    batch-id-idempotently (the _applied_{batch} marker commits AFTER both
+    writes; a replayed batch sees its marker and skips — same contract
+    as make_agg_merge_batch). Within-batch dedup keeps the lowest doc_id
+    per key (deterministic). Batch twin / oracle: e25 computes the same
+    admission decision declaratively; the law 'stream-admitted set ==
+    batch first-occurrence set' is pinned in tests/test_streaming.py."""
+    merge = make_ingest_dedup_batch(index_dir, out_dir)
+    return (
+        stream_df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def make_ingest_dedup_batch(index_dir: str, out_dir: str):
+    """The foreachBatch callable behind :func:`streaming_ingest_dedup`
+    (exposed for direct replay testing)."""
+    import os
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
+        spark = batch_df.sparkSession
+        marker = os.path.join(out_dir, f"_applied_{batch_id}")
+        if os.path.exists(marker):
+            return  # replayed batch — admitted rows + index already written
+        keyed = batch_df.withColumn("content_key", F.md5("text"))
+        # within-batch first occurrence (lowest doc_id per key)
+        w = Window.partitionBy("content_key").orderBy("doc_id")
+        firsts = (
+            keyed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        index_path = os.path.join(index_dir, "keys")
+        if os.path.exists(index_path):
+            seen = spark.read.parquet(index_path).select("content_key")
+            admitted = firsts.join(seen, "content_key", "left_anti")
+        else:
+            admitted = firsts
+        # admitted rows land in a batch-id partition (idempotent overwrite),
+        # index append is keyed by batch too so a replay overwrites itself
+        admitted.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+        admitted.select("content_key").write.mode("overwrite").parquet(
+            os.path.join(index_path, f"batch_id={batch_id}")
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    return ingest_batch
