@@ -296,3 +296,87 @@ def i3_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("bigint").alias("label"),
         F.col("community_size").cast("bigint").alias("community_size"),
     )
+
+
+BFS_NODES = 5_000  #: sparser node space than PR_NODES → multi-level frontiers
+BFS_ROUNDS = 3
+_BFS_EDGES_DUCK = f"""
+bedges AS (
+  SELECT DISTINCT o_custkey % {BFS_NODES} AS src,
+         (o_custkey * 31 + o_orderkey) % {BFS_NODES} AS dst
+  FROM orders
+  WHERE o_custkey % {BFS_NODES} <> (o_custkey * 31 + o_orderkey) % {BFS_NODES}
+),
+l0 AS (
+  SELECT DISTINCT src AS node, 0 AS level FROM bedges
+  WHERE src % 1000 = 0
+)"""
+
+
+def _bfs_round_duck(prev: str, cur: str) -> str:
+    return f""",
+{cur} AS (
+  SELECT node, MIN(level) AS level FROM (
+    SELECT node, level FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, p.level + 1 AS level
+    FROM {prev} p JOIN bedges e ON e.src = p.node
+  ) GROUP BY node
+)"""
+
+
+@query(
+    "i4_bfs_levels",
+    oracle=f"""
+WITH {_BFS_EDGES_DUCK}{_bfs_round_duck("l0", "l1")}{_bfs_round_duck("l1", "l2")}{_bfs_round_duck("l2", "l3")}
+SELECT CAST(node AS BIGINT) AS node, CAST(level AS BIGINT) AS level
+FROM l3
+""",
+)
+def i4_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4 multi-source BFS — {BFS_ROUNDS} rounds of frontier relaxation
+    from a seed set (node %% 1000 == 0) over a deterministic sparse
+    digraph (~3 edges/node), the remaining iterative-graph pattern the
+    engine lacked: min-hop levels via min-plus relaxation
+    level_{{k+1}}(v) = min(level_k(v), min over u→v of level_k(u)+1) —
+    Bellman-Ford with unit weights, which is exactly how distributed BFS
+    runs on Spark (no mutable frontier set; each round is one equi-join
+    edges ⋈ current-levels + one min groupBy). All-integer → bit-exact.
+
+    Scale shape: per round one shuffle on dst for the grouped MIN (the
+    join broadcasts the level table while it is small; at web scale both
+    sides shuffle-partition on the node key and stay co-partitioned
+    round to round). Unreached nodes never enter the level table — state
+    is O(reached), not O(nodes). Run-to-convergence uses the i1/e9
+    persist + localCheckpoint loop discipline; the unrolled {BFS_ROUNDS}
+    rounds keep the oracle declarative (e9's recursive-CTE alternative)."""
+    orders = load_table(spark, sf_dir, "orders")
+    edges = (
+        orders.select(
+            (F.col("o_custkey") % BFS_NODES).alias("src"),
+            ((F.col("o_custkey") * 31 + F.col("o_orderkey")) % BFS_NODES).alias(
+                "dst"
+            ),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    levels = (
+        edges.select(F.col("src").alias("node"))
+        .filter(F.col("node") % 1000 == 0)
+        .distinct()
+        .withColumn("level", F.lit(0))
+    )
+    for _ in range(BFS_ROUNDS):
+        relaxed = levels.join(edges, levels.node == edges.src).select(
+            F.col("dst").alias("node"), (F.col("level") + 1).alias("level")
+        )
+        levels = (
+            levels.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("level").alias("level"))
+        )
+    return levels.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("level").cast("bigint").alias("level"),
+    )
