@@ -63,6 +63,7 @@ SHOWN = [
     ("e33_ngram_novelty", "trigram novelty: distinct-then-count with partial aggregation; gram-keyed equi-join"),
     ("e5d_frame_sample", "frame sampling: single narrow mapInPandas pass over the binary column, zero shuffles"),
     ("f20_robust_scale", "robust scaling: exact disc quantiles from the bounded value histogram, 3-number stats broadcast onto one fact scan"),
+    ("i4_bfs_levels", "multi-source BFS: per-round edges equi-join + min groupBy, state O(reached)"),
 ]
 
 
