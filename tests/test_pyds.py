@@ -89,3 +89,43 @@ def test_docgen_stream_reader(spark, tmp_path):
     h42 = hashlib.md5(b"42").hexdigest()
     assert by_id[42].content_md5 == h42
     assert by_id[42].bucket == int(h42[:15], 16) % 100
+
+
+def test_jsonl_sink_commit_protocol(spark, tmp_path):
+    """Python DataSourceWriter: every task publishes a private shard via
+    its commit message, the driver's commit() writes the _MANIFEST, and
+    the manifest-honoring reader returns exactly the written rows —
+    including an uncommitted stray file that must be ignored."""
+    import json
+    import os
+
+    from wx20222_bigdata_spark.sources.pyds import (
+        read_jsonl_manifest,
+        register_docgen,
+        register_jsonl_sink,
+    )
+
+    register_docgen(spark)
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "sink")
+    df = (
+        spark.read.format("docgen")
+        .option("n_rows", 500)
+        .option("n_partitions", 4)
+        .load()
+    )
+    df.write.format("jsonlsink").option("path", out).mode("append").save()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST")))
+    assert manifest["n_rows"] == 500
+    assert len(manifest["shards"]) == 4  # one shard per input partition
+
+    # a stray uncommitted task file must not be visible through the reader
+    with open(os.path.join(out, "part-deadbeef.jsonl"), "w") as f:
+        f.write('{"doc_id": 999999, "content_md5": "x", "bucket": 0}\n')
+
+    back = read_jsonl_manifest(spark, out)
+    assert back.count() == 500
+    assert back.filter("doc_id = 999999").count() == 0
+    got = {r["doc_id"] for r in back.select("doc_id").collect()}
+    assert got == set(range(500))

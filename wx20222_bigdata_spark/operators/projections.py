@@ -408,3 +408,73 @@ def s10_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("n_partitions", 8)
         .load()
     )
+
+
+@query(
+    "f21_variant_json",
+    oracle="""
+WITH cents AS (
+  SELECT event_id, event_type, user_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_high,
+       CAST(SUM(v_cents) AS BIGINT) AS cents_sum,
+       CAST(MAX(user_id) AS BIGINT) AS max_user
+FROM cents
+WHERE v_cents > 5000
+GROUP BY event_type
+""",
+)
+def f21_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21 semi-structured VARIANT ingestion (Spark 4 VariantType) — the
+    open-schema JSON path every event pipeline needs: rows are serialized
+    to JSON documents (standing in for a raw JSON/Kafka feed), parsed
+    with ``parse_json`` into a VARIANT column (binary-encoded, NOT
+    re-parsed per access — the Spark 4 upgrade over f16's
+    ``from_json``-with-declared-schema), and fields are extracted with
+    typed ``variant_get`` JSON-path accessors, filtered, and aggregated.
+    The oracle computes the same aggregate straight from the typed
+    columns, so the ENTIRE serialize→parse→extract round-trip is
+    value-checked (a formatting or type-coercion bug anywhere in the
+    variant path breaks the hash).
+
+    Scale shape: parse_json + variant_get are JVM expressions inside
+    whole-stage codegen (no Python); the aggregate is map-side
+    combinable on integer cents. Variant's binary encoding is the
+    100 TB answer to schema drift: one parse at ingest, cheap typed
+    access after, no schema migration to add a field."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("v_cents"),
+    )
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("id"),
+                F.col("event_type").alias("type"),
+                F.struct(
+                    F.col("user_id").alias("uid"),
+                    F.col("v_cents").alias("cents"),
+                ).alias("meta"),
+            )
+        ).alias("doc")
+    )
+    v = raw.select(F.parse_json("doc").alias("v"))
+    extracted = v.select(
+        F.variant_get("v", "$.type", "string").alias("event_type"),
+        F.variant_get("v", "$.meta.uid", "bigint").alias("user_id"),
+        F.variant_get("v", "$.meta.cents", "bigint").alias("v_cents"),
+    )
+    return (
+        extracted.filter(F.col("v_cents") > 5000)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_high"),
+            F.sum("v_cents").cast("bigint").alias("cents_sum"),
+            F.max("user_id").cast("bigint").alias("max_user"),
+        )
+    )

@@ -115,3 +115,100 @@ def register_docgen(spark: SparkSession) -> None:
             return _DocGenStreamReader(self.options)
 
     spark.dataSource.register(DocGenSource)
+
+
+JSONL_SINK_FORMAT = "jsonlsink"
+
+
+def register_jsonl_sink(spark: SparkSession) -> None:
+    """Register the ``jsonlsink`` Python data source WRITER — the other
+    half of the Python Data Source API (the docgen source demonstrates
+    batch + streaming READ; this demonstrates WRITE with the two-phase
+    commit protocol a distributed sink needs):
+
+    - each write task serializes its partition to a private
+      ``part-<uuid>.jsonl`` file and returns a commit message naming it;
+    - ``commit()`` runs ONCE on the driver with every task's message and
+      publishes the atomic ``_MANIFEST`` (the list of committed shards —
+      readers that honor the manifest never see partial/abandoned task
+      output, the idempotent_parquet_sink discipline at task granularity);
+    - ``abort()`` leaves no manifest, so a failed job publishes nothing.
+
+    Options: ``path`` (target directory, required). Classes are defined
+    inside the factory (pickle-by-value; executors never import this
+    repo)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _ShardCommit(WriterCommitMessage):
+        def __init__(self, filename: str, n_rows: int):
+            self.filename = filename
+            self.n_rows = n_rows
+
+    class _JsonlWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, rows):
+            import json as _json
+            import os
+            import uuid
+
+            os.makedirs(self.path, exist_ok=True)
+            name = f"part-{uuid.uuid4().hex}.jsonl"
+            n = 0
+            with open(os.path.join(self.path, name), "w") as f:
+                for row in rows:
+                    f.write(_json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return _ShardCommit(name, n)
+
+        def commit(self, messages):
+            import json as _json
+            import os
+
+            manifest = {
+                "shards": sorted(m.filename for m in messages),
+                "n_rows": sum(m.n_rows for m in messages),
+            }
+            tmp = os.path.join(self.path, "._MANIFEST.tmp")
+            with open(tmp, "w") as f:
+                f.write(_json.dumps(manifest))
+            os.replace(tmp, os.path.join(self.path, "_MANIFEST"))
+
+        def abort(self, messages):
+            import os
+
+            for m in messages:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except FileNotFoundError:
+                    pass
+
+    class JsonlSink(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return JSONL_SINK_FORMAT
+
+        def writer(self, schema, overwrite: bool):
+            return _JsonlWriter(self.options)
+
+    spark.dataSource.register(JsonlSink)
+
+
+def read_jsonl_manifest(spark: SparkSession, path: str):
+    """Reader half of the jsonlsink commit protocol: load ONLY the
+    shards the _MANIFEST published (uncommitted task files are ignored,
+    mirroring read_committed for the streaming sink)."""
+    import json as _json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST")) as f:
+        manifest = _json.load(f)
+    paths = [os.path.join(path, s) for s in manifest["shards"]]
+    if not paths:
+        return spark.createDataFrame([], "doc_id bigint")
+    return spark.read.json(paths)
