@@ -588,3 +588,118 @@ def test_streaming_ingest_dedup_matches_batch_first_occurrence(
         for r in spark.read.parquet(f"{out}/batch_id=*").select("doc_id").collect()
     }
     assert after == want_ids | {10_000_001}
+
+
+def test_ingest_dedup_markerless_replay_keeps_batch_rows(spark, tmp_path):
+    """Crash-window replay (r3 ADVICE, high): a crash AFTER the admitted/
+    index writes but BEFORE the _applied marker leaves the batch's own
+    index partition on disk. The replay must NOT fold those keys into the
+    seen set — doing so would anti-join the batch's rows away and the
+    overwrite would permanently drop them."""
+    import os
+
+    from wx20222_bigdata_spark.streaming.jobs import make_ingest_dedup_batch
+
+    index_dir = str(tmp_path / "index")
+    out = str(tmp_path / "admitted")
+    b0 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text")], "doc_id bigint, text string"
+    )
+    make_ingest_dedup_batch(index_dir, out)(b0, 0)
+    # batch 1: one seen + one novel row; simulate the crash window by
+    # running it, then deleting ONLY the marker (data + index remain)
+    b1 = spark.createDataFrame(
+        [(10, "alpha text"), (11, "novel gamma text")],
+        "doc_id bigint, text string",
+    )
+    ingest = make_ingest_dedup_batch(index_dir, out)
+    ingest(b1, 1)
+    os.remove(os.path.join(out, "_applied_1"))
+    ingest(b1, 1)  # marker-less replay — the crash-recovery path
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/batch_id=*").select("doc_id").collect()
+    }
+    assert got == {1, 2, 11}  # 11 survived the replay; 10 is a dup of 1
+    index = spark.read.parquet(f"{index_dir}/keys")
+    assert index.select("content_key").distinct().count() == 3
+
+
+def test_agg_merge_new_checkpoint_lineage_still_merges(spark, tmp_path):
+    """Fresh-checkpoint restart (r3 ADVICE, medium): micro-batch ids
+    restart at 0 under a new checkpoint lineage; the replay guard must
+    not skip them (bare-id comparison did). Same-lineage replay must
+    still be a no-op."""
+    import json
+    import os
+
+    from wx20222_bigdata_spark.streaming.jobs import make_agg_merge_batch
+
+    state = str(tmp_path / "state")
+
+    def ckpt(lineage_id):
+        d = tmp_path / f"ckpt_{lineage_id}"
+        d.mkdir(exist_ok=True)
+        with open(d / "metadata", "w") as f:
+            json.dump({"id": lineage_id}, f)
+        return str(d)
+
+    rows = spark.createDataFrame(
+        [(i, "2024-01-01 00:00:00", "click", 1.0) for i in range(10)],
+        "event_id bigint, ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    make_agg_merge_batch(state, ckpt("lin1"))(rows, 0)
+    cur = os.path.join(state, "current")
+
+    def total_events():
+        return spark.read.parquet(cur).agg(F.sum("n_events")).collect()[0][0]
+
+    assert total_events() == 10
+    # same lineage, same batch id → replay guard skips
+    make_agg_merge_batch(state, ckpt("lin1"))(rows, 0)
+    assert total_events() == 10
+    # NEW lineage, batch ids restart at 0 → must merge, not skip
+    make_agg_merge_batch(state, ckpt("lin2"))(rows.limit(5), 0)
+    assert total_events() == 15
+
+
+def test_idempotent_writer_replay_repairs_stale_pointer(
+    spark, events_dir, tmp_path
+):
+    """Pointer-update crash window (r3 ADVICE, medium): a crash after the
+    marker write but before the _current_run pointer update leaves the
+    pointer at the previous lineage. The restart's replayed batch hits
+    the marker early-return — which must still advance the pointer so
+    read_committed surfaces the committed data."""
+    import os
+
+    from wx20222_bigdata_spark.streaming.jobs import (
+        idempotent_parquet_sink,
+        make_idempotent_batch_writer,
+        read_committed,
+        read_events_stream,
+    )
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    src = read_events_stream(spark, events_dir).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    q = idempotent_parquet_sink(src, out, ckpt).start()
+    q.awaitTermination(120)
+    expected = spark.read.parquet(events_dir).count()
+
+    # simulate the crash: pointer still aimed at a stale (pre-crash) lineage
+    pointer = os.path.join(out, "_current_run")
+    with open(pointer, "w") as f:
+        f.write("stale-previous-lineage")
+    assert read_committed(spark, out).count() == 0  # data hidden — the bug
+
+    # restart replays the last batch; marker exists → early return, but
+    # the pointer must be repaired on that path
+    replayed = spark.read.parquet(events_dir).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    make_idempotent_batch_writer(out, ckpt)(replayed, _last_batch_id(ckpt))
+    assert read_committed(spark, out).count() == expected

@@ -620,10 +620,15 @@ def e32_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     segs = words.select(
         "doc_id",
+        # guard size(ws) == 0: sequence(0, -1) DESCENDS to [0, -1] and
+        # would emit two '' segments for an empty/whitespace-only doc,
+        # diverging from the oracle's range() which emits none (r3 ADVICE)
         F.posexplode(
             F.expr(
-                f"transform(sequence(0, int(ceil(size(ws) / {SEG_WORDS}.0)) - 1),"
+                f"CASE WHEN size(ws) > 0 THEN"
+                f" transform(sequence(0, int(ceil(size(ws) / {SEG_WORDS}.0)) - 1),"
                 f" j -> concat_ws(' ', slice(ws, j * {SEG_WORDS} + 1, {SEG_WORDS})))"
+                f" ELSE array() END"
             )
         ).alias("seg_idx", "seg"),
     ).select("doc_id", F.col("seg_idx").cast("bigint").alias("seg_idx"), "seg")

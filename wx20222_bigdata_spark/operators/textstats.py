@@ -635,10 +635,16 @@ def e33_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
+            # guard size(ws) < 3: sequence(1, size-2) DESCENDS for short
+            # docs (negative indices → null grams under permissive mode,
+            # runtime error under ANSI); emit no trigrams instead, matching
+            # the oracle's range() semantics (r3 ADVICE)
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(ws) - 2),"
+                    "CASE WHEN size(ws) >= 3 THEN"
+                    " transform(sequence(1, size(ws) - 2),"
                     " j -> concat(ws[j - 1], ' ', ws[j], ' ', ws[j + 1]))"
+                    " ELSE array() END"
                 )
             ).alias("g"),
         )

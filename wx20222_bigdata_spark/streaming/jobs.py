@@ -422,8 +422,23 @@ def make_idempotent_batch_writer(out_dir: str, checkpoint_dir: str):
         run = _lineage_id()
         marker = os.path.join(out_dir, f"_committed_{run}_{batch_id}")
         pointer = os.path.join(out_dir, "_current_run")
+
+        def _advance_pointer() -> None:
+            # idempotent atomic replace: readers always see a lineage whose
+            # markers are already on disk
+            tmp = pointer + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(run)
+            os.replace(tmp, pointer)
+
         if os.path.exists(marker):
-            return  # replayed batch — already committed in THIS lineage
+            # Replayed batch — already committed in THIS lineage. Still
+            # advance the pointer (r3 ADVICE): a crash between the marker
+            # write and the pointer update on the only batch of a new
+            # lineage would otherwise leave _current_run aimed at the old
+            # lineage forever, hiding the committed data from readers.
+            _advance_pointer()
+            return
         (
             batch_df.write.mode("overwrite").parquet(
                 os.path.join(out_dir, f"run={run}", f"batch_id={batch_id}")
@@ -431,12 +446,7 @@ def make_idempotent_batch_writer(out_dir: str, checkpoint_dir: str):
         )
         with open(marker, "w") as f:
             f.write("ok")
-        # advance the reader pointer last (idempotent overwrite): readers
-        # always see a lineage whose markers are already on disk
-        tmp = pointer + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(run)
-        os.replace(tmp, pointer)
+        _advance_pointer()
 
     return write_batch
 
@@ -490,8 +500,10 @@ def streaming_agg_merge(stream_df: DataFrame, state_dir: str, checkpoint_dir: st
 
     Test (tests/test_streaming.py): final state == one-shot batch
     recompute over the same rows, exactly; a forced same-batch replay
-    leaves the state unchanged."""
-    merge_batch = make_agg_merge_batch(state_dir)
+    leaves the state unchanged; a NEW checkpoint lineage with restarted
+    batch ids still merges (r3 ADVICE — bare batch-id comparison would
+    silently skip every batch of a fresh lineage)."""
+    merge_batch = make_agg_merge_batch(state_dir, checkpoint_dir)
     return (
         stream_df.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint_dir)
@@ -499,21 +511,43 @@ def streaming_agg_merge(stream_df: DataFrame, state_dir: str, checkpoint_dir: st
     )
 
 
-def make_agg_merge_batch(state_dir: str):
+def make_agg_merge_batch(state_dir: str, checkpoint_dir: str | None = None):
     """The foreachBatch callable behind :func:`streaming_agg_merge`,
     exposed so the replay guard (same batch_id merged twice) is directly
-    testable."""
+    testable.
+
+    The ``_last_batch`` record is ``<lineage>:<batch_id>`` (r3 ADVICE):
+    micro-batch ids restart at 0 under a fresh checkpoint lineage, so a
+    bare-id guard would silently skip every batch of a restarted query.
+    The guard only short-circuits when the recorded lineage matches the
+    current one; a different lineage is treated as new and merges.
+    ``checkpoint_dir=None`` (direct-call testing) matches any recorded
+    lineage — the same within-lineage replay contract as before."""
+    import json
     import os
     import shutil
 
+    def _lineage_id() -> str | None:
+        if checkpoint_dir is None:
+            return None
+        meta = os.path.join(checkpoint_dir, "metadata")
+        with open(meta) as f:
+            return json.load(f)["id"]
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        lineage = _lineage_id()
         cur = os.path.join(state_dir, "current")
         applied = os.path.join(cur, "_last_batch")
         if os.path.exists(applied):
             with open(applied) as f:
-                if batch_id <= int(f.read().strip()):
-                    return  # replayed batch — already merged, skip
+                rec = f.read().strip()
+            rec_lineage, _, rec_id = rec.rpartition(":")
+            same_lineage = (
+                lineage is None or rec_lineage == "" or rec_lineage == lineage
+            )
+            if same_lineage and batch_id <= int(rec_id):
+                return  # replayed batch in THIS lineage — already merged
         partial = (
             batch_df.groupBy(
                 F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
@@ -548,7 +582,7 @@ def make_agg_merge_batch(state_dir: str):
         # applied-batch record travels INSIDE the staged state: the rename
         # below commits data and replay-guard in one atomic step
         with open(os.path.join(nxt, "_last_batch"), "w") as f:
-            f.write(str(batch_id))
+            f.write(f"{lineage or ''}:{batch_id}")
         old = os.path.join(state_dir, f"_old_{batch_id}")
         if os.path.exists(cur):
             os.rename(cur, old)
@@ -609,7 +643,18 @@ def make_ingest_dedup_batch(index_dir: str, out_dir: str):
         )
         index_path = os.path.join(index_dir, "keys")
         if os.path.exists(index_path):
-            seen = spark.read.parquet(index_path).select("content_key")
+            # Crash-window guard (r3 ADVICE): a failed attempt of THIS batch
+            # may already have written its own index partition (crash after
+            # the data/index writes but before the marker). Folding those
+            # keys into `seen` would anti-join the batch's rows away and the
+            # mode-overwrite below would then permanently drop them. Micro-
+            # batch ids are monotone, so the prior corpus is exactly the
+            # partitions with batch_id < current.
+            seen = (
+                spark.read.parquet(index_path)
+                .filter(F.col("batch_id") < F.lit(batch_id))
+                .select("content_key")
+            )
             admitted = firsts.join(seen, "content_key", "left_anti")
         else:
             admitted = firsts
