@@ -185,7 +185,13 @@ def main() -> None:
                     file=sys.stderr,
                 )
 
-    result = {
+    # Two-tier output (r3 verdict item 1): the driver keeps only the LAST
+    # ~2000 chars of stdout, and r3's single fat line (medians + stdevs +
+    # budget detail) got truncated past parseability — the round recorded
+    # no headline number. The FINAL line is now compact (headline value +
+    # per-query medians only, separators tightened); stdevs/stat/budget
+    # detail go to BENCH_DETAIL.json on disk and an earlier stdout line.
+    detail = {
         "metric": "headline_suite_wall_clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -195,7 +201,22 @@ def main() -> None:
         "budget_violations": violations,
         "sf": sf_val,
     }
-    print(json.dumps(result))
+    detail_name = "BENCH_DETAIL.json" if sf_val == 0.1 else f"BENCH_DETAIL_sf{sf}.json"
+    (Path(REPO_ROOT) / detail_name).write_text(json.dumps(detail, indent=1) + "\n")
+    print("DETAIL " + json.dumps(detail, separators=(",", ":")))
+    result = {
+        "metric": "headline_suite_wall_clock",
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "budget_violations": sorted(violations),
+    }
+    line = json.dumps(result, separators=(",", ":"))
+    if len(line) >= 1800:  # never let the headline line outgrow the tail
+        result["queries"] = {"see": detail_name}
+        line = json.dumps(result, separators=(",", ":"))
+    print(line)
     spark.stop()
     if violations and "--enforce" in sys.argv[1:]:
         sys.exit(1)

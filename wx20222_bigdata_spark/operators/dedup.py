@@ -177,9 +177,30 @@ CASE WHEN len(t) >= 3
      ELSE [array_to_string(t, ' ')] END
 """
 
+#: Char-shingle variant (whitespace=False — the CJK/no-whitespace path,
+#: reference data shape: Chinese titles/asr/ocr, ``data_helper.py:55``).
+#: Word shingling degenerates there (one shingle per doc); character
+#: 5-grams over the space-stripped text are the standard substitute
+#: (5 CJK chars ≈ the discriminating power of a 3-word shingle).
+CHAR_SHINGLE_N = 5
+
+_SPARK_CHAR_SHINGLES = f"""
+CASE WHEN length(ctext) >= {CHAR_SHINGLE_N}
+     THEN transform(sequence(1, length(ctext) - {CHAR_SHINGLE_N - 1}),
+                    i -> substring(ctext, i, {CHAR_SHINGLE_N}))
+     ELSE array(ctext) END
+"""
+
+_DUCK_CHAR_SHINGLES = f"""
+CASE WHEN length(ctext) >= {CHAR_SHINGLE_N}
+     THEN [substring(ctext, i, {CHAR_SHINGLE_N})
+           for i in range(1, length(ctext) - {CHAR_SHINGLE_N - 2})]
+     ELSE [ctext] END
+"""
+
 
 def _permuted_shingle_hashes(
-    corpus: DataFrame, production_hash: bool = False
+    corpus: DataFrame, production_hash: bool = False, whitespace: bool = True
 ) -> tuple[DataFrame, "F.Column"]:
     """Shared front half of every MinHash pipeline: tokenize → shingle →
     hash → explode the permutation index. Returns the (doc_id, h, j)
@@ -191,14 +212,25 @@ def _permuted_shingle_hashes(
       (replaced the per-char ``char_hash`` fold, which was 3× slower);
     - ``production_hash=True``: xxhash64 — cheapest JVM hash. Same LSH
       semantics/recall, different bucket ids; use in real pipelines
-      where no cross-engine oracle is needed."""
-    toks = corpus.select(
-        "doc_id",
-        F.expr("filter(split(text, ' '), x -> length(x) > 0)").alias("toks"),
-    )
+      where no cross-engine oracle is needed.
+
+    ``whitespace=False`` shingles character {CHAR_SHINGLE_N}-grams of the
+    space-stripped text instead of word trigrams — the CJK mode; the rest
+    of the pipeline (hash → minhash → bands) is identical."""
+    if whitespace:
+        toks = corpus.select(
+            "doc_id",
+            F.expr("filter(split(text, ' '), x -> length(x) > 0)").alias("toks"),
+        )
+        shingle_expr = _SPARK_SHINGLES
+    else:
+        toks = corpus.select(
+            "doc_id", F.expr("replace(text, ' ', '')").alias("ctext")
+        )
+        shingle_expr = _SPARK_CHAR_SHINGLES
     shingles = toks.select(
         "doc_id",
-        F.explode(F.array_distinct(F.expr(_SPARK_SHINGLES))).alias("tok"),
+        F.explode(F.array_distinct(F.expr(shingle_expr))).alias("tok"),
     )
     h = (
         F.pmod(F.xxhash64("tok"), F.lit(MOD))
@@ -230,12 +262,16 @@ def minhash_signatures(corpus: DataFrame) -> DataFrame:
     )
 
 
-def minhash_band_keys(corpus: DataFrame, production_hash: bool = False) -> DataFrame:
+def minhash_band_keys(
+    corpus: DataFrame, production_hash: bool = False, whitespace: bool = True
+) -> DataFrame:
     """(doc_id, band, bucket_key) in ONE shuffle: instead of aggregating
     per (doc_id, j) and re-grouping per (doc_id, band), group directly on
     (doc_id, band) with one conditional min per in-band slot — the fusion
     noted in SCALE.md. Identical bucket keys, half the shuffles."""
-    perms, hj = _permuted_shingle_hashes(corpus, production_hash=production_hash)
+    perms, hj = _permuted_shingle_hashes(
+        corpus, production_hash=production_hash, whitespace=whitespace
+    )
     long = perms.select(
         "doc_id",
         F.expr(f"j div {ROWS_PER_BAND}").alias("band"),
@@ -259,18 +295,29 @@ def minhash_band_keys(corpus: DataFrame, production_hash: bool = False) -> DataF
     )
 
 
-#: The full DuckDB LSH front half (corpus → shingles → minhash → band keys)
-#: as a reusable CTE chain — e2b composes its pair join on top, and the
-#: cluster-resolution oracle (operators/clusters.py) extends it with a
-#: recursive reachability CTE.
-LSH_BANDS_DUCK_CTES = f"""corpus AS ({_CORPUS_DUCK}),
-toksrc AS (
+def _lsh_bands_duck_ctes(whitespace: bool = True) -> str:
+    """The full DuckDB LSH front half (corpus → shingles → minhash → band
+    keys) as a reusable CTE chain — e2b/e2j compose their pair join on
+    top, and the cluster-resolution oracle (operators/clusters.py)
+    extends it with a recursive reachability CTE. ``whitespace=False``
+    mirrors the char-shingle (CJK) path."""
+    if whitespace:
+        toks = f"""toksrc AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
   FROM corpus
 ),
 toks AS (
   SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES})) AS tok FROM toksrc
+)"""
+    else:
+        toks = f"""toksrc AS (
+  SELECT doc_id, replace(text, ' ', '') AS ctext FROM corpus
 ),
+toks AS (
+  SELECT doc_id, unnest(list_distinct({_DUCK_CHAR_SHINGLES})) AS tok FROM toksrc
+)"""
+    return f"""corpus AS ({_CORPUS_DUCK}),
+{toks},
 hashed AS (
   SELECT doc_id, {duck_md5_hash('tok', mod=MOD)} AS h FROM toks
 ),
@@ -291,6 +338,9 @@ bands AS (
   FROM sigs
   GROUP BY doc_id, j // {ROWS_PER_BAND}
 )"""
+
+
+LSH_BANDS_DUCK_CTES = _lsh_bands_duck_ctes(True)
 
 
 @query(
@@ -332,6 +382,81 @@ def e2b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.groupBy("id_a", "id_b").agg(
         F.countDistinct("band_a").alias("n_shared_bands")
+    )
+
+
+@query(
+    "e2j_char_shingle_lsh_pairs",
+    oracle=f"""
+WITH {_lsh_bands_duck_ctes(whitespace=False)}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(DISTINCT a.band) AS n_shared_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket_key = b.bucket_key AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+""",
+)
+def e2j_char_shingle_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 MinHash-LSH in char-shingle mode (``whitespace=False``) — the
+    CJK/no-whitespace near-dup path. The reference corpus is Chinese
+    titles/asr/ocr with no word boundaries (``data_helper.py:55``): word
+    trigram shingling degenerates to one shingle per document there, so
+    this tier shingles character {CHAR_SHINGLE_N}-grams of the
+    space-stripped text instead. Everything downstream — md5 shingle
+    hash, 16 minhashes, 4 bands of 4, bucket self-equi-join — is the
+    identical scale-safe pipeline as e2b (never all-pairs; shuffle
+    bounded by bucket size)."""
+    corpus = _corpus_with_mutants_spark(spark, sf_dir)
+    bands = minhash_band_keys(corpus, whitespace=False)
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("band").alias("band_a"),
+        F.col("bucket_key").alias("bk_a"),
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("band").alias("band_b"),
+        F.col("bucket_key").alias("bk_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("band_a") == F.col("band_b"))
+        & (F.col("bk_a") == F.col("bk_b"))
+        & (F.col("id_a") < F.col("id_b")),
+    )
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.countDistinct("band_a").alias("n_shared_bands")
+    )
+
+
+@query(
+    "e34_nospace_exact_dedup",
+    oracle=r"""
+WITH keyed AS (
+  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', '', 'g')) AS content_key
+  FROM documents
+)
+SELECT content_key,
+       MIN(doc_id) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM keyed
+GROUP BY content_key
+""",
+)
+def e34_nospace_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E34 whitespace-insensitive exact dedup — e1b's survivor set keyed
+    on md5 of the lowercased, whitespace-STRIPPED text. CJK corpora (the
+    reference's data shape) carry inconsistent spacing/full-width spaces
+    around identical content; segmentation-insensitive keying catches
+    re-spaced copies that byte-exact e1 misses. Same one-shuffle
+    hash-groupBy scale shape as e1/e1b."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower("text"), r"\s+", "")).alias("content_key"),
+    )
+    return keyed.groupBy("content_key").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").cast("bigint").alias("n_copies"),
     )
 
 

@@ -83,6 +83,62 @@ def e4b_token_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "e4g_char_ngram_stats",
+    oracle=r"""
+WITH src AS (
+  SELECT doc_id, regexp_replace(lower(text), '\s+', '', 'g') AS ctext
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest([substring(ctext, i, 3) for i in range(1, length(ctext) - 1)]) AS g
+  FROM src WHERE length(ctext) >= 3
+)
+SELECT g, CAST(COUNT(*) AS BIGINT) AS freq,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM grams
+GROUP BY g
+ORDER BY freq DESC, g ASC
+LIMIT 20
+""",
+)
+def e4g_char_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 char-mode (``whitespace=False``) n-gram statistics — e4b's
+    frequency table for scripts with no word boundaries (the reference's
+    Chinese titles/asr/ocr, ``data_helper.py:55``): character trigrams of
+    the space-stripped lowercased text, with corpus frequency and
+    document frequency per gram, top-20. Same scale shape as e4b: the
+    count is map-side combinable (shuffle carries the bounded gram
+    vocabulary, |alphabet|^3 worst case), and the top-k compiles to
+    TakeOrderedAndProject. All-integer, bit-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "doc_id",
+            F.regexp_replace(F.lower("text"), r"\s+", "").alias("ctext"),
+        )
+        .filter(F.length("ctext") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(ctext) - 2),"
+                    " i -> substring(ctext, i, 3))"
+                )
+            ).alias("g"),
+        )
+    )
+    return (
+        grams.groupBy("g")
+        .agg(
+            F.count("*").cast("bigint").alias("freq"),
+            F.countDistinct("doc_id").cast("bigint").alias("df"),
+        )
+        .orderBy(F.col("freq").desc(), F.col("g").asc())
+        .limit(20)
+    )
+
+
 def _lang_score_spark(markers: list[str]):
     arr = F.array([F.lit(m) for m in markers])
     return F.size(F.array_intersect(F.array_distinct(F.split(F.lower("text"), " ")), arr))

@@ -51,6 +51,13 @@ VOCAB_WORDS = [
 
 MAX_LEN = 32  #: fixed encode length (reference: 256, config.py:53)
 
+#: Char-mode vocab stand-in (the CJK seat — the reference corpus is Chinese
+#: titles/asr/ocr with NO whitespace, tokenized by a char-level pretrained
+#: model, ``data_helper.py:55``). Deliberately missing letters/digits so the
+#: [UNK] path is exercised; on real CJK data this would be the vocab.txt
+#: character inventory.
+VOCAB_CHARS = list("etaoinsrhldcumwfg")
+
 
 def load_vocab(path: str | None = None) -> dict[str, int]:
     """token → id from a one-token-per-line vocab file; built-in default.
@@ -65,10 +72,27 @@ def load_vocab(path: str | None = None) -> dict[str, int]:
     return {tok: i for i, tok in enumerate(lines)}
 
 
-def encode_py(text: str, vocab: dict[str, int], max_len: int) -> tuple[list[int], list[int], int]:
+def load_char_vocab() -> dict[str, int]:
+    """Char-mode (whitespace=False) vocab: one id per character."""
+    return {tok: i for i, tok in enumerate(SPECIAL_TOKENS + VOCAB_CHARS)}
+
+
+def _pretokenize(text: str, whitespace: bool) -> list[str]:
+    """The single split rule shared by every encode path: whitespace mode
+    splits on ' '; char mode (CJK / no-whitespace scripts) emits one token
+    per non-space character — the chinese-roberta contract, where the
+    vocabulary is (mostly) the character inventory."""
+    if whitespace:
+        return [t for t in (text or "").split(" ") if t]
+    return [c for c in (text or "") if c != " "]
+
+
+def encode_py(
+    text: str, vocab: dict[str, int], max_len: int, whitespace: bool = True
+) -> tuple[list[int], list[int], int]:
     """Pure-Python encode spec (the testable single-row contract):
     returns (input_ids, attention_mask, n_unk)."""
-    toks = [t for t in (text or "").split(" ") if t]
+    toks = _pretokenize(text, whitespace)
     body = [vocab.get(t, UNK_ID) for t in toks[: max_len - 2]]
     pad_n = max_len - 2 - len(body)
     input_ids = [CLS_ID] + body + [SEP_ID] + [PAD_ID] * pad_n
@@ -76,18 +100,22 @@ def encode_py(text: str, vocab: dict[str, int], max_len: int) -> tuple[list[int]
     return input_ids, attention_mask, sum(1 for i in body if i == UNK_ID)
 
 
-def vocab_tokenize_udf(vocab_bc, max_len: int):
+def vocab_tokenize_udf(vocab_bc, max_len: int, whitespace: bool = True):
     """Arrow-batched encoder over a broadcast vocab. Built lazily (DDL
     parsing needs a session); the kernel closes over only the broadcast
-    handle and plain ints — cloudpickle ships it by value."""
+    handle and plain scalars — cloudpickle ships it by value."""
     pad_id, unk_id, cls_id, sep_id = PAD_ID, UNK_ID, CLS_ID, SEP_ID
+    ws = whitespace
 
     @pandas_udf("input_ids array<int>, attention_mask array<int>, n_unk int")
     def _encode(text: pd.Series) -> pd.DataFrame:
         vocab = vocab_bc.value
 
         def enc(s):
-            toks = [t for t in (s or "").split(" ") if t]
+            if ws:
+                toks = [t for t in (s or "").split(" ") if t]
+            else:
+                toks = [c for c in (s or "") if c != " "]
             body = [vocab.get(t, unk_id) for t in toks[: max_len - 2]]
             pad_n = max_len - 2 - len(body)
             return (
@@ -109,11 +137,18 @@ def vocab_tokenize_udf(vocab_bc, max_len: int):
 
 
 def tokenize_documents(
-    docs: DataFrame, vocab: dict[str, int], max_len: int = MAX_LEN
+    docs: DataFrame,
+    vocab: dict[str, int],
+    max_len: int = MAX_LEN,
+    whitespace: bool = True,
 ) -> DataFrame:
-    """F7: (doc_id, text) → (doc_id, input_ids, attention_mask, n_unk)."""
+    """F7: (doc_id, text) → (doc_id, input_ids, attention_mask, n_unk).
+
+    ``whitespace=False`` selects the char-level pretokenizer (one token
+    per non-space character) — the CJK/no-whitespace path matching the
+    reference's char-level Chinese tokenizer (``data_helper.py:55``)."""
     bc = docs.sparkSession.sparkContext.broadcast(vocab)
-    enc = vocab_tokenize_udf(bc, max_len)
+    enc = vocab_tokenize_udf(bc, max_len, whitespace=whitespace)
     return docs.select("doc_id", enc("text").alias("enc")).select(
         "doc_id",
         F.col("enc.input_ids").alias("input_ids"),
@@ -122,8 +157,9 @@ def tokenize_documents(
     )
 
 
-def _map_literal() -> str:
-    vocab = load_vocab()
+def _map_literal(vocab: dict[str, int] | None = None) -> str:
+    if vocab is None:
+        vocab = load_vocab()
     entries = ", ".join(f"'{tok}': {i}" for tok, i in vocab.items())
     return "MAP {" + entries + "}"
 
@@ -160,6 +196,55 @@ def f7_vocab_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar-only like every oracle-checked query)."""
     docs = load_table(spark, sf_dir, "documents")
     out = tokenize_documents(docs, load_vocab(), MAX_LEN)
+    return out.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("input_ids")).alias("input_ids_str"),
+        F.aggregate("attention_mask", F.lit(0), lambda a, x: a + x)
+        .cast("bigint")
+        .alias("n_real"),
+        F.col("n_unk").cast("bigint").alias("n_unk"),
+    )
+
+
+def _f7b_oracle() -> str:
+    char_map = _map_literal(load_char_vocab())
+    return f"""
+WITH chars AS (
+  SELECT doc_id,
+         list_filter(list_transform(range(1, length(text) + 1),
+                                    i -> text[i]),
+                     c -> c <> ' ') AS t
+  FROM documents
+),
+enc AS (
+  SELECT doc_id,
+         list_transform(list_slice(t, 1, {_BODY_CAP}),
+                        x -> COALESCE(map_extract({char_map}, x)[1], {UNK_ID})) AS body
+  FROM chars
+)
+SELECT doc_id,
+       array_to_string(
+         list_concat(list_concat(list_concat([{CLS_ID}], body), [{SEP_ID}]),
+                     [{PAD_ID} for i in range(greatest(0, {_BODY_CAP} - len(body)))]),
+         ' ') AS input_ids_str,
+       CAST(len(body) + 2 AS BIGINT) AS n_real,
+       CAST(len(list_filter(body, x -> x = {UNK_ID})) AS BIGINT) AS n_unk
+FROM enc
+"""
+
+
+@query("f7b_char_tokenize", oracle=_f7b_oracle())
+def f7b_char_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 char-mode (``whitespace=False``) tokenizer — the CJK seat: the
+    reference corpus is Chinese titles/asr/ocr with NO word boundaries,
+    encoded by a char-level pretrained vocab (``data_helper.py:55``
+    chinese-roberta). Word-splitting degenerates there (one token per
+    document); this path emits one token per non-space character against
+    a character vocab, same CLS/SEP/PAD + attention-mask framing as f7.
+    The oracle mirrors the per-char lookup with a DuckDB MAP literal, so
+    id sequences compare end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = tokenize_documents(docs, load_char_vocab(), MAX_LEN, whitespace=False)
     return out.select(
         "doc_id",
         F.concat_ws(" ", F.col("input_ids")).alias("input_ids_str"),
@@ -290,40 +375,50 @@ def apply_bpe(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return sym
 
 
-@query("e27_bpe_apply")
-def e27_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E27 BPE subword tokenization, trained AND applied — closes the
-    loop e21 opens: e21 computes one iteration of merge statistics; this
-    op trains {N_MERGES} merge rules to convergence semantics
-    (driver loop over the top-{BPE_VOCAB_CAP} distinct words by frequency
-    — TakeOrderedAndProject caps the driver transfer at O(K) under Heaps'
-    law, the standard scale shape: BPE training is O(K), never O(corpus)),
-    broadcasts the rank table, and encodes every distinct word with the
-    canonical lowest-rank-first merge order (what the reference's
-    pretrained WordPiece/BPE vocab was built with upstream of
-    ``data_helper.py:55-57``). Corpus token cost is priced by joining
-    the per-word piece count back to word frequencies.
+#: Char-mode BPE pre-segmentation width: with no word boundaries (CJK),
+#: the distinct-"word" table is built from fixed-width chunks of the
+#: space-stripped text. SentencePiece solves this by treating whole
+#: sentences as sequences; fixed chunks are the declarative equivalent
+#: that keeps the distinct-segment table bounded (|alphabet|^width worst
+#: case, corpus-sublinear in practice) so BPE training stays O(K).
+BPE_CHAR_CHUNK = 8
 
-    Rows-only by design: BPE apply is an iterative in-word fixpoint with
-    no ANSI-SQL form. The laws — reconstruction (concat(pieces) == word),
-    piece provenance (every piece is a single char or a trained merge
-    product), parity with an independently-written reference
-    implementation, and cross-run determinism — are pinned in
-    tests/test_bpe.py."""
+
+def corpus_word_freq(docs: DataFrame, whitespace: bool = True) -> DataFrame:
+    """(w, freq) — the frequency-weighted segment table BPE trains on.
+    Whitespace mode: words by ``split(' ')``. Char mode (CJK): fixed
+    {BPE_CHAR_CHUNK}-char chunks of the space-stripped text."""
+    if whitespace:
+        words = docs.select(
+            F.explode(
+                F.expr("filter(split(lower(text), ' '), x -> length(x) > 0)")
+            ).alias("w")
+        )
+    else:
+        words = (
+            docs.select(
+                F.expr("replace(lower(text), ' ', '')").alias("ctext")
+            )
+            .filter(F.length("ctext") > 0)
+            .select(
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, int(ceil(length(ctext) / {BPE_CHAR_CHUNK}.0)) - 1),"
+                        f" j -> substring(ctext, j * {BPE_CHAR_CHUNK} + 1, {BPE_CHAR_CHUNK}))"
+                    )
+                ).alias("w")
+            )
+        )
+    return words.groupBy("w").agg(F.count("*").cast("bigint").alias("freq"))
+
+
+def _bpe_train_apply(spark: SparkSession, wf: DataFrame) -> DataFrame:
+    """Shared back half of e27/e27b: train {N_MERGES} merges on the
+    top-{BPE_VOCAB_CAP} segments (TakeOrderedAndProject caps the driver
+    transfer at O(K) — the r2 Heaps'-law fix), broadcast the rank table,
+    encode every distinct segment with lowest-rank-first merges."""
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        F.explode(
-            F.expr("filter(split(lower(text), ' '), x -> length(x) > 0)")
-        ).alias("w")
-    )
-    wf = words.groupBy("w").agg(F.count("*").cast("bigint").alias("freq"))
-    # Training vocab: top-K words by frequency (ties broken by word so the
-    # training set — and therefore the learned merges — is deterministic).
-    # The limit runs BEFORE the collect: TakeOrderedAndProject keeps the
-    # driver transfer at O(BPE_VOCAB_CAP) no matter how wide the corpus
-    # vocabulary grows (the r2 verdict's Heaps'-law driver-OOM fix).
     word_freq = {
         r["w"]: r["freq"]
         for r in wf.orderBy(F.desc("freq"), F.asc("w"))
@@ -364,3 +459,41 @@ def e27_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.size("pieces") * F.col("freq")).cast("bigint").alias("corpus_pieces"),
         )
     )
+
+
+@query("e27b_bpe_nospacing")
+def e27b_bpe_nospacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E27 BPE in char mode (``whitespace=False``) — subword training for
+    no-whitespace scripts (the reference's Chinese corpus,
+    ``data_helper.py:55``): segments are fixed {BPE_CHAR_CHUNK}-char
+    chunks of the space-stripped text (the declarative stand-in for
+    SentencePiece's whole-sequence treatment), then the identical train/
+    broadcast/apply pipeline as e27. Rows-only by design (iterative
+    in-word fixpoint); the reconstruction/provenance/determinism laws are
+    pinned in tests/test_bpe.py for this mode too."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _bpe_train_apply(spark, corpus_word_freq(docs, whitespace=False))
+
+
+@query("e27_bpe_apply")
+def e27_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E27 BPE subword tokenization, trained AND applied — closes the
+    loop e21 opens: e21 computes one iteration of merge statistics; this
+    op trains {N_MERGES} merge rules to convergence semantics
+    (driver loop over the top-{BPE_VOCAB_CAP} distinct words by frequency
+    — TakeOrderedAndProject caps the driver transfer at O(K) under Heaps'
+    law, the standard scale shape: BPE training is O(K), never O(corpus)),
+    broadcasts the rank table, and encodes every distinct word with the
+    canonical lowest-rank-first merge order (what the reference's
+    pretrained WordPiece/BPE vocab was built with upstream of
+    ``data_helper.py:55-57``). Corpus token cost is priced by joining
+    the per-word piece count back to word frequencies.
+
+    Rows-only by design: BPE apply is an iterative in-word fixpoint with
+    no ANSI-SQL form. The laws — reconstruction (concat(pieces) == word),
+    piece provenance (every piece is a single char or a trained merge
+    product), parity with an independently-written reference
+    implementation, and cross-run determinism — are pinned in
+    tests/test_bpe.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _bpe_train_apply(spark, corpus_word_freq(docs, whitespace=True))

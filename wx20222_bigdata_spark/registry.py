@@ -47,63 +47,27 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # CORRECTNESS row yet — plus anything new/changed this round — get checked
 # before already-driver-verified ones. See NOTES_r2.md.
 _FRONT: list[str] = [
-    # Round-3 rotation (VERDICT r2 item 1): the 88 registered names with
-    # NO driver CORRECTNESS row yet (r01 and r02 each recorded the first
-    # 50 in registration order; their 100 names are disjoint from these).
-    # The driver takes the first 50 this round; the remaining 38 — plus
-    # any queries newly added this round, appended AFTER this block —
-    # rotate to the front of round 4. All 88 are green in the judge's
-    # full 187-query oracle sweep; this is artifact ordering only.
-    "a10_swa_snapshot_avg",
-    "a13_percentiles",
-    "a13b_approx_percentiles",
-    "a14_moments",
-    "a9_ema_ordered_fold",
-    "e12_mixture_sampling",
-    "e13_bm25_retrieval",
-    "e14_kmeans_assign",
-    "e15_pii_redaction",
-    "e16_tfidf_keywords",
-    "e3_cosine_topk",
-    "e3b_lsh_bucket_ann",
-    "e3c_ivf_probe_ann",
-    "e4_group_stats",
-    "e4b_token_freq_topk",
-    "e4c_language_id",
-    "e4d_quality_score",
-    "e4e_doc_fingerprint",
-    "e4f_token_count",
-    "e5c_decode_features",
-    "e6_sequence_packing",
-    "e7_curation_pipeline",
-    "e8_document_chunking",
-    "f16_datetime_json",
-    "f7_vocab_tokenize",
-    "f_conditional_fns",
-    "f_null_semantics",
-    "f_string_surface",
-    "j1b_scalable_zip_index",
-    "j5_outer_join_family",
-    "m1_upsert_merge",
-    "m2_scd2_history",
-    "m3_snapshot_diff",
-    "o10_hash_split",
-    "o2_sample_restore_order",
-    "o5_stratified_holdout",
-    "o6_ntile_kfold",
-    "o7_seeded_shuffle",
-    "p1_flatten_concat",
-    "p2_derive_drop",
-    "p3_dict_encode",
-    "p4_dict_decode",
-    "p5_prefix_projection",
-    "p7_substring_predicates",
-    "p8_conditional_gates",
-    "prof1_table_profile",
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_effect",
+    # Round-4 rotation (VERDICT r3 item 2): queries ADDED THIS ROUND come
+    # first (driver-green for new ops in their own round), then the 45
+    # registered names with no driver CORRECTNESS row in r01∪r02∪r03
+    # (those rounds each recorded the first 50 in registration order; the
+    # three 50-name sets are disjoint). 45 + the r4 additions fit in one
+    # 50-name driver pass, closing the rotation: every registered query
+    # then has a driver row across r01–r04. All names below are green in
+    # the judge's full 194-query sweep; this is artifact ordering only.
+    "f7b_char_tokenize",
+    "e2j_char_shingle_lsh_pairs",
+    "e4g_char_ngram_stats",
+    "e34_nospace_exact_dedup",
+    "e27b_bpe_nospacing",
+    # — the 45 never-driver-checked names (r3 verdict §coverage list) —
+    "e31_dsir_importance",
+    "e32_paragraph_dedup",
+    "e33_ngram_novelty",
+    "e5d_frame_sample",
+    "f20_robust_scale",
+    "f21_variant_json",
+    "i4_bfs_levels",
     "q15_top_supplier",
     "q16_supplier_part_counts",
     "q17_small_quantity_revenue",
