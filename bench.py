@@ -74,6 +74,10 @@ HEADLINE = [
     "e33_ngram_novelty",          # per-doc trigram novelty / contamination
     "e5d_frame_sample",           # binary frame sampling via mapInPandas
     "f20_robust_scale",           # exact disc-quantile robust scaling
+    # round-4 additions (CJK / no-whitespace mode)
+    "f7b_char_tokenize",          # char-mode broadcast-vocab tokenizer
+    "e2j_char_shingle_lsh_pairs", # char-shingle MinHash-LSH (CJK near-dup)
+    "e4g_char_ngram_stats",       # char-trigram freq/df top-k
 ]
 
 
