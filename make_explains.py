@@ -64,6 +64,10 @@ SHOWN = [
     ("e5d_frame_sample", "frame sampling: single narrow mapInPandas pass over the binary column, zero shuffles"),
     ("f20_robust_scale", "robust scaling: exact disc quantiles from the bounded value histogram, 3-number stats broadcast onto one fact scan"),
     ("i4_bfs_levels", "multi-source BFS: per-round edges equi-join + min groupBy, state O(reached)"),
+    # --- round-4 additions (CJK / no-whitespace mode) ---
+    ("f7b_char_tokenize", "char-mode tokenizer: broadcast char-vocab map join, narrow HOF encode, no shuffle"),
+    ("e2j_char_shingle_lsh_pairs", "char-shingle LSH: 16 min-aggregates of one groupBy(doc_id) — no permutation explode — then banded self-equi-join"),
+    ("e4g_char_ngram_stats", "char-trigram stats: narrow shingle explode, partial-aggregated freq/df, TakeOrderedAndProject top-k"),
 ]
 
 
