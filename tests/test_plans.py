@@ -207,3 +207,31 @@ def test_w6_rank_pushdown(spark):
     keeps only N rows per group before the window shuffle."""
     plan = formatted_plan(_q("w6_top_n_per_group")(spark, SF_ORACLE))
     assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_minhash_band_keys_no_permutation_explode(spark):
+    """r4 LSH rewrite (NOTES_r4): all 16 permutation minima come from ONE
+    groupBy(doc_id) over un-multiplied shingle rows. Pin the shape —
+    exactly one Exchange (the doc_id aggregate), and exactly one Generate
+    BELOW the aggregate (the shingle explode); the only other Generate is
+    the narrow x4 band-struct explode above it. A reappearing permutation
+    explode (x16 map-side row volume) would add a second pre-aggregate
+    Generate or an Expand."""
+    import re
+
+    from wx20222_bigdata_spark.catalog import load_table
+    from wx20222_bigdata_spark.operators.dedup import minhash_band_keys
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    for ws in (True, False):
+        plan = formatted_plan(minhash_band_keys(docs, whitespace=ws))
+        ops = [
+            m.group(1)
+            for line in plan.splitlines()
+            if (m := re.match(r"^\s*\(\d+\) (\w+)", line))
+        ]
+        assert "Expand" not in ops, ops
+        assert ops.count("Exchange") == 1, ops
+        first_agg = ops.index("HashAggregate")
+        assert ops[:first_agg].count("Generate") == 1, ops
+        assert ops[first_agg:].count("Generate") == 1, ops
