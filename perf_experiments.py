@@ -300,6 +300,41 @@ def main() -> None:
     assert z_res["zorder"]["rows"] == z_res["linear"]["rows"], "layout changed results"
     results["zorder_box_scan_sf01"] = z_res
 
+    # --- 7. LSH frequent-bucket pruning on a boilerplate-heavy corpus ---
+    # The quadratic failure mode of naive LSH at web scale: B identical
+    # boilerplate docs collide into one bucket per band and emit
+    # 4·B·(B−1)/2 joined rows. 5k boilerplate copies on top of the sf1
+    # documents table ≈ 50M pair rows from 5k docs — pruned entirely by
+    # lsh_candidate_pairs(max_bucket_size=50), which costs one window
+    # count on the (band, bucket_key) partitioning the join needs anyway.
+    # (Exact-dedup e1/e34 handles such families LINEARLY — the cap is not
+    # a recall loss on them, it is routing them to the right tier.)
+    from wx20222_bigdata_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_band_keys,
+    )
+
+    docs_sf1 = load_table(spark, sf1_dir, "documents").select("doc_id", "text")
+    boiler = spark.range(5000).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.lit(
+            "standard terms of service boilerplate text repeated across "
+            "every page of the same template driven web site"
+        ).alias("text"),
+    )
+    adversarial = docs_sf1.unionByName(boiler)
+    bands = minhash_band_keys(adversarial).persist()
+    bands.count()  # materialize once so both variants time the join only
+    cap_res = {}
+    for label, cap in [("uncapped", None), ("cap_50", 50)]:
+        pairs = lsh_candidate_pairs(bands, max_bucket_size=cap)
+        t0 = time.perf_counter()
+        n = pairs.count()
+        cap_res[label] = {"sec": round(time.perf_counter() - t0, 3), "pair_rows": n}
+    bands.unpersist()
+    assert cap_res["cap_50"]["pair_rows"] < cap_res["uncapped"]["pair_rows"]
+    results["lsh_bucket_cap_sf1_boilerplate"] = cap_res
+
     print(json.dumps(results, indent=2))
     spark.stop()
 

@@ -89,8 +89,19 @@ def replicate(src: Path, dst: Path, k: int) -> None:
                 c = c.set_column(idx, c.schema.field(idx), pc.cast(suffixed, c.schema.field(idx).type))
             copies.append(c)
         out = pa.concat_tables(copies)
-        pq.write_table(out, dst / f"{tbl}.parquet")
-        print(f"{tbl}: {t.num_rows} -> {out.num_rows} rows")
+        # Bounded row groups: pyarrow's default writes ONE row group per
+        # call, and a single-row-group file caps Spark's scan parallelism
+        # at 1 task no matter how many byte-range splits exist (measured:
+        # the sf1 char-shingle stage ran as one straggler task on 32
+        # cores — every "super-linear" text query traced back to this).
+        # ≥64 groups per table mirrors what real compacted shards look
+        # like at scale (S6: many ~100 MB row groups, never one blob).
+        row_group_size = max(1024, out.num_rows // 64)
+        pq.write_table(out, dst / f"{tbl}.parquet", row_group_size=row_group_size)
+        print(
+            f"{tbl}: {t.num_rows} -> {out.num_rows} rows "
+            f"(row_group_size {row_group_size})"
+        )
 
 
 if __name__ == "__main__":

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from wx20222_bigdata_spark.operators.dedup import (
     LSH_BANDS_DUCK_CTES,
     _corpus_with_mutants_spark,
+    lsh_candidate_pairs,
     minhash_band_keys,
 )
 from wx20222_bigdata_spark.registry import query
@@ -118,23 +119,8 @@ def e9_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the canonical survivor. Downstream dedup keeps ``is_canonical`` rows."""
     corpus = _corpus_with_mutants_spark(spark, sf_dir)
     bands = minhash_band_keys(corpus)
-    a = bands.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("band").alias("band_a"),
-        F.col("bucket_key").alias("bk_a"),
-    )
-    b = bands.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("band").alias("band_b"),
-        F.col("bucket_key").alias("bk_b"),
-    )
     pairs = (
-        a.join(
-            b,
-            (F.col("band_a") == F.col("band_b"))
-            & (F.col("bk_a") == F.col("bk_b"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
+        lsh_candidate_pairs(bands)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .distinct()
     )
@@ -182,26 +168,7 @@ def e9b_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-join plan, different orientation rule."""
     corpus = _corpus_with_mutants_spark(spark, sf_dir)
     bands = minhash_band_keys(corpus)
-    a = bands.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("band").alias("band_a"),
-        F.col("bucket_key").alias("bk_a"),
-    )
-    b = bands.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("band").alias("band_b"),
-        F.col("bucket_key").alias("bk_b"),
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("band_a") == F.col("band_b"))
-            & (F.col("bk_a") == F.col("bk_b"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    pairs = lsh_candidate_pairs(bands).select("id_a", "id_b").distinct()
     e1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     e2 = pairs.select(F.col("id_a").alias("b2"), F.col("id_b").alias("c"))
     e3 = pairs.select(F.col("id_a").alias("a3"), F.col("id_b").alias("c3"))
@@ -276,23 +243,8 @@ def e28_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     a quality-ranked window on top."""
     corpus = _corpus_with_mutants_spark(spark, sf_dir)
     bands = minhash_band_keys(corpus)
-    a = bands.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("band").alias("band_a"),
-        F.col("bucket_key").alias("bk_a"),
-    )
-    b = bands.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("band").alias("band_b"),
-        F.col("bucket_key").alias("bk_b"),
-    )
     pairs = (
-        a.join(
-            b,
-            (F.col("band_a") == F.col("band_b"))
-            & (F.col("bk_a") == F.col("bk_b"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
+        lsh_candidate_pairs(bands)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .distinct()
     )

@@ -321,6 +321,62 @@ def minhash_band_keys(
     )
 
 
+def lsh_candidate_pairs(
+    bands: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
+    """Candidate pairs from band keys: ``(id_a, id_b, band)`` — one row
+    per shared (band, bucket) collision with ``id_a < id_b``. The single
+    pair-generation implementation behind e2b/e2j/e2g and the cluster
+    resolvers (e9/e9b/e28).
+
+    ``max_bucket_size`` enables **frequent-bucket pruning**, the standard
+    guard for web-scale corpora: a degenerate bucket of B documents
+    (boilerplate pages, templated spam, empty-ish docs that all sketch
+    alike) emits B·(B−1)/2 pairs — one 100k-doc bucket is 5 × 10⁹ pairs
+    from a single reducer, which is where naive LSH dies at 100 TB.
+    Buckets larger than the cap are dropped BEFORE the self-join: such
+    buckets carry no discriminating signal (everything matches
+    everything), and the downstream verify step (e2 Jaccard / e2h edit
+    distance) would reject or trivially merge them anyway — boilerplate
+    families are better handled by the exact-dedup tier (e1/e34) which
+    is linear in B. Bucket sizes come from ONE window count over
+    (band, bucket_key); that exchange hash-partitions the bands exactly
+    as the self-join needs, so the pruning adds no extra shuffle —
+    both join branches reuse it.
+
+    Default ``None`` keeps every bucket — the oracle-checked tiers
+    (DuckDB mirrors an uncapped join) and the sf* fixtures use that.
+    Production guidance (SCALE.md): cap at ~50–500; recall loss is
+    bounded because a true near-dup pair inside a pruned bucket still
+    collides in its other ``N_BANDS − 1`` bands unless those buckets are
+    degenerate too."""
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket_key")
+        bands = (
+            bands.withColumn("_bsz", F.count("*").over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("band").alias("band"),
+        F.col("bucket_key").alias("bk_a"),
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("band").alias("band_b"),
+        F.col("bucket_key").alias("bk_b"),
+    )
+    return a.join(
+        b,
+        (F.col("band") == F.col("band_b"))
+        & (F.col("bk_a") == F.col("bk_b"))
+        & (F.col("id_a") < F.col("id_b")),
+    ).select("id_a", "id_b", "band")
+
+
 def _lsh_bands_duck_ctes(whitespace: bool = True) -> str:
     """The full DuckDB LSH front half (corpus → shingles → minhash → band
     keys) as a reusable CTE chain — e2b/e2j compose their pair join on
@@ -387,27 +443,16 @@ def e2b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The pair join is self-equi-join on band keys — at 100 TB this is the
     canonical formulation: no all-pairs compare, shuffle bounded by bucket
-    size."""
+    size. Boilerplate-heavy corpora additionally set
+    ``lsh_candidate_pairs(..., max_bucket_size=...)`` (frequent-bucket
+    pruning) so no degenerate bucket goes quadratic; the oracle-checked
+    tier keeps every bucket because DuckDB mirrors the uncapped join."""
     corpus = _corpus_with_mutants_spark(spark, sf_dir)
     bands = minhash_band_keys(corpus)
-    a = bands.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("band").alias("band_a"),
-        F.col("bucket_key").alias("bk_a"),
-    )
-    b = bands.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("band").alias("band_b"),
-        F.col("bucket_key").alias("bk_b"),
-    )
-    pairs = a.join(
-        b,
-        (F.col("band_a") == F.col("band_b"))
-        & (F.col("bk_a") == F.col("bk_b"))
-        & (F.col("id_a") < F.col("id_b")),
-    )
-    return pairs.groupBy("id_a", "id_b").agg(
-        F.countDistinct("band_a").alias("n_shared_bands")
+    return (
+        lsh_candidate_pairs(bands)
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("band").alias("n_shared_bands"))
     )
 
 
@@ -433,24 +478,10 @@ def e2j_char_shingle_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by bucket size)."""
     corpus = _corpus_with_mutants_spark(spark, sf_dir)
     bands = minhash_band_keys(corpus, whitespace=False)
-    a = bands.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("band").alias("band_a"),
-        F.col("bucket_key").alias("bk_a"),
-    )
-    b = bands.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("band").alias("band_b"),
-        F.col("bucket_key").alias("bk_b"),
-    )
-    pairs = a.join(
-        b,
-        (F.col("band_a") == F.col("band_b"))
-        & (F.col("bk_a") == F.col("bk_b"))
-        & (F.col("id_a") < F.col("id_b")),
-    )
-    return pairs.groupBy("id_a", "id_b").agg(
-        F.countDistinct("band_a").alias("n_shared_bands")
+    return (
+        lsh_candidate_pairs(bands)
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("band").alias("n_shared_bands"))
     )
 
 
@@ -544,25 +575,10 @@ def e2g_minhash_lsh_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded mutants must collide (tested)."""
     corpus = _corpus_with_mutants_spark(spark, sf_dir)
     bands = minhash_band_keys(corpus, production_hash=True)
-    a = bands.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("band").alias("band_a"),
-        F.col("bucket_key").alias("bk_a"),
-    )
-    b = bands.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("band").alias("band_b"),
-        F.col("bucket_key").alias("bk_b"),
-    )
     return (
-        a.join(
-            b,
-            (F.col("band_a") == F.col("band_b"))
-            & (F.col("bk_a") == F.col("bk_b"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
+        lsh_candidate_pairs(bands)
         .groupBy("id_a", "id_b")
-        .agg(F.countDistinct("band_a").alias("n_shared_bands"))
+        .agg(F.countDistinct("band").alias("n_shared_bands"))
     )
 
 

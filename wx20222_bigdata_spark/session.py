@@ -33,6 +33,19 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Partition sizing: 128 MiB input splits keep scan tasks balanced.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # Scan-split floor. Spark sizes file splits as
+    #   max(openCostInBytes, min(maxPartitionBytes, bytes/minPartitionNum))
+    # and the 4 MiB default floor serializes CPU-heavy text pipelines over
+    # small-but-dense inputs: a 16 MiB compressed documents table becomes
+    # 4 scan tasks (measured: the sf1 char-shingle stage ran 4-way on 32
+    # cores; the sf0.1 table is ONE task) even though the post-scan work —
+    # explode ×300 shingles + md5 per shingle — is ~100× the scan bytes.
+    # 256 KiB lets small inputs split down to bytes/defaultParallelism;
+    # large inputs are unaffected (min() is then governed by
+    # maxPartitionBytes long before the floor matters), so the setting is
+    # cluster-safe. The cost: tiny files pack less densely per task —
+    # irrelevant here because sources are compacted parquet (S6).
+    "spark.sql.files.openCostInBytes": "262144",
 }
 
 
