@@ -446,12 +446,18 @@ def e31_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition of this op with e22's feature hashing and changes only
     the token→feature map, not the plan.
 
-    Scale shape: ONE token explode feeds the target counts, the raw
-    counts, and the per-doc fold; the weight table is |vocab| rows
-    (broadcast back onto tokens); totals are a one-row aggregate
-    (documented benign crossJoin pattern, cf. e19). Per-doc sums fold in
-    sorted token order (landmine 16) so every score is cross-engine
-    bit-exact before the keep-gate comparison at round-6 precision."""
+    Scale shape: the token stream is consumed exactly TWICE — once by a
+    single fused groupBy(tok) that yields both the raw and the target
+    counts (a conditional sum replaces a second filtered aggregate), and
+    once by the per-doc fold join. Totals (target tokens, raw tokens,
+    vocab size) are a one-row aggregate over the |vocab|-row count table
+    — NOT over the token stream — since tt = Σ cnt_t, tr = Σ cnt_r and
+    v = |rows| exactly (integers, so the derivation is bit-exact). The
+    weight table is |vocab| rows broadcast back onto tokens; the one-row
+    totals use the documented benign crossJoin pattern (cf. e19).
+    Per-doc sums fold in sorted token order (landmine 16) so every score
+    is cross-engine bit-exact before the keep-gate comparison at round-6
+    precision."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -460,18 +466,17 @@ def e31_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("filter(split(text, ' '), x -> length(x) > 0)")
         ).alias("tok"),
     )
-    tgt = toks.filter(F.col("lang") == "en").groupBy("tok").agg(
-        F.count("*").alias("cnt_t")
+    counts = toks.groupBy("tok").agg(
+        F.count("*").alias("cnt_r"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("cnt_t"),
     )
-    raw = toks.groupBy("tok").agg(F.count("*").alias("cnt_r"))
-    tots = toks.agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tt"),
-        F.count("*").alias("tr"),
-        F.countDistinct("tok").alias("v"),
+    tots = counts.agg(
+        F.sum("cnt_t").alias("tt"),
+        F.sum("cnt_r").alias("tr"),
+        F.count("*").alias("v"),
     )
     w = (
-        raw.join(tgt, "tok", "left")
-        .crossJoin(F.broadcast(tots))
+        counts.crossJoin(F.broadcast(tots))
         .select(
             "tok",
             (
