@@ -168,6 +168,56 @@ def _validate_schema(name: str, df: DataFrame) -> None:
         )
 
 
+def rebalance_small_scan(df: DataFrame, path: str) -> DataFrame:
+    """Round-robin repartition a SMALL scan across all cores before
+    CPU-amplifying narrow work (shingle explode, per-token hashing, char
+    n-grams — stages whose compute is 10-100× the scanned bytes).
+
+    Narrow stages execute inside the scan stage, so their parallelism is
+    capped by the input's ROW-GROUP granularity, not by Spark's split
+    planner: a byte-range split that contains no row-group start is an
+    empty task (measured: a single-row-group 16 MiB documents table ran
+    a ×300 shingle explode + md5 as ONE task on 32 cores; see SCALE.md
+    round 4). The fix is one round-robin shuffle of the raw input —
+    whose cost is proportional to input bytes, i.e. negligible exactly
+    when the gate below fires.
+
+    Gate (both conditions, else no-op — at real scale the plan is
+    untouched):
+      1. total input bytes < defaultParallelism × maxPartitionBytes
+         (a bigger input fills the cluster through splits alone), and
+      2. parquet footers report fewer row groups than cores (the scan
+         genuinely cannot parallelize; footer reads are driver-side and
+         bounded because condition 1 already capped the file count).
+    Non-local / unreadable paths skip the rebalance (conservative
+    no-op)."""
+    import glob
+    import os
+
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        files = (
+            [path]
+            if os.path.isfile(path)
+            else glob.glob(os.path.join(path, "*.parquet"))
+        )
+        if not files:
+            return df
+        total = sum(os.path.getsize(f) for f in files)
+        max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        if total >= par * max_split:
+            return df
+        import pyarrow.parquet as pq
+
+        row_groups = sum(pq.ParquetFile(f).num_row_groups for f in files)
+        if row_groups >= par:
+            return df
+    except Exception:
+        return df
+    return df.repartition(par)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 

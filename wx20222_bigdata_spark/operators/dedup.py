@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wx20222_bigdata_spark.catalog import load_table
+from wx20222_bigdata_spark.catalog import load_table, rebalance_small_scan
 from wx20222_bigdata_spark.functions.hashing import (
     MINHASH_A,
     MINHASH_B,
@@ -138,7 +138,10 @@ def e2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _corpus_with_mutants_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ mutated copies (every 50th doc, ' extra' appended,
     id+100000) — a seeded near-dup population so LSH recall is observable."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = rebalance_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        f"{sf_dir}/documents.parquet",
+    )
     mutants = (
         docs.filter(F.col("doc_id") % 50 == 0)
         .select(
@@ -545,7 +548,9 @@ def e2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     vote of token-hash bit j (+1/-1), assemble a 20-bit fingerprint.
     Near-dup docs land within small Hamming distance. Long-format groupBy —
     the same two-shuffle shape as the ensemble reduce (A7)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = rebalance_small_scan(
+        load_table(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet"
+    )
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     ).filter(F.length("tok") > 0)
@@ -780,7 +785,9 @@ def e32_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment key. No windows over unbounded partitions, no driver state.
     At 100 TB the segment key would be md5(seg) (16 bytes vs the text);
     the text key here keeps the oracle exact and readable."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = rebalance_small_scan(
+        load_table(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet"
+    )
     words = docs.select(
         "doc_id",
         F.expr("filter(split(text, ' '), x -> length(x) > 0)").alias("ws"),

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wx20222_bigdata_spark.catalog import load_table
+from wx20222_bigdata_spark.catalog import load_table, rebalance_small_scan
 from wx20222_bigdata_spark.registry import query
 
 #: Closed domain for o_orderstatus (FIXTURES.md §B).
@@ -458,7 +458,9 @@ def e31_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-doc sums fold in sorted token order (landmine 16) so every score
     is cross-engine bit-exact before the keep-gate comparison at round-6
     precision."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = rebalance_small_scan(
+        load_table(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet"
+    )
     toks = docs.select(
         "doc_id",
         "lang",

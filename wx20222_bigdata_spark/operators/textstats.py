@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wx20222_bigdata_spark.catalog import load_table
+from wx20222_bigdata_spark.catalog import load_table, rebalance_small_scan
 from wx20222_bigdata_spark.functions.hashing import duck_md5_hash, spark_md5_hash
 from wx20222_bigdata_spark.registry import query
 
@@ -111,7 +111,9 @@ def e4g_char_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is map-side combinable (shuffle carries the bounded gram
     vocabulary, |alphabet|^3 worst case), and the top-k compiles to
     TakeOrderedAndProject. All-integer, bit-exact."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = rebalance_small_scan(
+        load_table(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet"
+    )
     grams = (
         docs.select(
             "doc_id",
@@ -681,7 +683,9 @@ def e33_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     count), so round-6 is cross-engine exact. At 100 TB the gram key
     would be md5(g) (cf. e2's hash tiers); text keys keep the oracle
     readable."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = rebalance_small_scan(
+        load_table(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet"
+    )
     grams = (
         docs.select(
             "doc_id",

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from wx20222_bigdata_spark.catalog import load_table
+from wx20222_bigdata_spark.catalog import load_table, rebalance_small_scan
 from wx20222_bigdata_spark.registry import query
 
 PAD_ID, UNK_ID, CLS_ID, SEP_ID = 0, 1, 2, 3
@@ -243,7 +243,9 @@ def f7b_char_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     a character vocab, same CLS/SEP/PAD + attention-mask framing as f7.
     The oracle mirrors the per-char lookup with a DuckDB MAP literal, so
     id sequences compare end to end."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = rebalance_small_scan(
+        load_table(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet"
+    )
     out = tokenize_documents(docs, load_char_vocab(), MAX_LEN, whitespace=False)
     return out.select(
         "doc_id",
