@@ -135,13 +135,21 @@ def e2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _corpus_with_mutants_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _corpus_with_mutants_spark(
+    spark: SparkSession, sf_dir: str, rebalance: bool = False
+) -> DataFrame:
     """documents ∪ mutated copies (every 50th doc, ' extra' appended,
-    id+100000) — a seeded near-dup population so LSH recall is observable."""
-    docs = rebalance_small_scan(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
-        f"{sf_dir}/documents.parquet",
-    )
+    id+100000) — a seeded near-dup population so LSH recall is observable.
+
+    ``rebalance=True`` routes through catalog.rebalance_small_scan —
+    measured A/B (idle machine, sf0.1 median-of-5): a clear win ONLY for
+    the char-shingle tier (e2j 4.34→2.09 s; ~10× the per-byte CPU of
+    word shingles), a slight LOSS for word-mode LSH (e2b 2.01→2.59 s —
+    the extra shuffle outweighs the parallelism). Word-mode callers
+    keep the default False."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if rebalance:
+        docs = rebalance_small_scan(docs, f"{sf_dir}/documents.parquet")
     mutants = (
         docs.filter(F.col("doc_id") % 50 == 0)
         .select(
@@ -479,7 +487,7 @@ def e2j_char_shingle_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash, 16 minhashes, 4 bands of 4, bucket self-equi-join — is the
     identical scale-safe pipeline as e2b (never all-pairs; shuffle
     bounded by bucket size)."""
-    corpus = _corpus_with_mutants_spark(spark, sf_dir)
+    corpus = _corpus_with_mutants_spark(spark, sf_dir, rebalance=True)
     bands = minhash_band_keys(corpus, whitespace=False)
     return (
         lsh_candidate_pairs(bands)
@@ -548,9 +556,7 @@ def e2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     vote of token-hash bit j (+1/-1), assemble a 20-bit fingerprint.
     Near-dup docs land within small Hamming distance. Long-format groupBy —
     the same two-shuffle shape as the ensemble reduce (A7)."""
-    docs = rebalance_small_scan(
-        load_table(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet"
-    )
+    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     ).filter(F.length("tok") > 0)
@@ -785,9 +791,7 @@ def e32_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment key. No windows over unbounded partitions, no driver state.
     At 100 TB the segment key would be md5(seg) (16 bytes vs the text);
     the text key here keeps the oracle exact and readable."""
-    docs = rebalance_small_scan(
-        load_table(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet"
-    )
+    docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id",
         F.expr("filter(split(text, ' '), x -> length(x) > 0)").alias("ws"),

@@ -458,9 +458,7 @@ def e31_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-doc sums fold in sorted token order (landmine 16) so every score
     is cross-engine bit-exact before the keep-gate comparison at round-6
     precision."""
-    docs = rebalance_small_scan(
-        load_table(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet"
-    )
+    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         "lang",

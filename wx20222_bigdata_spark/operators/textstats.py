@@ -688,9 +688,7 @@ def e33_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     df==1 over count), so round-6 is cross-engine exact. At 100 TB the
     gram key would be md5(g) (cf. e2's hash tiers); text keys keep the
     oracle readable."""
-    docs = rebalance_small_scan(
-        load_table(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet"
-    )
+    docs = load_table(spark, sf_dir, "documents")
     grams = (
         docs.select(
             "doc_id",

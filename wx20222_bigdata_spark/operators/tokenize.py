@@ -243,9 +243,7 @@ def f7b_char_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     a character vocab, same CLS/SEP/PAD + attention-mask framing as f7.
     The oracle mirrors the per-char lookup with a DuckDB MAP literal, so
     id sequences compare end to end."""
-    docs = rebalance_small_scan(
-        load_table(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet"
-    )
+    docs = load_table(spark, sf_dir, "documents")
     out = tokenize_documents(docs, load_char_vocab(), MAX_LEN, whitespace=False)
     return out.select(
         "doc_id",
