@@ -19,6 +19,13 @@ reported drift is a real plan change, not VM jitter. ``bench_budgets.json``
 pins the r-baseline per-query medians; any query whose median exceeds
 1.5× its budget is listed under ``budget_violations`` in the output (and
 ``--enforce`` turns violations into a nonzero exit for CI use).
+
+Host-speed calibration (r4): the shared host throttles invisibly (±35%
+same-day drift at guest load ~0), so a fixed data-independent workload is
+timed each run (``calib_sec``) and budgets scale by
+``calib_sec / _calib_ref`` (the calibration recorded at pin time, stored
+in bench_budgets.json), floored at 1.0 — the standard reference-workload
+normalization perf CI uses on shared machines.
 """
 
 from __future__ import annotations
@@ -121,6 +128,30 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Machine-speed calibration: a fixed, data-independent workload
+    # (codegen hash + one small shuffle across all cores) whose median
+    # measures THIS run's effective machine speed. The shared host this
+    # bench runs on throttles invisibly (guest load ~0 while wall times
+    # drift ±35% across same-day runs — measured in round 4), so raw
+    # per-query budgets misfire in slow windows. The budget gate scales
+    # budgets by calib_sec/_calib_ref (the calibration median recorded
+    # when budgets were pinned), floored at 1.0 so a fast window never
+    # loosens the gate the other way.
+    calib_samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 40_000_000)
+            .selectExpr("xxhash64(id) % 1000 AS h", "xxhash64(id * 7) % 64 AS b")
+            .groupBy("b")
+            .agg({"h": "sum"})
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        calib_samples.append(time.perf_counter() - t0)
+    calib_sec = round(statistics.median(calib_samples), 3)
+
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:
@@ -181,16 +212,25 @@ def main() -> None:
     # regression (the median already filters VM jitter). Budgets are the
     # committed per-query medians of the last recorded round at sf0.1.
     violations: dict[str, dict[str, float]] = {}
+    calib_ratio = 1.0
     budget_path = Path(REPO_ROOT) / BUDGET_FILE
     if budget_path.exists() and os.path.basename(sf_dir) == "sf0.1":
         budgets = json.loads(budget_path.read_text())
+        calib_ref = budgets.get("_calib_ref")
+        if calib_ref:
+            # normalize for host-level slowdown; never loosen on a fast host
+            calib_ratio = round(max(1.0, calib_sec / calib_ref), 3)
         for name, med in timings.items():
             b = budgets.get(name)
-            if b is not None and med > BUDGET_FACTOR * b:
-                violations[name] = {"median": med, "budget": b}
+            if b is not None and med > BUDGET_FACTOR * b * calib_ratio:
+                violations[name] = {
+                    "median": med,
+                    "budget": b,
+                    "calib_ratio": calib_ratio,
+                }
                 print(
                     f"BUDGET VIOLATION {name}: median {med}s > "
-                    f"{BUDGET_FACTOR}x budget {b}s",
+                    f"{BUDGET_FACTOR}x budget {b}s x calib {calib_ratio}",
                     file=sys.stderr,
                 )
 
@@ -208,6 +248,8 @@ def main() -> None:
         "stdev": spreads,
         "stat": f"median_of_{N_RUNS}",
         "budget_violations": violations,
+        "calib_sec": calib_sec,
+        "calib_ratio": calib_ratio,
         "sf": sf_val,
     }
     detail_name = "BENCH_DETAIL.json" if sf_val == 0.1 else f"BENCH_DETAIL_sf{sf}.json"
@@ -219,6 +261,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "calib_sec": calib_sec,
         "budget_violations": sorted(violations),
     }
     line = json.dumps(result, separators=(",", ":"))
