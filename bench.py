@@ -106,6 +106,12 @@ def _ensure_sf1() -> str:
 
 def main() -> None:
     if "--sf1" in sys.argv[1:]:
+        # local-mode executors share the driver JVM; the 10× soak needs a
+        # real heap (default ~1g OOMs in the first text-heavy query), and
+        # spark.driver.memory must be set before the gateway JVM launches.
+        os.environ.setdefault(
+            "PYSPARK_SUBMIT_ARGS", "--driver-memory 24g pyspark-shell"
+        )
         sf_dir = _ensure_sf1()
     else:
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

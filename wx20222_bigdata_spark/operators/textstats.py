@@ -683,8 +683,9 @@ def e33_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-back pair: both shapes hash-partition the full distinct gram
     stream by g (same skew exposure on a viral gram — WindowExec spills
     via UnsafeExternalSorter exactly where the merge join would buffer),
-    but the window does it in one exchange and one pass (measured 1.65 s
-    → 0.93 s at sf0.1, bit-equal). Novelty is an integer ratio (count of
+    but the window does it in one exchange and one pass (measured with
+    the noop sink — a count() sink lets Catalyst prune the window and
+    overstates the win — 1.51 s → 1.21 s at sf0.1, bit-equal). Novelty is an integer ratio (count of
     df==1 over count), so round-6 is cross-engine exact. At 100 TB the
     gram key would be md5(g) (cf. e2's hash tiers); text keys keep the
     oracle readable."""
