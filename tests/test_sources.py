@@ -174,3 +174,61 @@ def test_orc_roundtrip(spark, tmp_path):
     a = docs.agg(F.sum("n_chars")).first()[0]
     b = back.agg(F.sum("n_chars")).first()[0]
     assert a == b
+
+
+def test_compacted_parquet_targets_file_size(spark, tmp_path):
+    """write_compacted_parquet sizes shards from measured bytes/row:
+    a small target must split the data into several near-target files;
+    a huge target must compact to one file; rows survive either way."""
+    import pyarrow.parquet as pq
+
+    from wx20222_bigdata_spark.sources import write_compacted_parquet
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(20_000).select(
+        "id", F.sha2(F.col("id").cast("string"), 256).alias("payload")
+    )
+
+    small = tmp_path / "small_target"
+    info = write_compacted_parquet(df, str(small), target_file_bytes=64 << 10)
+    files = sorted(small.glob("*.parquet"))
+    assert info["n_shards"] > 1
+    assert len(files) == info["n_shards"]
+    # every file within ~2x of target (parquet metadata overhead aside)
+    sizes = [f.stat().st_size for f in files]
+    assert max(sizes) < 2 * (64 << 10)
+
+    big = tmp_path / "big_target"
+    info_big = write_compacted_parquet(df, str(big), target_file_bytes=1 << 30)
+    assert info_big["n_shards"] == 1
+    assert len(list(big.glob("*.parquet"))) == 1
+
+    # row-group geometry: multiple groups per file (never one blob)
+    f0 = str(files[0])
+    assert pq.ParquetFile(f0).num_row_groups >= 2
+
+    back = spark.read.parquet(str(small))
+    assert back.count() == 20_000
+    assert back.selectExpr("sum(id)").first()[0] == sum(range(20_000))
+
+
+def test_compacted_parquet_explicit_estimate_and_empty(spark, tmp_path):
+    from wx20222_bigdata_spark.sources import write_compacted_parquet
+
+    df = spark.range(1000)
+    out = tmp_path / "explicit"
+    # 100 bytes/row, 10 KiB target -> ceil(1000*100/10240) = 10 shards,
+    # no sample write needed (the non-local-filesystem path)
+    info = write_compacted_parquet(
+        df, str(out), target_file_bytes=10 << 10, est_row_bytes=100.0
+    )
+    assert info["n_shards"] == 10
+    assert spark.read.parquet(str(out)).count() == 1000
+
+    empty = tmp_path / "empty"
+    info0 = write_compacted_parquet(
+        df.filter("id < 0"), str(empty), target_file_bytes=1 << 20
+    )
+    assert info0 == {"rows": 0, "est_row_bytes": 0.0, "n_shards": 0}
+    assert spark.read.parquet(str(empty)).count() == 0

@@ -21,6 +21,7 @@ from wx20222_bigdata_spark.sources.binary_files import (  # noqa: F401
     read_keyed_binary_dir,
 )
 from wx20222_bigdata_spark.sources.sinks import (  # noqa: F401
+    write_compacted_parquet,
     write_json_manifest,
     write_sharded_parquet,
 )
