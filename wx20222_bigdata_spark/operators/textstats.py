@@ -527,12 +527,23 @@ def e19_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     the band consistent with the emitted avg_logprob).
 
     Plan: one token explode feeds both the |vocab|-row frequency table
-    (map-side-combinable count, broadcast back) and the per-doc fold; the
-    tercile boundaries are a one-row aggregate crossJoined in (documented
-    benign pattern). Float discipline: per-doc sums fold in sorted token
-    order (landmine 16) so every avg is cross-engine bit-exact BEFORE the
-    band comparison; band boundaries use exact interpolated percentiles
-    (a13 parity) on those exact avgs.
+    (map-side-combinable count, broadcast back) and the DISTINCT
+    (doc, token) pair table with a repeat count k — the map-side
+    combinable pair groupBy means the per-doc exchange carries
+    |distinct pairs| rows, not |token instances| (the e31 compression;
+    local wall-time is flat at sf1 — 2.51 vs 2.42 s — because the
+    weight join was already broadcast, but the shuffled bytes shrink by
+    the corpus duplication factor, which is what matters at 100 TB);
+    the corpus total derives from the frequency table (Σ cnt,
+    integer-exact), not a third token pass. The tercile
+    boundaries are a one-row aggregate crossJoined in (documented benign
+    pattern). Float discipline: per-doc sums fold in sorted token order
+    (landmine 16) with the k copies of an equal token added SEQUENTIALLY
+    (`aggregate(sequence(1, k), …)` — adjacent in the oracle's sorted
+    fold, so addition-for-addition identical; a k*lp multiply would
+    round differently), making every avg cross-engine bit-exact BEFORE
+    the band comparison; band boundaries use exact interpolated
+    percentiles (a13 parity) on those exact avgs.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -541,22 +552,24 @@ def e19_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("filter(split(text, ' '), x -> length(x) > 0)")
         ).alias("tok"),
     )
+    pairs = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("k"))
     freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    tot = toks.agg(F.count("*").alias("total"))
+    tot = freq.agg(F.sum("cnt").alias("total"))
     lp = (
-        toks.join(F.broadcast(freq), "tok")
+        pairs.join(F.broadcast(freq), "tok")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
             "tok",
+            "k",
             F.log(F.col("cnt").cast("double") / F.col("total")).alias("lp"),
         )
     )
     agg = lp.groupBy("doc_id").agg(
-        F.count("*").alias("n_tok"),
+        F.sum("k").alias("n_tok"),
         F.expr(
-            "aggregate(transform(array_sort(collect_list(struct(tok, lp))),"
-            " s -> s.lp), 0D, (a, x) -> a + x)"
+            "aggregate(array_sort(collect_list(struct(tok, lp, k))), 0D,"
+            " (a, s) -> aggregate(sequence(1, int(s.k)), a, (b, i) -> b + s.lp))"
         ).alias("slp"),
     )
     scored = agg.select(
