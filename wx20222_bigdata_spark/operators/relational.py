@@ -342,11 +342,18 @@ GROUP BY n.n_name
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q5-shaped 6-way join: region-filtered star join with the
-    'local supplier' same-nation constraint. Dim chain region→nation
-    broadcasts; the fact-fact orders⋈lineitem shuffle carries only
-    date-filtered rows; the supplier join adds a non-equi conjunct
-    (same-nation) on top of the equi key — Catalyst keeps the equi part
-    as the hash key and applies the rest as a post-filter."""
+    'local supplier' same-nation constraint. The region→nation dim
+    chain collapses to a broadcast 'asian nations' table joined to
+    customer FIRST, so non-region customers die before the fact joins —
+    every downstream shuffle (the c⋈o join output, the o⋈li output
+    feeding the supplier join) shrinks by the region selectivity
+    instead of carrying rows the final dim join would discard (Catalyst
+    does not reorder inner joins without CBO, so the early prune must
+    be written explicitly; measured 1.54 → 1.24 s at sf0.1). The
+    fact-fact orders⋈lineitem shuffle carries only date-filtered rows;
+    the supplier join adds a non-equi conjunct (same-nation) on top of
+    the equi key — Catalyst keeps the equi part as the hash key and
+    applies the rest as a post-filter."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -356,16 +363,19 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asian = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    c_asia = c.join(F.broadcast(asian), F.col("n_nationkey") == c.c_nationkey)
     dec = lambda c_: F.col(c_).cast("decimal(18,2)")  # noqa: E731
     return (
-        c.join(o, o.o_custkey == c.c_custkey)
+        c_asia.join(o, o.o_custkey == F.col("c_custkey"))
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(
             s,
-            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+            (s.s_suppkey == li.l_suppkey)
+            & (s.s_nationkey == F.col("c_nationkey")),
         )
-        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
-        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
             F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
