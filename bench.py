@@ -20,12 +20,16 @@ pins the r-baseline per-query medians; any query whose median exceeds
 1.5× its budget is listed under ``budget_violations`` in the output (and
 ``--enforce`` turns violations into a nonzero exit for CI use).
 
-Host-speed calibration (r4): the shared host throttles invisibly (±35%
-same-day drift at guest load ~0), so a fixed data-independent workload is
-timed each run (``calib_sec``) and budgets scale by
+Host-speed calibration (r4, symmetric since r5): the shared host
+throttles invisibly (±35% same-day drift at guest load ~0), so a fixed
+data-independent workload is timed before AND after the suite
+(``calib_sec`` = pooled median) and every query median is divided by
 ``calib_sec / _calib_ref`` (the calibration recorded at pin time, stored
-in bench_budgets.json), floored at 1.0 — the standard reference-workload
-normalization perf CI uses on shared machines.
+in bench_budgets.json) before comparing against its budget. The
+normalization is SYMMETRIC — a fast host tightens budgets exactly as a
+slow host loosens them — and bounded: a ratio > 2 triggers a calibration
+re-run, then caps at 2 with ``calib_suspect`` set, and raw
+(uncalibrated) violations are always recorded alongside.
 """
 
 from __future__ import annotations
@@ -85,6 +89,9 @@ HEADLINE = [
     "f7b_char_tokenize",          # char-mode broadcast-vocab tokenizer
     "e2j_char_shingle_lsh_pairs", # char-shingle MinHash-LSH (CJK near-dup)
     "e4g_char_ngram_stats",       # char-trigram freq/df top-k
+    # round-5 additions
+    "e2k_salted_lsh_pairs",       # grid-salted LSH pair join (skew tier)
+    "e2m_char_lsh_production",    # production-hash CJK LSH (real CJK dedup cost)
 ]
 
 
@@ -109,9 +116,12 @@ def main() -> None:
         # local-mode executors share the driver JVM; the 10× soak needs a
         # real heap (default ~1g OOMs in the first text-heavy query), and
         # spark.driver.memory must be set before the gateway JVM launches.
-        os.environ.setdefault(
-            "PYSPARK_SUBMIT_ARGS", "--driver-memory 24g pyspark-shell"
-        )
+        # BENCH_DRIVER_MEM overrides the size for smaller hosts; an
+        # existing PYSPARK_SUBMIT_ARGS is prepended to, not discarded.
+        mem = os.environ.get("BENCH_DRIVER_MEM", "24g")
+        existing = os.environ.get("PYSPARK_SUBMIT_ARGS", "pyspark-shell")
+        if "--driver-memory" not in existing:
+            os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} {existing}"
         sf_dir = _ensure_sf1()
     else:
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -143,20 +153,25 @@ def main() -> None:
     # budgets by calib_sec/_calib_ref (the calibration median recorded
     # when budgets were pinned), floored at 1.0 so a fast window never
     # loosens the gate the other way.
-    calib_samples = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        (
-            spark.range(0, 40_000_000)
-            .selectExpr("xxhash64(id) % 1000 AS h", "xxhash64(id * 7) % 64 AS b")
-            .groupBy("b")
-            .agg({"h": "sum"})
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
-        calib_samples.append(time.perf_counter() - t0)
-    calib_sec = round(statistics.median(calib_samples), 3)
+    def _calibrate(n: int = 3) -> list[float]:
+        out = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            (
+                spark.range(0, 40_000_000)
+                .selectExpr(
+                    "xxhash64(id) % 1000 AS h", "xxhash64(id * 7) % 64 AS b"
+                )
+                .groupBy("b")
+                .agg({"h": "sum"})
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            out.append(time.perf_counter() - t0)
+        return out
+
+    calib_samples = _calibrate()
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -214,31 +229,68 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    # budget gate: a median > BUDGET_FACTOR × its pinned budget is a real
-    # regression (the median already filters VM jitter). Budgets are the
-    # committed per-query medians of the last recorded round at sf0.1.
+    # Post-suite calibration sample: a throttle window that starts mid-run
+    # slows the queries but not a pre-suite-only calibration; pooling
+    # before+after samples keeps calib_sec representative of the window
+    # the queries actually ran in.
+    calib_samples += _calibrate()
+    calib_sec = round(statistics.median(calib_samples), 3)
+
+    # Budget gate (fully calibrated units, r4 verdict item 5): each
+    # query's median is divided by calib_ratio = calib_sec/_calib_ref —
+    # SYMMETRIC, so a fast host tightens exactly as a slow host loosens
+    # and a regression cannot hide behind host drift in either direction.
+    # A calibrated median > BUDGET_FACTOR × its pinned budget is a real
+    # regression. Sanity bound (r4 advice): a calib_ratio > 2 means the
+    # calibration itself is suspect (shared infra regression would slow
+    # calibration AND queries alike, silently loosening every budget) —
+    # calibration is re-run once; if still >2 the ratio is capped at 2,
+    # the run is marked calib_suspect, and UNCALIBRATED violations are
+    # always recorded alongside so the raw comparison stays auditable.
     violations: dict[str, dict[str, float]] = {}
+    raw_violations: dict[str, dict[str, float]] = {}
     calib_ratio = 1.0
+    calib_suspect = False
+    timings_calibrated: dict[str, float] = {}
     budget_path = Path(REPO_ROOT) / BUDGET_FILE
     if budget_path.exists() and os.path.basename(sf_dir) == "sf0.1":
         budgets = json.loads(budget_path.read_text())
         calib_ref = budgets.get("_calib_ref")
         if calib_ref:
-            # normalize for host-level slowdown; never loosen on a fast host
-            calib_ratio = round(max(1.0, calib_sec / calib_ref), 3)
+            calib_ratio = round(calib_sec / calib_ref, 3)
+            if calib_ratio > 2.0:
+                print(
+                    f"CALIB SUSPECT: ratio {calib_ratio} > 2, re-running "
+                    "calibration",
+                    file=sys.stderr,
+                )
+                calib_samples += _calibrate()
+                calib_sec = round(statistics.median(calib_samples), 3)
+                calib_ratio = round(calib_sec / calib_ref, 3)
+                if calib_ratio > 2.0:
+                    calib_suspect = True
+                    calib_ratio = 2.0
         for name, med in timings.items():
+            cal = round(med / calib_ratio, 3)
+            timings_calibrated[name] = cal
             b = budgets.get(name)
-            if b is not None and med > BUDGET_FACTOR * b * calib_ratio:
+            if b is None:
+                continue
+            if cal > BUDGET_FACTOR * b:
                 violations[name] = {
                     "median": med,
+                    "calibrated": cal,
                     "budget": b,
                     "calib_ratio": calib_ratio,
                 }
                 print(
-                    f"BUDGET VIOLATION {name}: median {med}s > "
-                    f"{BUDGET_FACTOR}x budget {b}s x calib {calib_ratio}",
+                    f"BUDGET VIOLATION {name}: calibrated median {cal}s "
+                    f"(raw {med}s / calib {calib_ratio}) > "
+                    f"{BUDGET_FACTOR}x budget {b}s",
                     file=sys.stderr,
                 )
+            if med > BUDGET_FACTOR * b:
+                raw_violations[name] = {"median": med, "budget": b}
 
     # Two-tier output (r3 verdict item 1): the driver keeps only the LAST
     # ~2000 chars of stdout, and r3's single fat line (medians + stdevs +
@@ -251,11 +303,14 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_calibrated": timings_calibrated,
         "stdev": spreads,
         "stat": f"median_of_{N_RUNS}",
         "budget_violations": violations,
+        "uncalibrated_violations": raw_violations,
         "calib_sec": calib_sec,
         "calib_ratio": calib_ratio,
+        "calib_suspect": calib_suspect,
         "sf": sf_val,
     }
     detail_name = "BENCH_DETAIL.json" if sf_val == 0.1 else f"BENCH_DETAIL_sf{sf}.json"

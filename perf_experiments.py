@@ -345,6 +345,79 @@ def main() -> None:
     assert cap_res["cap_50"]["dedup_pairs"] < cap_res["uncapped"]["dedup_pairs"]
     results["lsh_bucket_cap_sf1_boilerplate"] = cap_res
 
+    # --- 8. Skew tier for HOT-BUT-LEGITIMATE buckets (r4 verdict item 1) ---
+    # Between "normal" (tens of docs) and "degenerate" (dropped by the
+    # cap) sits the hot-but-real bucket: ~400 near-identical docs is a
+    # legitimate duplicate family whose pairs we WANT, but one
+    # (band, bucket_key) then owns 400·399/2 ≈ 80k pair productions on a
+    # single reducer. Three contenders over sf1 + 10 such families
+    # (~3.2M pair rows concentrated on 40 join keys):
+    #   plain      — the baseline self-equi-join,
+    #   aqe_skew   — plain + AQE skew-join split (thresholds tuned down
+    #                so the rule can fire at this data size),
+    #   salted     — lsh_candidate_pairs_salted grid decomposition
+    #                (n_cells=8, hot_threshold=64).
+    # All three must produce the identical dedup pair count.
+    from wx20222_bigdata_spark.operators.dedup import lsh_candidate_pairs_salted
+
+    hot_families = spark.range(4000).select(
+        (F.col("id") + 20_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("recurring syndicated article family number "),
+            (F.col("id") % 10).cast("string"),
+            F.lit(" with shared body text across many mirror sites"),
+        ).alias("text"),
+    )
+    hot_adversarial = docs_sf1.unionByName(hot_families)
+    hot_bands = minhash_band_keys(hot_adversarial).persist()
+    hot_bands.count()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    hot_res = {}
+
+    def _e2b_shape(pairs):
+        return pairs.groupBy("id_a", "id_b").agg(
+            F.countDistinct("band").alias("n_shared_bands")
+        )
+
+    for label in ["plain", "aqe_skew", "salted"]:
+        if label == "aqe_skew":
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4MB"
+            )
+            spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+            spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4MB")
+        else:
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        pairs = (
+            lsh_candidate_pairs_salted(hot_bands, n_cells=8, hot_threshold=64)
+            if label == "salted"
+            else lsh_candidate_pairs(hot_bands)
+        )
+        agg = _e2b_shape(pairs)
+        times = []
+        n = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n = agg.count()
+            times.append(round(time.perf_counter() - t0, 3))
+        hot_res[label] = {"sec": min(times), "dedup_pairs": n}
+    for conf in [
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]:
+        spark.conf.unset(conf)
+    hot_bands.unpersist()
+    assert (
+        hot_res["plain"]["dedup_pairs"]
+        == hot_res["aqe_skew"]["dedup_pairs"]
+        == hot_res["salted"]["dedup_pairs"]
+    ), "skew tier changed the pair set"
+    results["lsh_hot_bucket_skew_tier_sf1"] = hot_res
+
     print(json.dumps(results, indent=2))
     spark.stop()
 

@@ -78,3 +78,22 @@ def test_missing_path_is_noop(spark, tmp_path):
     _write(p, 100, row_group_size=100)
     df = spark.read.parquet(p)
     assert rebalance_small_scan(df, str(tmp_path / "nope.parquet")) is df
+
+
+def test_byte_suffixed_max_partition_bytes(spark, tmp_path):
+    """A byte-suffixed maxPartitionBytes ('128m' is valid Spark conf) must
+    parse — the gate still fires for a small single-row-group file."""
+    from wx20222_bigdata_spark.catalog import _parse_byte_conf
+
+    assert _parse_byte_conf("128m") == 128 << 20
+    assert _parse_byte_conf("134217728") == 128 << 20
+    p = str(tmp_path / "docs.parquet")
+    _write(p, 1000, row_group_size=1000)
+    df = spark.read.parquet(p)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+        out = rebalance_small_scan(df, p)
+        assert out is not df  # suffixed conf no longer disables the gate
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

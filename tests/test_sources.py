@@ -232,3 +232,18 @@ def test_compacted_parquet_explicit_estimate_and_empty(spark, tmp_path):
     )
     assert info0 == {"rows": 0, "est_row_bytes": 0.0, "n_shards": 0}
     assert spark.read.parquet(str(empty)).count() == 0
+
+
+def test_compacted_parquet_zero_estimate_falls_back(spark, tmp_path):
+    """est_row_bytes=0 (sampled bytes invisible to the driver on a
+    non-local cluster, or passed explicitly) must not divide by zero —
+    plain write fallback, n_shards=0 signals 'unsized' in the manifest."""
+    from wx20222_bigdata_spark.sources import write_compacted_parquet
+
+    df = spark.range(100)
+    out = tmp_path / "zeroest"
+    info = write_compacted_parquet(
+        df, str(out), target_file_bytes=1 << 20, est_row_bytes=0.0
+    )
+    assert info == {"rows": 100, "est_row_bytes": 0.0, "n_shards": 0}
+    assert spark.read.parquet(str(out)).count() == 100

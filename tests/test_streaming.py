@@ -703,3 +703,116 @@ def test_idempotent_writer_replay_repairs_stale_pointer(
     )
     make_idempotent_batch_writer(out, ckpt)(replayed, _last_batch_id(ckpt))
     assert read_committed(spark, out).count() == expected
+
+
+def test_streaming_curation_funnel_matches_batch_twin(spark, tmp_path):
+    """streaming_curation_funnel law: after a multi-batch availableNow
+    pass, the persistent accounting state equals the declarative batch
+    twin (e7c_funnel_accounting) bit-for-bit. Every accounting column is
+    arrival-order-independent (duplicates share text, hence n_tok), so
+    the law holds for ANY micro-batch split — maxFilesPerTrigger=1
+    forces a genuinely multi-batch run."""
+    from wx20222_bigdata_spark.catalog import load_table
+    from wx20222_bigdata_spark.operators.curation import e7c_funnel_accounting
+    from wx20222_bigdata_spark.streaming.jobs import streaming_curation_funnel
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    )
+    src = str(tmp_path / "docs")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+
+    index_dir = str(tmp_path / "index")
+    out = str(tmp_path / "admitted")
+    state = str(tmp_path / "state")
+    stream = spark.readStream.schema(
+        "doc_id bigint, source string, text string"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = streaming_curation_funnel(
+        stream, index_dir, out, state, str(tmp_path / "ckpt")
+    )
+    q.start().awaitTermination(180)
+
+    got = {
+        r["source"]: (
+            r["n_raw"], r["n_quality"], r["n_admitted"], r["admitted_tokens"]
+        )
+        for r in spark.read.parquet(f"{state}/current").collect()
+    }
+    want = {
+        r["source"]: (
+            r["n_raw"], r["n_quality"], r["n_admitted"], r["admitted_tokens"]
+        )
+        for r in e7c_funnel_accounting(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # admitted rows: one per distinct quality content key; index matches
+    admitted = spark.read.parquet(f"{out}/batch_id=*")
+    n_admitted_total = sum(v[2] for v in want.values())
+    assert admitted.count() == n_admitted_total
+    index = spark.read.parquet(f"{index_dir}/keys")
+    assert index.select("content_key").distinct().count() == n_admitted_total
+
+
+def test_curation_funnel_markerless_replay_is_idempotent(spark, tmp_path):
+    """Crash-window law: a crash AFTER all three writes but BEFORE the
+    _applied marker replays the batch with (a) its own index partition
+    excluded from `seen` (admitted rows survive) and (b) the state-swap
+    lineage guard refusing a second merge (no double count)."""
+    from wx20222_bigdata_spark.catalog import load_table
+    from wx20222_bigdata_spark.streaming.jobs import make_curation_funnel_batch
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    )
+    index_dir = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    funnel = make_curation_funnel_batch(index_dir, out, state)
+    funnel(docs, 0)
+
+    import os
+
+    snap_admitted = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/batch_id=*").collect()
+    )
+    snap_state = sorted(
+        tuple(r) for r in spark.read.parquet(f"{state}/current").collect()
+    )
+    assert len(snap_admitted) > 0
+
+    # simulate the crash: marker never landed
+    os.remove(os.path.join(out, "_applied_0"))
+    funnel(docs, 0)
+
+    assert sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/batch_id=*").collect()
+    ) == snap_admitted
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(f"{state}/current").collect()
+    ) == snap_state
+
+    # fully-committed replay (marker present) is a pure no-op too
+    funnel(docs, 0)
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(f"{state}/current").collect()
+    ) == snap_state
+
+    # a later batch with one seen + one novel doc admits only the novel
+    # one and increments accounting by exactly that row
+    seen_text = docs.orderBy("doc_id").first()["text"]
+    novel_text = " ".join(f"word{i}" for i in range(30))  # passes the gate
+    nxt = spark.createDataFrame(
+        [(10_000_000, "webZ", seen_text), (10_000_001, "webZ", novel_text)],
+        "doc_id bigint, source string, text string",
+    )
+    funnel(nxt, 1)
+    state_rows = {
+        r["source"]: (r["n_raw"], r["n_quality"], r["n_admitted"])
+        for r in spark.read.parquet(f"{state}/current").collect()
+    }
+    assert state_rows["webZ"][0] == 2  # both raw rows counted
+    assert state_rows["webZ"][2] == 1  # exactly the novel one admitted

@@ -205,7 +205,9 @@ def rebalance_small_scan(df: DataFrame, path: str) -> DataFrame:
         if not files:
             return df
         total = sum(os.path.getsize(f) for f in files)
-        max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        max_split = _parse_byte_conf(
+            spark.conf.get("spark.sql.files.maxPartitionBytes")
+        )
         if total >= par * max_split:
             return df
         import pyarrow.parquet as pq
@@ -213,9 +215,41 @@ def rebalance_small_scan(df: DataFrame, path: str) -> DataFrame:
         row_groups = sum(pq.ParquetFile(f).num_row_groups for f in files)
         if row_groups >= par:
             return df
-    except Exception:
+    except (OSError, ValueError):
+        # unreadable local path or malformed conf → conservative no-op;
+        # anything else (a genuine bug) propagates
         return df
     return df.repartition(par)
+
+
+_BYTE_SUFFIXES = {
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+    "t": 1 << 40,
+    "tb": 1 << 40,
+}
+
+
+def _parse_byte_conf(value: str) -> int:
+    """Parse a Spark byte-size conf value (``134217728``, ``128m``,
+    ``1g``, ``512kb`` — Spark's JavaUtils.byteStringAsBytes grammar,
+    binary units). Raises ValueError on malformed input."""
+    s = value.strip().lower()
+    i = len(s)
+    while i > 0 and not s[i - 1].isdigit():
+        i -= 1
+    num, suffix = s[:i], s[i:].strip()
+    if not num:
+        raise ValueError(f"malformed byte conf: {value!r}")
+    mult = _BYTE_SUFFIXES.get(suffix, None) if suffix else 1
+    if mult is None:
+        raise ValueError(f"unknown byte suffix in conf: {value!r}")
+    return int(num) * mult
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

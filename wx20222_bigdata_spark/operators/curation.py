@@ -33,6 +33,43 @@ from wx20222_bigdata_spark.operators.packing import PACK_BUDGET
 from wx20222_bigdata_spark.registry import query
 
 
+def quality_features(docs: DataFrame) -> DataFrame:
+    """The funnel's stage-1 features over (doc_id, source, text) rows:
+    md5 content key + the quality-gate signals (token/char/punct counts).
+    Narrow, no shuffle — shared by the batch funnel (e7), its
+    accounting-only twin (e7c), and the streaming funnel
+    (streaming/jobs.make_curation_funnel_batch), so all three gates are
+    the same expressions by construction."""
+    words = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    return docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("content_key"),
+        F.size(words).cast("bigint").alias("n_tok"),
+        F.length("text").alias("n_char"),
+        (
+            F.length("text")
+            - F.length(
+                F.regexp_replace(
+                    F.regexp_replace(F.regexp_replace("text", r"\.", ""), ",", ""),
+                    "!",
+                    "",
+                )
+            )
+        ).alias("n_punct"),
+    )
+
+
+def quality_gate(feats: DataFrame) -> DataFrame:
+    """Stage-2 quality predicate (Gopher/C4-style length + punct-ratio
+    heuristics, same gate as e4d)."""
+    return feats.filter(
+        (F.col("n_tok") >= 20)
+        & (F.col("n_tok") <= 1000)
+        & (F.col("n_punct").cast("double") / F.col("n_char") < 0.1)
+    )
+
+
 @query(
     "e7_curation_pipeline",
     oracle=f"""
@@ -95,29 +132,8 @@ def e7_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     retention accounting every curation run reports: n_raw -> n_quality ->
     n_kept, plus kept token mass and bin count."""
     docs = load_table(spark, sf_dir, "documents")
-    words = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
-    feats = docs.select(
-        "doc_id",
-        "source",
-        F.md5("text").alias("content_key"),
-        F.size(words).cast("bigint").alias("n_tok"),
-        F.length("text").alias("n_char"),
-        (
-            F.length("text")
-            - F.length(
-                F.regexp_replace(
-                    F.regexp_replace(F.regexp_replace("text", r"\.", ""), ",", ""),
-                    "!",
-                    "",
-                )
-            )
-        ).alias("n_punct"),
-    )
-    quality = feats.filter(
-        (F.col("n_tok") >= 20)
-        & (F.col("n_tok") <= 1000)
-        & (F.col("n_punct").cast("double") / F.col("n_char") < 0.1)
-    )
+    feats = quality_features(docs)
+    quality = quality_gate(feats)
     dedup_w = Window.partitionBy("content_key").orderBy("doc_id")
     survivors = (
         quality.withColumn("rn", F.row_number().over(dedup_w))
@@ -156,6 +172,85 @@ def e7_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
             F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
             F.coalesce("n_bins", F.lit(0)).alias("n_bins"),
+        )
+    )
+
+
+@query(
+    "e7c_funnel_accounting",
+    oracle="""
+WITH feats AS (
+  SELECT doc_id, source, md5(text) AS content_key,
+         len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n_tok,
+         length(text) AS n_char,
+         length(text) - length(replace(replace(replace(text, '.', ''), ',', ''), '!', '')) AS n_punct
+  FROM documents
+),
+quality AS (
+  SELECT * FROM feats
+  WHERE n_tok >= 20 AND n_tok <= 1000
+    AND CAST(n_punct AS DOUBLE) / n_char < 0.1
+),
+admitted AS (
+  SELECT source, n_tok
+  FROM (
+    SELECT source, n_tok,
+           ROW_NUMBER() OVER (PARTITION BY content_key ORDER BY doc_id) AS rn
+    FROM quality
+  )
+  WHERE rn = 1
+),
+raw AS (SELECT source, COUNT(*) AS n_raw FROM feats GROUP BY source),
+qc AS (SELECT source, COUNT(*) AS n_quality FROM quality GROUP BY source),
+adm AS (
+  SELECT source, COUNT(*) AS n_admitted,
+         CAST(SUM(n_tok) AS BIGINT) AS admitted_tokens
+  FROM admitted GROUP BY source
+)
+SELECT raw.source, n_raw,
+       COALESCE(n_quality, 0) AS n_quality,
+       COALESCE(n_admitted, 0) AS n_admitted,
+       COALESCE(admitted_tokens, 0) AS admitted_tokens
+FROM raw LEFT JOIN qc ON raw.source = qc.source
+         LEFT JOIN adm ON raw.source = adm.source
+""",
+)
+def e7c_funnel_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7c — the BATCH TWIN of the streaming curation funnel
+    (streaming/jobs.make_curation_funnel_batch): per-source retention
+    accounting of quality gate → first-occurrence admission, computed
+    declaratively over the whole corpus. The streaming funnel's
+    persistent accounting state after an ordered availableNow pass must
+    equal this exactly (law: tests/test_streaming.py — admission by
+    first ARRIVAL equals admission by min doc_id when batches arrive in
+    doc_id order). Same stage helpers (quality_features/quality_gate)
+    feed both paths, so the gates cannot drift apart."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(docs)
+    quality = quality_gate(feats)
+    w = W.partitionBy("content_key").orderBy("doc_id")
+    admitted = (
+        quality.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", "n_tok")
+    )
+    raw = feats.groupBy("source").agg(F.count("*").alias("n_raw"))
+    qc = quality.groupBy("source").agg(F.count("*").alias("n_quality"))
+    adm = admitted.groupBy("source").agg(
+        F.count("*").alias("n_admitted"),
+        F.sum("n_tok").cast("bigint").alias("admitted_tokens"),
+    )
+    return (
+        raw.join(qc, "source", "left")
+        .join(adm, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_admitted", F.lit(0)).alias("n_admitted"),
+            F.coalesce("admitted_tokens", F.lit(0)).alias("admitted_tokens"),
         )
     )
 

@@ -388,6 +388,98 @@ def lsh_candidate_pairs(
     ).select("id_a", "id_b", "band")
 
 
+def lsh_candidate_pairs_salted(
+    bands: DataFrame,
+    n_cells: int = 8,
+    hot_threshold: int = 64,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """``lsh_candidate_pairs`` with GRID SALTING of hot buckets — the
+    skew tier for buckets that are hot but legitimate (below the
+    ``max_bucket_size`` drop cap, yet big enough that one reducer owning
+    the whole bucket's b·(b−1)/2 pair production is the stage straggler).
+
+    The plain self-equi-join hash-partitions on (band, bucket_key), so a
+    single bucket of b rows lands ALL of its ~b²/2 output rows on one
+    reducer no matter how many cores exist — AQE's skew-join split
+    mitigates but cannot rebalance the *output* explosion of one key.
+    Grid salting is the classic triangle decomposition (distributed
+    theta-join / "1-bucket" partitioning, Okcan & Riedewald SIGMOD'11):
+    each doc in a hot bucket gets a deterministic group
+    ``g = xxhash64(doc_id) mod n_cells``; the unordered pair {x, y} with
+    groups (p, q), p ≤ q, is produced in exactly one grid cell (p, q):
+
+      * side A carries each row into cells (g, q) for q ∈ [g, n_cells),
+      * side B carries each row into cells (p, g) for p ∈ [0, g],
+      * the join key becomes (band, bucket_key, p, q) — the hot bucket's
+        work spreads over n_cells·(n_cells+1)/2 reducers,
+      * diagonal cells (p = p′) see both orderings of a pair and keep
+        ``id_a < id_b``; off-diagonal cells see exactly one ordering and
+        normalize with least/greatest.
+
+    Cold buckets (size ≤ ``hot_threshold``) take group 0 and a single
+    (0,0) cell — zero replication, byte-identical to the plain join —
+    so the ~(n_cells+1)× input replication is paid ONLY on hot-bucket
+    rows. The bucket-size count reuses the same (band, bucket_key)
+    window (and exchange) the plain tier uses for frequent-bucket
+    pruning; ``max_bucket_size`` composes as before.
+
+    Output is EXACTLY the plain tier's pair set (law-tested bit-equal) —
+    salting is a physical-only transformation, so e2b's DuckDB oracle
+    verifies this path end-to-end."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket_key")
+    bands = bands.withColumn("_bsz", F.count("*").over(w))
+    if max_bucket_size is not None:
+        bands = bands.filter(F.col("_bsz") <= max_bucket_size)
+    bands = (
+        bands.withColumn(
+            "_g",
+            F.when(
+                F.col("_bsz") > hot_threshold,
+                F.pmod(F.xxhash64("doc_id"), F.lit(n_cells)).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_gmax",
+            F.when(F.col("_bsz") > hot_threshold, F.lit(n_cells - 1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .drop("_bsz")
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        "band",
+        F.col("bucket_key").alias("bk_a"),
+        F.col("_g").alias("_p"),
+        F.explode(F.sequence(F.col("_g"), F.col("_gmax"))).alias("_q"),
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("band").alias("band_b"),
+        F.col("bucket_key").alias("bk_b"),
+        F.explode(F.sequence(F.lit(0), F.col("_g"))).alias("_pb"),
+        F.col("_g").alias("_qb"),
+    )
+    joined = a.join(
+        b,
+        (F.col("band") == F.col("band_b"))
+        & (F.col("bk_a") == F.col("bk_b"))
+        & (F.col("_p") == F.col("_pb"))
+        & (F.col("_q") == F.col("_qb"))
+        # diagonal cells see both orderings: keep one; off-diagonal cells
+        # see exactly one ordering: keep it (normalized below)
+        & ((F.col("_p") != F.col("_q")) | (F.col("id_a") < F.col("id_b"))),
+    )
+    return joined.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        "band",
+    )
+
+
 def _lsh_bands_duck_ctes(whitespace: bool = True) -> str:
     """The full DuckDB LSH front half (corpus → shingles → minhash → band
     keys) as a reusable CTE chain — e2b/e2j compose their pair join on
@@ -462,6 +554,34 @@ def e2b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = minhash_band_keys(corpus)
     return (
         lsh_candidate_pairs(bands)
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("band").alias("n_shared_bands"))
+    )
+
+
+@query(
+    "e2k_salted_lsh_pairs",
+    oracle=f"""
+WITH {LSH_BANDS_DUCK_CTES}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(DISTINCT a.band) AS n_shared_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket_key = b.bucket_key AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+""",
+)
+def e2k_salted_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 MinHash-LSH pairs through the SKEW tier
+    (``lsh_candidate_pairs_salted``): hot (band, bucket_key) buckets are
+    grid-salted so pair production spreads across n_cells·(n_cells+1)/2
+    reducers instead of one. ``hot_threshold=1`` here so every
+    pair-producing bucket takes the salted path and the DuckDB oracle
+    (the plain uncapped bucket join — identical to e2b's) verifies the
+    grid decomposition end-to-end; production default is 64 so cold
+    buckets pay zero replication."""
+    corpus = _corpus_with_mutants_spark(spark, sf_dir)
+    bands = minhash_band_keys(corpus)
+    return (
+        lsh_candidate_pairs_salted(bands, n_cells=8, hot_threshold=1)
         .groupBy("id_a", "id_b")
         .agg(F.countDistinct("band").alias("n_shared_bands"))
     )
@@ -586,6 +706,24 @@ def e2g_minhash_lsh_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded mutants must collide (tested)."""
     corpus = _corpus_with_mutants_spark(spark, sf_dir)
     bands = minhash_band_keys(corpus, production_hash=True)
+    return (
+        lsh_candidate_pairs(bands)
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("band").alias("n_shared_bands"))
+    )
+
+
+@query("e2m_char_lsh_production")
+def e2m_char_lsh_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 production-tier CJK near-dup: char-{CHAR_SHINGLE_N}-gram
+    shingles (``whitespace=False``) hashed with JVM xxhash64 — the real
+    cost of CJK dedup at scale (e2j's headline is dominated by the
+    oracle-tier md5 fold, ~3× the hash cost; this seat records the
+    number production would pay). Rows-only like e2g: bucket ids are
+    engine-specific; recall of the seeded mutants is the liveness
+    signal."""
+    corpus = _corpus_with_mutants_spark(spark, sf_dir, rebalance=True)
+    bands = minhash_band_keys(corpus, production_hash=True, whitespace=False)
     return (
         lsh_candidate_pairs(bands)
         .groupBy("id_a", "id_b")

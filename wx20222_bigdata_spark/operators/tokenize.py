@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from wx20222_bigdata_spark.catalog import load_table, rebalance_small_scan
+from wx20222_bigdata_spark.catalog import load_table
 from wx20222_bigdata_spark.registry import query
 
 PAD_ID, UNK_ID, CLS_ID, SEP_ID = 0, 1, 2, 3

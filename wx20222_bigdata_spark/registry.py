@@ -47,14 +47,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # CORRECTNESS row yet — plus anything new/changed this round — get checked
 # before already-driver-verified ones. See NOTES_r2.md.
 _FRONT: list[str] = [
-    # Round-4 rotation (VERDICT r3 item 2): queries ADDED THIS ROUND come
-    # first (driver-green for new ops in their own round), then the 45
-    # registered names with no driver CORRECTNESS row in r01∪r02∪r03
-    # (those rounds each recorded the first 50 in registration order; the
-    # three 50-name sets are disjoint). 45 + the r4 additions fit in one
-    # 50-name driver pass, closing the rotation: every registered query
-    # then has a driver row across r01–r04. All names below are green in
-    # the judge's full 194-query sweep; this is artifact ordering only.
+    # Round-5 rotation: queries ADDED THIS ROUND first (driver-green for
+    # new ops in their own round — the norm since r3), then a refresh of
+    # the oldest driver rows (r01 names, recorded three rounds ago).
+    # Every registered name already has a driver row across r01–r04;
+    # this is artifact ordering only.
+    "e2k_salted_lsh_pairs",
+    "e2m_char_lsh_production",
+    "e7c_funnel_accounting",
+    # — r4 heads (kept near the front: newest correctness-critical ops) —
     "f7b_char_tokenize",
     "e2j_char_shingle_lsh_pairs",
     "e4g_char_ngram_stats",

@@ -85,6 +85,14 @@ def write_compacted_parquet(
             est_row_bytes = sampled / k
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
+    if est_row_bytes <= 0:
+        # The sample directory can legitimately yield no visible .parquet
+        # bytes on a non-local cluster (executors write to the cluster FS
+        # while the driver lists a local tempdir), and a caller may pass 0.
+        # Sizing is impossible without an estimate — fall back to a plain
+        # write rather than divide by zero.
+        df.write.mode("overwrite").parquet(path)
+        return {"rows": n_rows, "est_row_bytes": 0.0, "n_shards": 0}
     n_shards = max(1, math.ceil(n_rows * est_row_bytes / target_file_bytes))
     out = df.repartition(n_shards)
     writer = out.write.mode("overwrite")

@@ -670,3 +670,180 @@ def make_ingest_dedup_batch(index_dir: str, out_dir: str):
             f.write("ok")
 
     return ingest_batch
+
+
+def streaming_curation_funnel(
+    stream_df: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+):
+    """Incremental CURATION FUNNEL: the e7 pipeline run continuously over
+    an arriving document stream — quality gate → first-occurrence
+    admission against the persistent key index → per-source retention
+    accounting folded into a running state table. This composes the two
+    ingest subsystems (streaming_ingest_dedup's exactly-once admission,
+    make_agg_merge_batch's atomic state merge) into the shape a real
+    crawl-ingest pipeline runs: every micro-batch does O(batch) narrow
+    feature work, one semi-join against the key index, and a tiny
+    accounting merge; corpus text is never re-read.
+
+    Exactly-once, three commit points per batch, each replay-safe:
+      1. admitted rows + index keys land in batch_id partitions
+         (idempotent overwrite; a markerless replay recomputes the same
+         admitted set because the index read is guarded to
+         ``batch_id < current``),
+      2. the accounting state swap carries ``<lineage>:<batch_id>`` in
+         ``_last_batch`` INSIDE the staged directory (the rename commits
+         data + applied-id atomically; a replay that finds its own id
+         skips the merge — no double count),
+      3. the ``_applied_{batch}`` marker is written LAST and
+         short-circuits fully-committed replays.
+
+    Batch twin / oracle: ``e7c_funnel_accounting`` (operators/curation.py)
+    computes the same accounting declaratively; with batches arriving in
+    doc_id order, first-arrival admission == min-doc_id admission, so the
+    final state equals the twin bit-for-bit (law-tested)."""
+    funnel = make_curation_funnel_batch(
+        index_dir, out_dir, state_dir, checkpoint_dir
+    )
+    return (
+        stream_df.writeStream.foreachBatch(funnel)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def make_curation_funnel_batch(
+    index_dir: str,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str | None = None,
+):
+    """The foreachBatch callable behind :func:`streaming_curation_funnel`
+    (exposed for direct replay/crash-window testing)."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from wx20222_bigdata_spark.operators.curation import (
+        quality_features,
+        quality_gate,
+    )
+
+    def _lineage_id() -> str | None:
+        if checkpoint_dir is None:
+            return None
+        meta = os.path.join(checkpoint_dir, "metadata")
+        with open(meta) as f:
+            return json.load(f)["id"]
+
+    def funnel_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = os.path.join(out_dir, f"_applied_{batch_id}")
+        if os.path.exists(marker):
+            return  # fully committed batch — replay is a no-op
+
+        feats = quality_features(batch_df)
+        quality = quality_gate(feats)
+        # admission: first occurrence within the batch ...
+        w = Window.partitionBy("content_key").orderBy("doc_id")
+        firsts = (
+            quality.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        # ... and unseen by the persistent index. The index read is
+        # guarded to batch_id < current so a markerless replay cannot
+        # anti-join its own crashed attempt's keys away (the
+        # streaming_ingest_dedup crash-window fix, same contract).
+        index_path = os.path.join(index_dir, "keys")
+        if os.path.exists(index_path):
+            seen = (
+                spark.read.parquet(index_path)
+                .filter(F.col("batch_id") < F.lit(batch_id))
+                .select("content_key")
+            )
+            admitted = firsts.join(seen, "content_key", "left_anti")
+        else:
+            admitted = firsts
+        # the join output feeds three sinks below; evaluate it once
+        admitted = admitted.persist()
+
+        # commit point 1: admitted docs + index keys, batch-partitioned
+        admitted.select("doc_id", "source", "content_key", "n_tok").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
+        admitted.select("content_key").write.mode("overwrite").parquet(
+            os.path.join(index_path, f"batch_id={batch_id}")
+        )
+
+        # per-batch retention partial (tiny: one row per source)
+        raw = feats.groupBy("source").agg(F.count("*").alias("n_raw"))
+        qc = quality.groupBy("source").agg(F.count("*").alias("n_quality"))
+        adm = admitted.groupBy("source").agg(
+            F.count("*").alias("n_admitted"),
+            F.sum("n_tok").cast("bigint").alias("admitted_tokens"),
+        )
+        partial = (
+            raw.join(qc, "source", "left")
+            .join(adm, "source", "left")
+            .select(
+                "source",
+                "n_raw",
+                F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+                F.coalesce("n_admitted", F.lit(0)).alias("n_admitted"),
+                F.coalesce("admitted_tokens", F.lit(0)).alias("admitted_tokens"),
+            )
+        )
+
+        # commit point 2: accounting merge with the agg-merge replay guard
+        lineage = _lineage_id()
+        cur = os.path.join(state_dir, "current")
+        applied = os.path.join(cur, "_last_batch")
+        already_merged = False
+        if os.path.exists(applied):
+            with open(applied) as f:
+                rec = f.read().strip()
+            rec_lineage, _, rec_id = rec.rpartition(":")
+            same_lineage = (
+                lineage is None or rec_lineage == "" or rec_lineage == lineage
+            )
+            already_merged = same_lineage and batch_id <= int(rec_id)
+        if not already_merged:
+            if os.path.exists(cur):
+                prev = spark.read.parquet(cur)
+                merged = (
+                    prev.unionByName(partial)
+                    .groupBy("source")
+                    .agg(
+                        F.sum("n_raw").cast("bigint").alias("n_raw"),
+                        F.sum("n_quality").cast("bigint").alias("n_quality"),
+                        F.sum("n_admitted").cast("bigint").alias("n_admitted"),
+                        F.sum("admitted_tokens")
+                        .cast("bigint")
+                        .alias("admitted_tokens"),
+                    )
+                )
+            else:
+                merged = partial
+            nxt = os.path.join(state_dir, f"_staging_{batch_id}")
+            merged.write.mode("overwrite").parquet(nxt)
+            with open(os.path.join(nxt, "_last_batch"), "w") as f:
+                f.write(f"{lineage or ''}:{batch_id}")
+            old = os.path.join(state_dir, f"_old_{batch_id}")
+            if os.path.exists(cur):
+                os.rename(cur, old)
+            os.rename(nxt, cur)  # atomic swap: state + applied-id together
+            if os.path.exists(old):
+                shutil.rmtree(old)
+
+        admitted.unpersist()
+        # commit point 3: full-batch marker
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    return funnel_batch
