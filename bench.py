@@ -92,6 +92,7 @@ HEADLINE = [
     # round-5 additions
     "e2k_salted_lsh_pairs",       # grid-salted LSH pair join (skew tier)
     "e2m_char_lsh_production",    # production-hash CJK LSH (real CJK dedup cost)
+    "e35_hyperplane_semdedup",    # centroid-free embedding near-dup
 ]
 
 

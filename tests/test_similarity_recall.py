@@ -200,3 +200,46 @@ def test_random_projection_preserves_neighborhoods(spark):
     assert r_iso >= 0.08, r_iso  # random baseline would be ~0.02
     emb_iso.unpersist()
     exact_iso.unpersist()
+
+
+def test_hyperplane_semdedup_recall_floor(spark):
+    """e35 recall vs the EXACT all-pairs truth: every pair with cosine
+    ≥ TAU_HP in the mutant corpus (brute-force numpy ground truth) must
+    be caught by the hyperplane bands at ≥ 0.95 recall — i.e. the prune
+    decision set of the centroid-free tier matches the exact tier on the
+    near-identical regime it targets. (Theory: at cosine 0.9 a pair
+    misses all 4 bands w.p. ≈ 2%; the seeded mutants sit at ≈ 0.999
+    where the miss rate is < 1e-4.)"""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from wx20222_bigdata_spark.operators.semdedup import (
+        TAU_HP,
+        _emb_corpus_with_mutants,
+        e35_hyperplane_semdedup,
+    )
+
+    corpus = _emb_corpus_with_mutants(spark, SF)
+    rows = corpus.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = Xn @ Xn.T
+    iu = np.triu_indices(len(ids), k=1)
+    hot = C[iu] >= TAU_HP
+    # ground truth: the HIGHER id of each nearly-identical pair is pruned
+    truth_pruned = {
+        int(max(ids[iu[0][t]], ids[iu[1][t]])) for t in np.nonzero(hot)[0]
+    }
+    assert len(truth_pruned) >= 20  # the seeded mutants exist
+
+    got = e35_hyperplane_semdedup(spark, SF)
+    got_pruned = {
+        int(r["vec_id"]) for r in got.filter(~F.col("is_kept")).collect()
+    }
+    caught = len(truth_pruned & got_pruned)
+    recall = caught / len(truth_pruned)
+    assert recall >= 0.95, (recall, len(truth_pruned))
+    # and nothing outside the truth set is pruned (precision 1.0: a band
+    # collision alone never prunes — the cosine check is exact)
+    assert got_pruned <= truth_pruned

@@ -84,3 +84,62 @@ def z1_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     written parquet. All-integer → bit-exact across engines."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_z_query("div"))
+
+
+@query("s6_compaction_manifest")
+def s6_compaction_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 compaction sink as an auditable manifest: write the documents
+    table through ``write_compacted_parquet`` (sources/sinks.py — shard
+    count sized from MEASURED encoded bytes/row, multi-row-group file
+    geometry) into a scratch dir, then report the sizing decision and
+    verify the realized layout against it: every produced file must land
+    within 2× of the target size (small targets carry relatively more
+    parquet footer/metadata overhead, hence the 2× bound rather than an
+    exact one), and row-group counts must exceed file counts (the
+    read-side scan-parallelism invariant rebalance_small_scan gates on).
+
+    Rows-only by design: byte sizes depend on the parquet encoder, not
+    on query semantics. The row COUNT and invariant booleans are the
+    checked signal. Reference parity: the 22-shard npy packing
+    (src/split_pretrain_data.py:28-35), generalized to size-targeted
+    shards."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from wx20222_bigdata_spark.sources.sinks import write_compacted_parquet
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    target = 32 << 10  # 32 KiB files: even sf0.01 documents yield several shards
+    scratch = tempfile.mkdtemp(prefix="s6_compact_")
+    try:
+        out = os.path.join(scratch, "compacted")
+        info = write_compacted_parquet(docs, out, target_file_bytes=target)
+        files = sorted(glob.glob(os.path.join(out, "*.parquet")))
+        sizes = [os.path.getsize(f) for f in files]
+        row_groups = sum(pq.ParquetFile(f).num_row_groups for f in files)
+        back_rows = spark.read.parquet(out).count()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                int(info["rows"]),
+                int(back_rows),
+                int(info["n_shards"]),
+                len(files),
+                int(row_groups),
+                bool(all(s <= 2 * target for s in sizes)),
+                bool(info["rows"] == back_rows),
+                bool(row_groups >= len(files)),
+            )
+        ],
+        "rows bigint, rows_readback bigint, n_shards bigint, n_files bigint,"
+        " n_row_groups bigint, files_within_2x_target boolean,"
+        " roundtrip_exact boolean, multi_row_group boolean",
+    )

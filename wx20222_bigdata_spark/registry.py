@@ -55,6 +55,8 @@ _FRONT: list[str] = [
     "e2k_salted_lsh_pairs",
     "e2m_char_lsh_production",
     "e7c_funnel_accounting",
+    "e35_hyperplane_semdedup",
+    "s6_compaction_manifest",
     # — r4 heads (kept near the front: newest correctness-critical ops) —
     "f7b_char_tokenize",
     "e2j_char_shingle_lsh_pairs",
