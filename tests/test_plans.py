@@ -235,3 +235,28 @@ def test_minhash_band_keys_no_permutation_explode(spark):
         first_agg = ops.index("HashAggregate")
         assert ops[:first_agg].count("Generate") == 1, ops
         assert ops[first_agg:].count("Generate") == 1, ops
+
+
+def test_q5_broadcast_prune_shape_survives_cbo(spark):
+    """CBO regression guard (round-5 verdict item 4): enabling the
+    cost-based optimizer + join reorder must not degrade the hand-ordered
+    q5 — the region prune stays broadcast-first and the fact table is
+    never hash-shuffled for a join. (tools/cbo_experiment.py shows the
+    flip side: WITH column stats CBO reorders even the naive spec-order
+    SQL into this dims-first shape; without stats Catalyst keeps FROM
+    order — the reason q5/q3/q17 are hand-ordered.)"""
+    old_cbo = spark.conf.get("spark.sql.cbo.enabled")
+    old_reorder = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        df = _q("q5_local_supplier_volume")(spark, SF_ORACLE)
+        plan = formatted_plan(df)
+        assert has_broadcast_join(df), "q5 lost its broadcast joins under CBO"
+        assert "Exchange hashpartitioning(l_orderkey" not in plan, (
+            "fact table shuffled for a join under CBO"
+        )
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", old_cbo)
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", old_reorder)

