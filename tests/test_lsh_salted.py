@@ -140,3 +140,49 @@ def test_partition_invariance_of_salted_pairs(spark, hot_corpus):
         lsh_candidate_pairs_salted(bands.repartition(13), n_cells=4, hot_threshold=8)
     )
     assert reparted == base
+
+
+# --- pure-python property fuzz of the grid decomposition ---------------
+# The Spark tests above pin the end-to-end law on fixed fixtures; this
+# fuzzes the combinatorial core over random bucket populations and grid
+# widths: EVERY unordered pair {x,y} of a bucket is produced in EXACTLY
+# one grid cell (no loss, no duplicates), for any group assignment —
+# including adversarial ones (all docs one group, alternating, etc.).
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _grid_pairs(ids_and_groups, n_cells):
+    """Reference simulation of lsh_candidate_pairs_salted's cell rule."""
+    side_a = {}  # (p, q) -> ids
+    side_b = {}
+    for doc, g in ids_and_groups:
+        for q in range(g, n_cells):
+            side_a.setdefault((g, q), []).append(doc)
+        for p in range(0, g + 1):
+            side_b.setdefault((p, g), []).append(doc)
+    out = []
+    for cell, a_ids in side_a.items():
+        p, q = cell
+        for x in a_ids:
+            for y in side_b.get(cell, []):
+                if p == q and not (x < y):
+                    continue  # diagonal keeps one ordering
+                if x == y:
+                    continue
+                out.append((min(x, y), max(x, y)))
+    return out
+
+
+@given(
+    st.lists(st.integers(0, 10**6), min_size=2, max_size=60, unique=True),
+    st.integers(min_value=1, max_value=9),
+    st.randoms(use_true_random=False),
+)
+@settings(deadline=None, max_examples=200)
+def test_grid_decomposition_exactly_once(ids, n_cells, rnd):
+    groups = [(i, rnd.randrange(n_cells)) for i in ids]
+    produced = _grid_pairs(groups, n_cells)
+    want = {(min(x, y), max(x, y)) for x in ids for y in ids if x != y}
+    assert sorted(produced) == sorted(want)  # set equality AND no dupes

@@ -260,3 +260,24 @@ def test_q5_broadcast_prune_shape_survives_cbo(spark):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", old_cbo)
         spark.conf.set("spark.sql.cbo.joinReorder.enabled", old_reorder)
+
+
+def test_simhash_single_exchange_no_bit_explode(spark):
+    """r5 SimHash rewrite: all 20 bit balances come from ONE
+    groupBy(doc_id) over un-multiplied (doc, token) hash rows — the bit
+    index is never exploded (the old long-format plan multiplied rows
+    x20 and paid a second exchange to reassemble the fingerprint). Pin:
+    exactly one Exchange, exactly one Generate (the token explode), no
+    Expand."""
+    import re
+
+    df = _q("e2c_simhash")(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    ops = [
+        m.group(1)
+        for line in plan.splitlines()
+        if (m := re.match(r"^\s*\(\d+\) (\w+)", line))
+    ]
+    assert "Expand" not in ops, ops
+    assert ops.count("Exchange") == 1, ops
+    assert ops.count("Generate") == 1, ops

@@ -47,68 +47,62 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # CORRECTNESS row yet — plus anything new/changed this round — get checked
 # before already-driver-verified ones. See NOTES_r2.md.
 _FRONT: list[str] = [
-    # Round-5 rotation: queries ADDED THIS ROUND first (driver-green for
-    # new ops in their own round — the norm since r3), then a refresh of
-    # the oldest driver rows (r01 names, recorded three rounds ago).
-    # Every registered name already has a driver row across r01–r04;
-    # this is artifact ordering only.
+    # Round-5 rotation: the 5 queries ADDED THIS ROUND first (driver-green
+    # for new ops in their own round — the norm since r3), the r4 CJK heads
+    # next, then a refresh of the OLDEST driver rows (r01 names, recorded
+    # four rounds ago; e5c_decode_features_stub mapped to its successor).
+    # Every registered name already has a driver row across r01-r04; this
+    # ordering decides which 50 get a FRESH row in r05.
     "e2k_salted_lsh_pairs",
     "e2m_char_lsh_production",
     "e7c_funnel_accounting",
     "e35_hyperplane_semdedup",
     "s6_compaction_manifest",
-    # — r4 heads (kept near the front: newest correctness-critical ops) —
     "f7b_char_tokenize",
     "e2j_char_shingle_lsh_pairs",
     "e4g_char_ngram_stats",
     "e34_nospace_exact_dedup",
     "e27b_bpe_nospacing",
-    # — the 45 never-driver-checked names (r3 verdict §coverage list) —
-    "e31_dsir_importance",
-    "e32_paragraph_dedup",
-    "e33_ngram_novelty",
-    "e5d_frame_sample",
-    "f20_robust_scale",
-    "f21_variant_json",
-    "i4_bfs_levels",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q20_part_promotion_suppliers",
-    "q21_sole_supplier_orders",
-    "q22_global_sales_opportunity",
-    "q3_shipping_priority",
-    "q4_priority_check",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "s1_json_roundtrip",
-    "s4_csv_line_parse",
-    "s9_tumbling_window",
-    "s9b_sliding_window",
-    "s9c_session_windows",
-    "s9d_windowed_dedup",
-    "s9e_interval_join",
-    "skew_salted_agg",
-    "sql_frontdoor_topn_customers",
-    "t1_asof_join",
-    "t2_range_join",
-    "t3_time_rollup",
-    "t4_cube",
-    "t5_pivot",
-    "t6_funnel_conversion",
-    "t7_cohort_retention",
-    "w1_row_number_gap",
-    "w2_step_schedule",
-    "w3_running_total",
-    "w5_rolling_active_users",
-    "w6_top_n_per_group",
-    "w_sliding_avg",
-    "x5_count_min_estimate",
-    "x6_map_in_arrow",
+    "a5_masked_mean_pool",
+    "a6_last4_mean",
+    "a8_argmax",
+    "a7_ensemble_argmax",
+    "o1_stride_sample",
+    "o3_pad_to_length",
+    "w4_head_tail_truncate",
+    "f11_cosine_pairs",
+    "f12_softmax_stats",
+    "u2_sequence_concat",
+    "f10_mask_arithmetic",
+    "f_array_breadth",
+    "e1_exact_dedup",
+    "e1b_dedup_survivors",
+    "e2_ngram_jaccard",
+    "e2b_minhash_lsh_pairs",
+    "e2c_simhash",
+    "e2g_minhash_lsh_production",
+    "e2h_levenshtein_fuzzy",
+    "f8_budget_cascade",
+    "x1_pandas_udf_token_stats",
+    "x2_apply_in_pandas_fold",
+    "x4_map_in_pandas_scoring",
+    "x4b_ensemble_scoring",
+    "x4c_broadcast_weights_scoring",
+    "i1_power_iteration",
+    "flagship_two_level_metrics",
+    "a1_per_class_f1",
+    "a3_rollup_class_counts",
+    "a11_distinct",
+    "a12_approx_distinct",
+    "f13_mlm_corruption",
+    "f14_batch_permutation",
+    "e2e_cosine_neardup",
+    "e2f_ml_minhash_lsh",
+    "x3_python_udtf_shingles",
+    "e5_multimodal_manifest",
+    "e5b_multimodal_join",
+    "e5c_decode_features",
+    "a4_pricing_summary",
 ]
 
 
