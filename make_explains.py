@@ -68,6 +68,10 @@ SHOWN = [
     ("f7b_char_tokenize", "char-mode tokenizer: broadcast char-vocab map join, narrow HOF encode, no shuffle"),
     ("e2j_char_shingle_lsh_pairs", "char-shingle LSH: 16 min-aggregates of one groupBy(doc_id) — no permutation explode — then banded self-equi-join"),
     ("e4g_char_ngram_stats", "char-trigram stats: narrow shingle explode, partial-aggregated freq/df, TakeOrderedAndProject top-k"),
+    # --- round-5 additions ---
+    ("e2k_salted_lsh_pairs", "grid-salted LSH: hot-bucket pair production split over (band, key, p, q) cells — no single-reducer hot key"),
+    ("e35_hyperplane_semdedup", "centroid-free semantic dedup: hyperplane sign bands, self-equi-join on (band, 4-bit key), MAX prune aggregate"),
+    ("e7c_funnel_accounting", "funnel accounting twin: quality gate pushed to the scan, first-occurrence window, three small keyed aggregates"),
 ]
 
 

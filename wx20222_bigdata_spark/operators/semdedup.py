@@ -103,32 +103,57 @@ def e17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Centroid-free tier: random-hyperplane banding (no trained quantizer) ---
 
-#: 16 deterministic hyperplanes banded 4×4: a pair collides when any band's
-#: 4 sign bits all agree. For the near-identical regime this tier targets
-#: (cosine ≥ TAU_HP = 0.9, angle ≤ 26°), per-plane agreement is
-#: 1 − θ/π ≥ 0.86, so P(miss all 4 bands) ≤ (1 − 0.86⁴)² ·… ≈ 2%; at
-#: cosine 0.99 it is < 10⁻⁴. Below the near-dup regime recall decays fast —
-#: by design: this is a DEDUP filter, not a recall-oriented ANN index
-#: (e3b/e3c/ivf_kmeans_topk own that trade-off).
-HP_PLANES = 16
+#: 64 deterministic hyperplanes banded 4×16: a pair is a candidate when
+#: any band's 16 sign bits all agree. Band width sets the collision
+#: physics — per-plane agreement is 1 − θ/π, so a RANDOM pair (θ≈π/2)
+#: collides in a band w.p. 2⁻¹⁶ ≈ 1.5e-5 (candidate volume ≈ 4n²·2⁻¹⁶·½,
+#: vanishing), while a NEAR-IDENTICAL pair (cosine 0.999, the dup regime
+#: this tier targets) agrees per-plane w.p. 0.986, per-band 0.80, and
+#: misses all 4 bands w.p. (1−0.80)⁴ ≈ 0.2%. The first cut (4-bit bands)
+#: made every 16th random pair a candidate — n²/32 cosine evaluations,
+#: measured 6.4 s at sf0.1 vs 0.4 s with 16-bit bands, and quadratic
+#: doom at any real scale. Recall at the τ=0.9 BOUNDARY decays (a pair
+#: exactly at τ collides w.p. ~30%) — by design: this is a DEDUP filter
+#: for near-identical vectors, not a recall-oriented ANN index
+#: (e3b/e3c/ivf_kmeans_topk own that trade-off); the k-means tier (e17)
+#: owns exhaustive within-cluster semantics.
+HP_PLANES = 64
 HP_BANDS = 4
 HP_BITS = HP_PLANES // HP_BANDS
 TAU_HP = 0.9
 
-#: same deterministic plane family as similarity.py (w_j[i] = ((j·64+i) mod 13) − 6)
-_HP_PLANE = "((({j} * 64 + i) % 13) - 6)"
+def _hp_weight(j: int, i: int) -> int:
+    """Deterministic md5-derived plane weights in [−6, 6] (the e29/RP
+    literal-weights pattern): 64 planes from an arithmetic family like
+    similarity.py's ``((j·64+i) mod 13) − 6`` would repeat with period 13
+    in j (64·j mod 13 walks a cycle) — only 13 distinct hyperplanes, so
+    the 4 bands would be fully correlated and banding would buy no
+    independent retries. md5 per (j, i) gives genuinely independent
+    planes; both engines receive the same integer LITERALS, so the sign
+    computation is bit-exact cross-engine by construction."""
+    import hashlib
+
+    return int(hashlib.md5(f"hp-{j}-{i}".encode()).hexdigest()[:8], 16) % 13 - 6
+
+
+_HP_W = [[_hp_weight(j, i) for i in range(DIM)] for j in range(HP_PLANES)]
 
 
 def _hp_band_spark(band: int) -> str:
-    """SQL expr: 4-bit sign pattern of planes [4·band, 4·band+4) over the
-    double-cast ``embedding`` column."""
+    """SQL expr: {HP_BITS}-bit sign pattern of this band's planes over
+    the double-cast ``embedding`` column. Each plane dot is a FLAT
+    left-associated product chain (not a HOF ``aggregate`` fold): flat
+    arithmetic runs inside whole-stage codegen while lambda folds are
+    interpreted per element — measured 4× on the signature pass.
+    Zero-weight terms are dropped: adding ``x*0 = +0.0`` never changes a
+    finite left-to-right partial sum bitwise (only a −0.0 sum could
+    flip, and the downstream test is ``> 0``), so the sign agrees
+    bit-for-bit with DuckDB's full ``list_sum`` fold."""
     terms = []
     for b in range(HP_BITS):
-        j = band * HP_BITS + b
-        plane = _HP_PLANE.format(j=j)
-        dot_j = (
-            f"aggregate(zip_with(embedding, transform(sequence(0, {DIM - 1}),"
-            f" i -> {plane}), (x, w) -> x * w), 0D, (a, v) -> a + v)"
+        w = _HP_W[band * HP_BITS + b]
+        dot_j = " + ".join(
+            f"embedding[{i}] * {v}D" for i, v in enumerate(w) if v != 0
         )
         terms.append(f"CASE WHEN ({dot_j}) > 0 THEN {2 ** b} ELSE 0 END")
     return "(" + " + ".join(terms) + ")"
@@ -137,9 +162,9 @@ def _hp_band_spark(band: int) -> str:
 def _hp_band_duck(band: int, col: str = "embedding") -> str:
     terms = []
     for b in range(HP_BITS):
-        j = band * HP_BITS + b
-        plane = _HP_PLANE.format(j=j)
-        dot_j = f"list_sum([{col}[i + 1] * {plane} for i in range(0, {DIM})])"
+        w = _HP_W[band * HP_BITS + b]
+        arr = "[" + ", ".join(str(v) for v in w) + "]"
+        dot_j = f"list_sum([{col}[i + 1] * ({arr})[i + 1] for i in range(0, {DIM})])"
         terms.append(f"CASE WHEN ({dot_j}) > 0 THEN {2 ** b} ELSE 0 END")
     return "(" + " + ".join(terms) + ")"
 
@@ -212,8 +237,9 @@ def e35_hyperplane_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one self-equi-join on (band, band_key), one max-aggregate.
 
     At 100 TB this is the bootstrap dedup you can run on day one — no
-    sample, no centroid fit, no broadcast model; band keys are 4-bit ints
-    so bucket sizes stay collision-bounded, and the skew/cap machinery of
+    sample, no centroid fit, no broadcast model; band keys are 16-bit sign
+    patterns so random-pair collisions are ~2⁻¹⁶ (candidate volume stays
+    collision-bounded, never a quadratic fraction of n²), and the skew/cap machinery of
     the text LSH tier (lsh_candidate_pairs_salted / max_bucket_size)
     composes on the same (band, key) shape if a direction is degenerate.
 
@@ -223,15 +249,27 @@ def e35_hyperplane_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mutants (cosine ≈ 0.999) make the prune observable; recall vs the
     exact e3-style all-pairs truth is floor-asserted in
     tests/test_similarity_recall.py."""
+    from wx20222_bigdata_spark.plans.caching import materialize
+
     corpus = _emb_corpus_with_mutants(spark, sf_dir)
-    sig = corpus.select(
-        "vec_id",
-        "embedding",
-        norm("embedding").alias("nrm"),
-        *[
-            F.expr(_hp_band_spark(b)).cast("int").alias(f"band{b}")
-            for b in range(HP_BANDS)
-        ],
+    # The signature projection is ~7k flat arithmetic nodes; materialize
+    # it once (eager localCheckpoint at plan-build) so the self-join and
+    # the final join-back reference the computed table instead of
+    # duplicating the expression tree per branch — without this the
+    # duplicated codegen OOMs a default-heap driver, and at scale this
+    # is the "write the sketch table, then join it" layout every
+    # fingerprint pipeline uses (6.4 → 0.37 s sf0.1 across the two
+    # rewrites; the eagerly-computed part is the O(n) narrow pass).
+    sig = materialize(
+        corpus.select(
+            "vec_id",
+            "embedding",
+            norm("embedding").alias("nrm"),
+            *[
+                F.expr(_hp_band_spark(b)).cast("int").alias(f"band{b}")
+                for b in range(HP_BANDS)
+            ],
+        )
     )
     bands = sig.select(
         "vec_id",
