@@ -90,6 +90,12 @@ catalog tables + `ANALYZE TABLE … FOR COLUMNS`) verifies both halves:
 | hand-ordered, no CBO | customer→nation→region→orders→lineitem→supplier | 0.74 s |
 | hand-ordered, CBO | unchanged (regression-guarded in tests/test_plans.py) | 0.78 s |
 
+Q3 (naive lineitem-first SQL) confirms the same on a 3-way shape: no
+CBO keeps lineitem→orders→customer; CBO+stats rewrites to
+**orders→customer**→lineitem — the segment-filtered dim join runs before
+the fact, which is the engine's hand-written q3 shape (0.42 → 0.38 s,
+identical top-10).
+
 With column stats, the cost-based reorderer independently reproduces the
 hand ordering (dims pruned onto customer before any fact join) from the
 naive spec-order SQL — engine-grade evidence the hand orderings encode

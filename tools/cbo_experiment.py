@@ -70,6 +70,24 @@ _PREFIX_TO_TABLE = {
 }
 
 
+#: Q3 in naive spec order — lineitem first again.
+NAIVE_Q3 = """
+SELECT o_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1997-06-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
 def _join_order(plan: str) -> list[str]:
     """Leaf relation order as the executed plan scans them. Catalog scans
     carry the table name; path scans are identified by their column
@@ -148,6 +166,20 @@ def main() -> None:
             "fact_shuffled_for_join": "Exchange hashpartitioning(l_orderkey" in plan
             or "Exchange hashpartitioning(o_orderkey" in plan,
         }
+    # Q3: does the reorderer pull the selective customer dim below the
+    # fact-fact join when the SQL lists lineitem first?
+    q3_checks = {}
+    for label, cbo in [("q3_naive_no_cbo", False), ("q3_naive_cbo", True)]:
+        set_cbo(cbo)
+        df = spark.sql(NAIVE_Q3)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        times = [_noop_time(spark.sql(NAIVE_Q3)) for _ in range(5)]
+        q3_checks[label] = [tuple(r) for r in df.collect()]
+        results[label] = {
+            "median_sec": round(statistics.median(times), 3),
+            "join_order": _join_order(plan),
+        }
+    assert q3_checks["q3_naive_no_cbo"] == q3_checks["q3_naive_cbo"]
     for label, cbo in [("hand_no_cbo", False), ("hand_cbo", True)]:
         set_cbo(cbo)
         df = q5_local_supplier_volume(spark, sf_dir)
