@@ -70,7 +70,7 @@ SHOWN = [
     ("e4g_char_ngram_stats", "char-trigram stats: narrow shingle explode, partial-aggregated freq/df, TakeOrderedAndProject top-k"),
     # --- round-5 additions ---
     ("e2k_salted_lsh_pairs", "grid-salted LSH: hot-bucket pair production split over (band, key, p, q) cells — no single-reducer hot key"),
-    ("e35_hyperplane_semdedup", "centroid-free semantic dedup: hyperplane sign bands, self-equi-join on (band, 4-bit key), MAX prune aggregate"),
+    ("e35_hyperplane_semdedup", "centroid-free semantic dedup: hyperplane sign bands, self-equi-join on (band, 16-bit key), MAX prune aggregate"),
     ("e7c_funnel_accounting", "funnel accounting twin: quality gate pushed to the scan, first-occurrence window, three small keyed aggregates"),
 ]
 

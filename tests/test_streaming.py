@@ -532,6 +532,68 @@ def test_streaming_agg_merge_replay_does_not_double_count(
     assert int(after["n_events"].sum()) == int(before["n_events"].sum()) + 5
 
 
+def test_agg_merge_recovers_from_mid_swap_crash(spark, events_dir, tmp_path):
+    """r5 ADVICE crash window: a crash BETWEEN rename(current→_old_{b})
+    and rename(_staging_{b}→current) leaves no 'current' — the accumulated
+    state lives only in the _old_ orphan. The next batch must restore it
+    (not merge against empty state) and clean the orphan up afterwards."""
+    import os
+    import shutil
+
+    from wx20222_bigdata_spark.streaming.jobs import (
+        make_agg_merge_batch,
+        read_events_stream,
+        streaming_agg_merge,
+    )
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    src = read_events_stream(spark, events_dir)
+    q = streaming_agg_merge(src, state, ckpt).start()
+    q.awaitTermination(120)
+
+    cur = os.path.join(state, "current")
+    before = (
+        spark.read.parquet(cur)
+        .select("day", "event_type", "n_events", F.col("sum_v").cast("double"))
+        .toPandas()
+        .sort_values(["day", "event_type"])
+        .reset_index(drop=True)
+    )
+    next_id = _last_batch_id(ckpt) + 1
+    # simulate the mid-swap crash of batch `next_id`: current renamed away,
+    # staging written but never swapped in
+    os.rename(cur, os.path.join(state, f"_old_{next_id}"))
+    os.makedirs(os.path.join(state, f"_staging_{next_id}"))
+    assert not os.path.exists(cur)
+
+    # the replayed batch must merge against the RESTORED state
+    make_agg_merge_batch(state)(
+        spark.read.parquet(events_dir).limit(5), next_id
+    )
+    after = (
+        spark.read.parquet(cur)
+        .select("day", "event_type", "n_events", F.col("sum_v").cast("double"))
+        .toPandas()
+        .sort_values(["day", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert int(after["n_events"].sum()) == int(before["n_events"].sum()) + 5
+    # orphans gone: the recovered _old_ was renamed back, staging rewritten
+    leftovers = [d for d in os.listdir(state) if d.startswith("_old_")]
+    assert leftovers == []
+
+    # post-commit rmtree crash leftover (current EXISTS + stale _old_) is
+    # swept on the next batch without touching the committed state
+    shutil.copytree(cur, os.path.join(state, "_old_999"))
+    make_agg_merge_batch(state)(
+        spark.read.parquet(events_dir).limit(3), next_id + 1
+    )
+    assert not os.path.exists(os.path.join(state, "_old_999"))
+    final = spark.read.parquet(cur).agg(F.sum("n_events")).collect()[0][0]
+    assert int(final) == int(before["n_events"].sum()) + 8
+
+
 def test_streaming_ingest_dedup_matches_batch_first_occurrence(
     spark, tmp_path
 ):
@@ -708,16 +770,37 @@ def test_idempotent_writer_replay_repairs_stale_pointer(
 def test_streaming_curation_funnel_matches_batch_twin(spark, tmp_path):
     """streaming_curation_funnel law: after a multi-batch availableNow
     pass, the persistent accounting state equals the declarative batch
-    twin (e7c_funnel_accounting) bit-for-bit. Every accounting column is
-    arrival-order-independent (duplicates share text, hence n_tok), so
-    the law holds for ANY micro-batch split — maxFilesPerTrigger=1
-    forces a genuinely multi-batch run."""
+    twin (e7c_funnel_accounting) bit-for-bit. n_raw/n_quality and
+    admitted_tokens are arrival-order-independent outright; per-source
+    n_admitted is order-independent ONLY when no quality content_key
+    spans two sources (first-arrival could then admit a different source
+    than the twin's min-doc_id winner). That precondition is asserted on
+    the fixture below — if testdata regeneration ever introduces a
+    cross-source duplicate, the assertion (not a mystery diff) fails,
+    and the stream must then be fed in doc_id order instead.
+    maxFilesPerTrigger=1 forces a genuinely multi-batch run."""
     from wx20222_bigdata_spark.catalog import load_table
-    from wx20222_bigdata_spark.operators.curation import e7c_funnel_accounting
+    from wx20222_bigdata_spark.operators.curation import (
+        e7c_funnel_accounting,
+        quality_features,
+        quality_gate,
+    )
     from wx20222_bigdata_spark.streaming.jobs import streaming_curation_funnel
 
     docs = load_table(spark, SF_SMOKE, "documents").select(
         "doc_id", "source", "text"
+    )
+    # fixture precondition for exact per-source n_admitted equality
+    cross_source = (
+        quality_gate(quality_features(docs))
+        .groupBy("content_key")
+        .agg(F.countDistinct("source").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert cross_source == 0, (
+        "fixture precondition violated: a quality content_key spans "
+        "sources; stream in doc_id order or compare source-agnostic totals"
     )
     src = str(tmp_path / "docs")
     docs.repartition(3).write.mode("overwrite").parquet(src)

@@ -194,6 +194,8 @@ def rebalance_small_scan(df: DataFrame, path: str) -> DataFrame:
     import glob
     import os
 
+    import pyarrow as pa
+
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     try:
@@ -215,9 +217,11 @@ def rebalance_small_scan(df: DataFrame, path: str) -> DataFrame:
         row_groups = sum(pq.ParquetFile(f).num_row_groups for f in files)
         if row_groups >= par:
             return df
-    except (OSError, ValueError):
-        # unreadable local path or malformed conf → conservative no-op;
-        # anything else (a genuine bug) propagates
+    except (OSError, ValueError, pa.ArrowException):
+        # unreadable local path, malformed conf, or a truncated/corrupt/
+        # in-progress parquet footer (pyarrow raises ArrowInvalid, not
+        # OSError) → conservative no-op; anything else (a genuine bug)
+        # propagates
         return df
     return df.repartition(par)
 

@@ -474,6 +474,48 @@ def read_committed(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(*paths)
 
 
+def _recover_state_swap(state_dir: str) -> None:
+    """Repair the state-swap crash window (r5 ADVICE item 1).
+
+    The swap sequence in :func:`make_agg_merge_batch` /
+    :func:`make_curation_funnel_batch` is: ``rename(current → _old_{b})``
+    then ``rename(_staging_{b} → current)`` then ``rmtree(_old_{b})``.
+    Each rename is atomic, but a crash BETWEEN the two renames leaves no
+    ``current`` while the intact pre-batch state sits in ``_old_{b}`` —
+    and a replay that treats missing state as empty would silently
+    discard every previously accumulated row. On entry to every batch:
+
+    - ``current`` missing + an ``_old_*`` orphan present → rename the
+      newest orphan back to ``current`` (the replayed batch then merges
+      against the restored state exactly as if the crash never happened);
+    - ``current`` present → the swap committed, so any surviving
+      ``_old_*`` is a post-commit ``rmtree`` crash leftover: remove it.
+    - stale ``_staging_*`` dirs (crash before the first rename) are
+      removed either way; the replay rewrites its own staging dir.
+    """
+    import glob
+    import os
+    import re
+    import shutil
+
+    cur = os.path.join(state_dir, "current")
+    olds = glob.glob(os.path.join(state_dir, "_old_*"))
+
+    def _bid(p: str) -> int:
+        m = re.search(r"_old_(\d+)$", p)
+        return int(m.group(1)) if m else -1
+
+    if not os.path.exists(cur) and olds:
+        newest = max(olds, key=_bid)
+        os.rename(newest, cur)
+        olds.remove(newest)
+    if os.path.exists(cur):
+        for o in olds:
+            shutil.rmtree(o, ignore_errors=True)
+    for stg in glob.glob(os.path.join(state_dir, "_staging_*")):
+        shutil.rmtree(stg, ignore_errors=True)
+
+
 def streaming_agg_merge(stream_df: DataFrame, state_dir: str, checkpoint_dir: str):
     """Streaming materialized-view maintenance — m4's merge tree driven
     by a stream: each micro-batch is reduced to (day, event_type)
@@ -536,6 +578,7 @@ def make_agg_merge_batch(state_dir: str, checkpoint_dir: str | None = None):
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _recover_state_swap(state_dir)
         lineage = _lineage_id()
         cur = os.path.join(state_dir, "current")
         applied = os.path.join(cur, "_last_batch")
@@ -743,6 +786,7 @@ def make_curation_funnel_batch(
 
     def funnel_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _recover_state_swap(state_dir)
         marker = os.path.join(out_dir, f"_applied_{batch_id}")
         if os.path.exists(marker):
             return  # fully committed batch — replay is a no-op
