@@ -134,8 +134,9 @@ def test_no_unpartitioned_window_in_declared_set(spark):
 
     ``Exchange SinglePartition`` is allowed only where its input is bounded
     (final step of a one-row global aggregate: one partial row per upstream
-    partition) or in the explicitly-exempt seeded-shuffle demo (o7 — a
-    seeded total reorder is inherently a global order). The set is pinned
+    partition). The former o7 exemption is gone (r5 verdict item 1): the
+    seeded shuffle now ranks via the scalable zip index, so NO declared
+    query funnels row data through one partition. The set is pinned
     exactly: any new query that reintroduces a global window/sort over row
     data fails this test."""
     from wx20222_bigdata_spark.registry import all_queries
@@ -171,8 +172,6 @@ def test_no_unpartitioned_window_in_declared_set(spark):
         "q22_global_sales_opportunity",
         # one-row global-value threshold broadcast (Q11's scalar subquery)
         "q11_important_stock",
-        # seeded global reorder demo (documented rows-only)
-        "o7_seeded_shuffle",
         # source-cardinality-bounded apportionment table (one row per
         # source) — the global window ranks ~20 aggregate rows, not data
         "e12_mixture_sampling",

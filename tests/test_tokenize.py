@@ -74,6 +74,91 @@ def test_spark_matches_python_spec(spark):
         assert int(got["n_unk"][i]) == n_unk, f"row {i} n_unk"
 
 
+def test_wordpiece_spec_contract():
+    """wordpiece_encode_py on hand-checked fixtures: greedy longest match,
+    ## continuation, whole-word UNK fallback, CJK char isolation, long-word
+    cap, punctuation isolation, truncation + framing."""
+    from wx20222_bigdata_spark.operators.tokenize import (
+        WP_MAX_WORD,
+        load_wordpiece_vocab,
+        wordpiece_encode_py,
+        wordpiece_pretokenize,
+        wordpiece_word_ids,
+    )
+
+    v = load_wordpiece_vocab()
+    # basic tokenizer: lowercase, punctuation isolated, CJK chars isolated
+    assert wordpiece_pretokenize("Big-Data, 大数据!") == [
+        "big", "-", "data", ",", "大", "数", "据", "!",
+    ]
+    # greedy longest match prefers 'data' over 'd','##a','##t','##a'
+    assert wordpiece_word_ids("data", v) == [v["data"]]
+    # continuation pieces: datas -> data + ##s
+    assert wordpiece_word_ids("datas", v) == [v["data"], v["##s"]]
+    # longest-match at continuation position: streaming -> stream + ##ing
+    assert wordpiece_word_ids("streaming", v) == [v["stream"], v["##ing"]]
+    # no start piece for 'q...' beyond 'query' forms -> whole-word fail
+    assert wordpiece_word_ids("zebra", v) is None  # no 'z' start piece
+    assert wordpiece_word_ids("dab", v) is None  # no ##b continuation
+    # long-word cap
+    assert wordpiece_word_ids("a" * (WP_MAX_WORD + 1), v) is None
+    # full encode: framing, UNK accounting, truncation
+    ids, mask, n_unk = wordpiece_encode_py("datas zebra 大", v, MAX_LEN)
+    body = [v["data"], v["##s"], UNK_ID, v["大"]]
+    assert ids[: len(body) + 2] == [CLS_ID] + body + [SEP_ID]
+    assert n_unk == 1 and sum(mask) == len(body) + 2
+    long_ids, long_mask, _ = wordpiece_encode_py(
+        " ".join(["data"] * 100), v, MAX_LEN
+    )
+    assert len(long_ids) == MAX_LEN and sum(long_mask) == MAX_LEN
+
+
+def test_wordpiece_spark_matches_python_spec(spark):
+    """f7c parity on MIXED CJK/latin fixtures (the reference's corpus
+    shape — Chinese titles with embedded latin/digits) plus the real
+    sf0.001 table: every Spark row equals the pure-Python spec."""
+    from wx20222_bigdata_spark.operators.tokenize import (
+        load_wordpiece_vocab,
+        wordpiece_encode_py,
+        wordpiece_tokenize_udf,
+    )
+    from pyspark.sql import functions as F
+
+    vocab = load_wordpiece_vocab()
+    fixtures = [
+        (0, "Spark joins the data stream"),
+        (1, "大数据 query: batched re-ordering"),
+        (2, "数据大 streaming merger, overfilters"),
+        (3, ""),
+        (4, "zzz qqq 999"),
+        (5, "preordered parts 大大大 un-merged"),
+        (6, "x" * 40),
+    ]
+    real = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(50)
+        .collect()
+    )
+    rows = fixtures + [(1000 + r["doc_id"], r["text"]) for r in real]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bc = spark.sparkContext.broadcast(vocab)
+    enc = wordpiece_tokenize_udf(bc, MAX_LEN)
+    got = (
+        df.select("doc_id", enc("text").alias("e"))
+        .select("doc_id", "e.input_ids", "e.attention_mask", "e.n_unk")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = {i: wordpiece_encode_py(t, vocab, MAX_LEN) for i, t in rows}
+    for i in range(len(got)):
+        ids, mask, n_unk = want[int(got["doc_id"][i])]
+        assert list(got["input_ids"][i]) == ids, f"row {got['doc_id'][i]}"
+        assert list(got["attention_mask"][i]) == mask
+        assert int(got["n_unk"][i]) == n_unk
+
+
 def test_unk_path_hit_on_real_data(spark):
     """The held-out words (customer/dup/...) must actually produce UNKs on
     the driver corpus — otherwise the OOV branch is untested in prod."""

@@ -3,11 +3,14 @@
 These are the reference's randomized splits — stratified holdout
 (``data_helper.py:98-99``), random frame sampling with order restore
 (``data_helper.py:173-178``), epoch shuffles (``pretrained_model.py:356``) —
-re-expressed with *seeded* Spark randomness. Spark's ``rand(seed)`` is
-deterministic per (seed, partition layout), which is stable for a fixed
-input file set but NOT reproducible in DuckDB: these queries carry no
-oracle and get the driver's rows-only check (SURVEY §5c). Unit tests pin
-exact behavior instead (tests/test_sampling.py).
+re-expressed with *seeded* Spark randomness where the semantics are
+genuinely draw-based (o2, o5) and with salted content hashing where they
+only need a reproducible permutation/split (o7, o10, o11, o12). Spark's
+``rand(seed)`` is deterministic per (seed, partition layout), which is
+stable for a fixed input file set but NOT reproducible in DuckDB: the
+rand-based queries carry no oracle and get the driver's rows-only check
+(SURVEY §5c); the hash-based ones are fully oracle-exact. Unit tests pin
+exact behavior (tests/test_sampling.py).
 """
 
 from __future__ import annotations
@@ -93,14 +96,52 @@ def o2_sample_restore_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("o7_seeded_shuffle")
+SHUFFLE_EPOCH_SALT = "epoch7:"  # the "seed": a new salt = a new permutation
+
+
+@query(
+    "o7_seeded_shuffle",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5(concat('{SHUFFLE_EPOCH_SALT}', CAST(doc_id AS VARCHAR))) AS k
+  FROM documents
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS BIGINT) AS shuffle_rank
+FROM keyed
+""",
+)
 def o7_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O7 epoch shuffle (``random.shuffle(train_files)``,
-    ``pretrained_model.py:356``): a seeded total reorder with the shuffle
-    rank materialized. Rows-only (seeded)."""
+    ``pretrained_model.py:356``): a seeded total reorder with the
+    shuffle rank materialized.
+
+    Two scale decisions (VERDICT r5 item 1) replaced the original
+    ``row_number().over(Window.orderBy(rand(7)))`` form:
+
+    1. **Shuffle key = salted content hash**, not ``rand(seed)``. A new
+       epoch salt is a new pseudo-random permutation, but membership of a
+       row at a rank no longer depends on Spark's partition-seeded RNG
+       stream — the permutation survives repartitioning, reprocessing,
+       and engine changes (the o10/o12 content-stable discipline), which
+       also makes the query fully oracle-exact instead of rows-only.
+    2. **Rank via the scalable zip index** (``zip_with_global_index``,
+       operators/skew.py): range-partition on the key + per-partition
+       offsets — two narrow passes, no ``Exchange SinglePartition``. The
+       global-window form serialized the entire corpus through one
+       reducer (the one named scale-killer of the r5 verdict); its
+       plan-test exemption is now gone (tests/test_plans.py)."""
+    from wx20222_bigdata_spark.operators.skew import zip_with_global_index
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    w = Window.orderBy(F.rand(7), "doc_id")
-    return docs.select("doc_id", F.row_number().over(w).alias("shuffle_rank"))
+    keyed = docs.withColumn(
+        "_k",
+        F.md5(F.concat(F.lit(SHUFFLE_EPOCH_SALT), F.col("doc_id").cast("string"))),
+    )
+    return zip_with_global_index(keyed, "_k", "doc_id").select(
+        "doc_id", (F.col("zip_index") + 1).cast("bigint").alias("shuffle_rank")
+    )
 
 
 @query(

@@ -255,6 +255,283 @@ def f7b_char_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# F7c — WordPiece (##-continuation greedy longest-match), the reference's
+# actual tokenizer algorithm (chinese-roberta via data_helper.py:55-57,94).
+# --------------------------------------------------------------------------
+
+#: Stand-in WordPiece vocab (vocab.txt layout: specials first, then pieces;
+#: id = line number). Deliberately NOT closed over the corpus alphabet —
+#: j/k/q/x/z have no start piece and b/f/v/w/y no ##-continuation, digits
+#: have none at all — so the whole-word [UNK] fallback (HF semantics: ANY
+#: unmatchable position fails the WHOLE word) is exercised on real data.
+WP_PIECES = [
+    # whole words / stems
+    "the", "a", "an", "and", "of", "to", "in",
+    "data", "spark", "query", "table", "row", "join", "group",
+    "filter", "order", "part", "merge", "batch", "stream",
+    # word-start prefixes
+    "un", "re", "pre", "over",
+    # start single chars
+    *list("abcdefghilmnoprstuvwy"),
+    # continuation pieces
+    "##ing", "##ed", "##er", "##ion", "##able", "##ment", "##s",
+    # continuation single chars
+    *[f"##{c}" for c in "acdeghilmnoprstu"],
+    # punctuation + CJK chars (the basic tokenizer isolates each)
+    ".", ",", "-", "数", "据", "大",
+]
+
+#: HF max_input_chars_per_word (100 in BERT); 16 here so the recursive
+#: oracle's depth is bounded and the long-word → [UNK] path has coverage.
+WP_MAX_WORD = 16
+
+
+def load_wordpiece_vocab() -> dict[str, int]:
+    """piece → id, vocab.txt layout (specials first, line number = id)."""
+    return {tok: i for i, tok in enumerate(SPECIAL_TOKENS + WP_PIECES)}
+
+
+def wordpiece_pretokenize(text: str) -> list[str]:
+    """BERT BasicTokenizer contract (lowercase mode): lowercase, then
+    isolate every non-[a-z0-9] character as its own token — which both
+    splits punctuation AND spaces out each CJK char (chinese-roberta's
+    per-character behavior falls out of this single rule)."""
+    import re
+
+    pre = re.sub(r"([^a-z0-9 ])", r" \1 ", (text or "").lower())
+    return [t for t in pre.split(" ") if t]
+
+
+def wordpiece_word_ids(w: str, vocab: dict[str, int]) -> list[int] | None:
+    """Greedy longest-match WordPiece encode of ONE word: at each position
+    take the longest vocab piece (``##``-prefixed past position 0); if any
+    position has no match — or the word exceeds WP_MAX_WORD chars — the
+    WHOLE word is unencodable (``None`` → caller emits [UNK]). This is
+    HF WordpieceTokenizer.tokenize verbatim semantics."""
+    if len(w) > WP_MAX_WORD:
+        return None
+    ids, pos = [], 0
+    while pos < len(w):
+        end, match = len(w), None
+        while end > pos:
+            key = w[pos:end] if pos == 0 else "##" + w[pos:end]
+            if key in vocab:
+                match = (vocab[key], end)
+                break
+            end -= 1
+        if match is None:
+            return None
+        ids.append(match[0])
+        pos = match[1]
+    return ids
+
+
+def wordpiece_encode_py(
+    text: str, vocab: dict[str, int], max_len: int = MAX_LEN
+) -> tuple[list[int], list[int], int]:
+    """Pure-Python WordPiece encode spec (single-row contract, the parity
+    target for both the Spark kernel and the DuckDB oracle): basic
+    tokenize → per-word greedy pieces → truncate to max_len-2 pieces →
+    CLS/SEP/PAD + attention mask. Returns (input_ids, mask, n_unk)."""
+    body: list[int] = []
+    for w in wordpiece_pretokenize(text):
+        ids = wordpiece_word_ids(w, vocab)
+        body.extend([UNK_ID] if ids is None else ids)
+    body = body[: max_len - 2]
+    pad_n = max_len - 2 - len(body)
+    input_ids = [CLS_ID] + body + [SEP_ID] + [PAD_ID] * pad_n
+    attention_mask = [1] * (len(body) + 2) + [0] * pad_n
+    return input_ids, attention_mask, sum(1 for i in body if i == UNK_ID)
+
+
+def wordpiece_tokenize_udf(vocab_bc, max_len: int):
+    """Arrow-batched WordPiece encoder over a broadcast vocab. The kernel
+    is a self-contained closure (broadcast handle + scalars only) so the
+    driver can import this module from any cwd."""
+    pad_id, unk_id, cls_id, sep_id = PAD_ID, UNK_ID, CLS_ID, SEP_ID
+    max_word = WP_MAX_WORD
+
+    @pandas_udf("input_ids array<int>, attention_mask array<int>, n_unk int")
+    def _encode(text: pd.Series) -> pd.DataFrame:
+        import re
+
+        vocab = vocab_bc.value
+
+        def word_ids(w):
+            if len(w) > max_word:
+                return None
+            ids, pos = [], 0
+            while pos < len(w):
+                end, match = len(w), None
+                while end > pos:
+                    key = w[pos:end] if pos == 0 else "##" + w[pos:end]
+                    if key in vocab:
+                        match = (vocab[key], end)
+                        break
+                    end -= 1
+                if match is None:
+                    return None
+                ids.append(match[0])
+                pos = match[1]
+            return ids
+
+        def enc(s):
+            pre = re.sub(r"([^a-z0-9 ])", r" \1 ", (s or "").lower())
+            body = []
+            for w in (t for t in pre.split(" ") if t):
+                ids = word_ids(w)
+                body.extend([unk_id] if ids is None else ids)
+            body = body[: max_len - 2]
+            pad_n = max_len - 2 - len(body)
+            return (
+                [cls_id] + body + [sep_id] + [pad_id] * pad_n,
+                [1] * (len(body) + 2) + [0] * pad_n,
+                sum(1 for i in body if i == unk_id),
+            )
+
+        encoded = text.map(enc)
+        return pd.DataFrame(
+            {
+                "input_ids": encoded.map(lambda t: t[0]),
+                "attention_mask": encoded.map(lambda t: t[1]),
+                "n_unk": encoded.map(lambda t: t[2]).astype("int32"),
+            }
+        )
+
+    return _encode
+
+
+def _wp_case_exprs(vocab: dict[str, int]) -> tuple[str, str]:
+    """Generate the (best-id, best-length) CASE chains for the oracle:
+    the vocab is a compile-time literal, so greedy longest-match at
+    (word, pos) is just a WHEN chain ordered by piece length DESC —
+    start pieces when pos = 1, stripped ##-pieces otherwise."""
+    starts = sorted(
+        (
+            (t, i)
+            for t, i in vocab.items()
+            if not t.startswith("##") and t not in SPECIAL_TOKENS
+        ),
+        key=lambda kv: (-len(kv[0]), kv[0]),
+    )
+    conts = sorted(
+        ((t[2:], i) for t, i in vocab.items() if t.startswith("##")),
+        key=lambda kv: (-len(kv[0]), kv[0]),
+    )
+
+    def chain(entries, out):
+        whens = " ".join(
+            f"WHEN substring(w, pos, {len(p)}) = '{p}' "
+            f"THEN {i if out == 'id' else len(p)}"
+            for p, i in entries
+        )
+        return f"CASE {whens} END"
+
+    bid = (
+        f"(CASE WHEN pos = 1 THEN {chain(starts, 'id')} "
+        f"ELSE {chain(conts, 'id')} END)"
+    )
+    blen = (
+        f"(CASE WHEN pos = 1 THEN {chain(starts, 'len')} "
+        f"ELSE {chain(conts, 'len')} END)"
+    )
+    return bid, blen
+
+
+def _f7c_oracle() -> str:
+    """Recursive-CTE WordPiece oracle: greedy longest-match is a per-word
+    fold, expressed as a DuckDB recursive CTE whose step advances each
+    in-flight word by its best piece (the generated CASE chain); a word
+    with no match at any position — or longer than WP_MAX_WORD — fails
+    whole (wids → [UNK]). Terminal states (pos > length) are assembled
+    per document in word order, truncated, and framed exactly like f7."""
+    bid, blen = _wp_case_exprs(load_wordpiece_vocab())
+    return f"""
+WITH RECURSIVE pretok AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text),
+                     '([^a-z0-9 ])', ' \\1 ', 'g'), ' '),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+),
+words AS (
+  SELECT doc_id, i AS wpos, toks[i] AS w
+  FROM pretok, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)
+),
+enc AS (
+  SELECT doc_id, wpos, w,
+         CASE WHEN length(w) > {WP_MAX_WORD} THEN length(w) + 1 ELSE 1 END AS pos,
+         '' AS ids_str,
+         length(w) > {WP_MAX_WORD} AS failed
+  FROM words
+  UNION ALL
+  SELECT doc_id, wpos, w,
+         CASE WHEN {bid} IS NULL THEN length(w) + 1 ELSE pos + {blen} END,
+         CASE WHEN {bid} IS NULL THEN ids_str
+              WHEN ids_str = '' THEN CAST({bid} AS VARCHAR)
+              ELSE ids_str || ' ' || CAST({bid} AS VARCHAR) END,
+         failed OR {bid} IS NULL
+  FROM enc
+  WHERE pos <= length(w) AND NOT failed
+),
+final AS (
+  SELECT doc_id, wpos,
+         CASE WHEN failed THEN '{UNK_ID}' ELSE ids_str END AS wids
+  FROM enc WHERE pos > length(w)
+),
+perdoc AS (
+  SELECT doc_id,
+         list_slice(string_split(string_agg(wids, ' ' ORDER BY wpos), ' '),
+                    1, {_BODY_CAP}) AS body
+  FROM final GROUP BY doc_id
+),
+alldocs AS (
+  SELECT d.doc_id, COALESCE(p.body, CAST([] AS VARCHAR[])) AS body
+  FROM documents d LEFT JOIN perdoc p USING (doc_id)
+)
+SELECT doc_id,
+       array_to_string(
+         list_concat(list_concat(list_concat(['{CLS_ID}'], body), ['{SEP_ID}']),
+                     ['{PAD_ID}' for i in range(greatest(0, {_BODY_CAP} - len(body)))]),
+         ' ') AS input_ids_str,
+       CAST(len(body) + 2 AS BIGINT) AS n_real,
+       CAST(len(list_filter(body, x -> x = '{UNK_ID}')) AS BIGINT) AS n_unk
+FROM alldocs
+"""
+
+
+@query("f7c_wordpiece", oracle=_f7c_oracle())
+def f7c_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7c WordPiece — the reference's ACTUAL tokenizer algorithm
+    (chinese-roberta WordPiece, ``data_helper.py:55-57,94``; r5 verdict's
+    one named fidelity gap): BERT basic-tokenize (lowercase, punctuation
+    + CJK chars isolated) then greedy longest-match subword encode with
+    ``##`` continuations, whole-word [UNK] fallback, CLS/SEP/PAD framing.
+
+    Spark shape is identical to f7 (broadcast vocab dict → Arrow-batched
+    ``pandas_udf``, no shuffle); the oracle runs the same greedy fold as
+    a recursive CTE over a compile-time CASE chain of the vocab, so id
+    sequences are compared end-to-end across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    bc = spark.sparkContext.broadcast(load_wordpiece_vocab())
+    enc = wordpiece_tokenize_udf(bc, MAX_LEN)
+    out = docs.select("doc_id", enc("text").alias("enc")).select(
+        "doc_id",
+        F.col("enc.input_ids").alias("input_ids"),
+        F.col("enc.attention_mask").alias("attention_mask"),
+        F.col("enc.n_unk").alias("n_unk"),
+    )
+    return out.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("input_ids")).alias("input_ids_str"),
+        F.aggregate("attention_mask", F.lit(0), lambda a, x: a + x)
+        .cast("bigint")
+        .alias("n_real"),
+        F.col("n_unk").cast("bigint").alias("n_unk"),
+    )
+
+
 BPE_TOP_K = 20  #: merge candidates reported per BPE iteration
 
 
