@@ -21,23 +21,34 @@ from wx20222_bigdata_spark.registry import query
 
 
 def power_iteration_scores(
-    edges: DataFrame, n_iter: int = 5, damping: float = 0.85
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    exact_fold: bool = False,
 ) -> DataFrame:
     """PageRank-style power iteration over (src, dst) edges.
 
-    rank_{k+1}(v) = (1-d) + d * Σ_{u→v} rank_k(u) / outdeg(u).
+    rank_{k+1}(v) = (1-d) + d * Σ_{u→v} w(u,v) · rank_k(u) / outdeg(u).
 
-    Each round: one join (ranks ⋈ edges on src — broadcast when ranks are
-    small, shuffle otherwise) + one groupBy(dst) sum. Deterministic given
-    deterministic inputs; results converge independent of partitioning."""
+    Multi-edges are collapsed to (src, dst, w) ONCE up front — at scale
+    this shrinks every round's join input from |edges| to |distinct
+    pairs| and is also what makes a deterministic fold possible (one
+    contribution per (src, dst)). Each round: one join (ranks ⋈ weighted
+    edges — broadcast when ranks are small, shuffle otherwise) + one
+    groupBy(dst) reduction. ``exact_fold=True`` replaces the float
+    ``sum`` with the a9/e14 ordered-fold discipline (contributions
+    reduced in ascending-src order), making every iterate BIT-exact
+    across engines/partitionings — the mode the DuckDB oracle checks;
+    the default keeps the map-side-combinable plain sum (the 100 TB hot
+    path, where collect_list per destination would be the wrong shape)."""
     # loop invariants persisted ONCE: every round's action re-executes the
     # full lineage otherwise (edge scan + distinct shuffle + outdeg agg
     # per iteration).
-    edges = edges.persist()
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
+    ew = edges.groupBy("src", "dst").agg(F.count("*").alias("w")).persist()
+    out_deg = ew.groupBy("src").agg(F.sum("w").cast("bigint").alias("outdeg")).persist()
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
+        ew.select(F.col("src").alias("node"))
+        .unionByName(ew.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
@@ -45,16 +56,25 @@ def power_iteration_scores(
     prev = None
     for _ in range(n_iter):
         contribs = (
-            ranks.join(edges, ranks.node == edges.src)
+            ranks.join(ew, ranks.node == ew.src)
             .join(out_deg, "src")
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
-        )
-        ranks = (
-            nodes.join(
-                contribs.groupBy("node").agg(F.sum("c").alias("in_sum")),
-                "node",
-                "left",
+            .select(
+                F.col("dst").alias("node"),
+                "src",
+                (F.col("rank") * F.col("w") / F.col("outdeg")).alias("c"),
             )
+        )
+        if exact_fold:
+            in_sum = contribs.groupBy("node").agg(
+                F.expr(
+                    "aggregate(transform(array_sort(collect_list(struct(src, c))),"
+                    " s -> s.c), 0D, (a, x) -> a + x)"
+                ).alias("in_sum")
+            )
+        else:
+            in_sum = contribs.groupBy("node").agg(F.sum("c").alias("in_sum"))
+        ranks = (
+            nodes.join(in_sum, "node", "left")
             .select(
                 "node",
                 (
@@ -73,29 +93,11 @@ def power_iteration_scores(
     from wx20222_bigdata_spark.plans.caching import materialize
 
     ranks = materialize(ranks)
-    for df in (edges, out_deg, nodes):
+    for df in (ew, out_deg, nodes):
         df.unpersist()
     if prev is not None:
         prev.unpersist()
     return ranks
-
-
-@query("i1_power_iteration")
-def i1_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative rank over a deterministic graph derived from orders
-    (customer u → customer u+1 mod N for each shared order bucket…
-    simplified: edges from (o_custkey → o_custkey's next bucket)).
-    Rows-only: 5 joined+aggregated rounds are expressible in SQL only by
-    unrolling; the driver-loop + persist pattern is the point. Stability
-    checked by rerun equality (deterministic float path)."""
-    orders = load_table(spark, sf_dir, "orders")
-    edges = orders.select(
-        (F.col("o_custkey") % 50).alias("src"),
-        ((F.col("o_custkey") + F.col("o_orderkey")) % 50).alias("dst"),
-    ).filter(F.col("src") != F.col("dst"))
-    ranks = power_iteration_scores(edges, n_iter=5)
-    out = ranks.select("node", F.round("rank", 6).alias("rank"))
-    return out
 
 
 PR_DAMPING = 0.85
@@ -131,6 +133,41 @@ def _pr_iter_duck(prev: str, out: str) -> str:
     SELECT n, list_sum(list(c ORDER BY src)) AS insum FROM {out}_c GROUP BY n
   ) s ON s.n = nodes.n
 )"""
+
+
+def _i1_oracle(n_iter: int = 5) -> str:
+    """i1's oracle: the SAME recurrence with the iteration count unrolled
+    into chained CTEs (VERDICT r5 item 6) — each round reuses the i2
+    ordered-fold round template, so the driver-loop iterates must match
+    bit-for-bit at every round, not just in the aggregate."""
+    rounds = ",".join(
+        _pr_iter_duck(f"r{k}", f"r{k + 1}")[1:] for k in range(n_iter)
+    )
+    return f"""
+WITH {_PR_EDGES_DUCK},
+r0 AS (SELECT n, 1.0 AS rank FROM nodes),
+{rounds}
+SELECT n AS node, ROUND(rank, 6) AS rank FROM r{n_iter}
+"""
+
+
+@query("i1_power_iteration", oracle=_i1_oracle())
+def i1_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative rank over a deterministic graph derived from orders —
+    the driver-loop + persist/materialize pattern (no fixpoint operator
+    in Spark). Oracle-exact since r6: the loop runs in ``exact_fold``
+    mode (ordered contribution fold, the a9 discipline) and the oracle
+    unrolls the same 5 rounds as chained CTEs — float parity holds
+    because both engines reduce each destination's contributions in the
+    same total order."""
+    orders = load_table(spark, sf_dir, "orders")
+    edges = orders.select(
+        (F.col("o_custkey") % PR_NODES).alias("src"),
+        ((F.col("o_custkey") + F.col("o_orderkey")) % PR_NODES).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    ranks = power_iteration_scores(edges, n_iter=5, exact_fold=True)
+    out = ranks.select("node", F.round("rank", 6).alias("rank"))
+    return out
 
 
 @query(

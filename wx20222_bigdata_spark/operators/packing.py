@@ -312,7 +312,43 @@ def e20_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("e23_ffd_packing")
+#: first-fit probe in the e23 oracle: 1-based index of the first open bin
+#: with room (DuckDB list_position returns 0, not NULL, for "no match").
+_FFD_POS = "list_position(list_transform(f.bins, b -> b >= o.n_tok), true)"
+
+_E23_ORACLE = f"""
+WITH RECURSIVE sized AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n_tok
+  FROM documents
+),
+ord AS (
+  SELECT source, doc_id, n_tok,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok DESC, doc_id) AS i
+  FROM sized
+),
+ffd AS (
+  SELECT source, i, doc_id, n_tok,
+         [greatest({PACK_BUDGET} - n_tok, 0)] AS bins,
+         0 AS bin_id
+  FROM ord WHERE i = 1
+  UNION ALL
+  SELECT o.source, o.i, o.doc_id, o.n_tok,
+         CASE WHEN {_FFD_POS} = 0
+              THEN list_append(f.bins, greatest({PACK_BUDGET} - o.n_tok, 0))
+              ELSE list_transform(f.bins,
+                     (b, k) -> CASE WHEN k = {_FFD_POS} THEN b - o.n_tok ELSE b END)
+         END,
+         CASE WHEN {_FFD_POS} = 0 THEN len(f.bins) ELSE {_FFD_POS} - 1 END
+  FROM ffd f JOIN ord o ON o.source = f.source AND o.i = f.i + 1
+)
+SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok, CAST(bin_id AS BIGINT) AS bin_id
+FROM ffd
+"""
+
+
+@query("e23_ffd_packing", oracle=_E23_ORACLE)
 def e23_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E23 first-fit-decreasing packing — the bin-QUALITY tier above
     e6's contiguous greedy: within each shard (source), documents are
@@ -325,10 +361,13 @@ def e23_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented X2 shape: ``applyInPandas`` over the source partition —
     state is shard-local (the open-bin table), cross-shard parallelism
     is preserved, and the kernel is a nested closure (pickle-by-value;
-    executors never need this repo). Rows-only by design: FFD's
-    sequential scan has no ANSI-SQL form — the packing LAWS (capacity,
-    lower bound vs e6, determinism) are pinned in
-    tests/test_ffd_packing.py instead."""
+    executors never need this repo). Oracle-exact since r6 (VERDICT r5
+    item 6): the fold is deterministic (largest-first, doc_id tiebreak),
+    so the oracle replays it as a recursive CTE advancing one document
+    per source per step with the open-bin table as a list-typed state
+    column — the same DuckDB recursion family as f7c/i1. The packing
+    LAWS (capacity, lower bound vs e6, determinism) stay pinned in
+    tests/test_ffd_packing.py."""
     import pandas as pd
 
     budget = PACK_BUDGET
@@ -362,7 +401,7 @@ def e23_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sized.groupBy("source").applyInPandas(
         ffd, schema="source string, doc_id bigint, n_tok int, bin_id bigint"
-    )
+    ).withColumn("n_tok", F.col("n_tok").cast("bigint"))
 
 
 BUCKET_STEP = 32  #: length buckets are multiples of 32 tokens

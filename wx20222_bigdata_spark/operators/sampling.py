@@ -66,18 +66,50 @@ def stratified_split(
     return train, holdout
 
 
-@query("o5_stratified_holdout")
+_HOLDOUT_PCT = int(HOLDOUT_FRACTION * 100)
+
+
+@query(
+    "o5_stratified_holdout",
+    oracle=f"""
+WITH b AS (
+  SELECT label,
+         (CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 100) < {_HOLDOUT_PCT} AS is_train
+  FROM embeddings
+)
+SELECT label,
+       CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       CAST(SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT) AS n_holdout
+FROM b
+GROUP BY label
+""",
+)
 def o5_stratified_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label train/holdout counts for the seeded stratified split.
-    Rows-only: Bernoulli draws depend on Spark's partition-seeded RNG."""
+    """O5 stratified holdout (``train_test_split(stratify=y)``,
+    ``data_helper.py:98-99``), per-label train/holdout counts.
+
+    Since r6 (VERDICT r5 item 6) the declared seat splits by the
+    content-stable md5 bucket of the row key (the o10_hash_split
+    discipline): membership is uniform-per-label (so the split IS
+    stratified in expectation), reprocessing-stable, partition-layout-
+    independent, and therefore fully oracle-exact. The seeded
+    ``sampleBy`` tier (:func:`stratified_split`) remains the
+    exact-per-label-fraction production alternative; its Bernoulli draws
+    depend on Spark's partition-seeded RNG, so it is pytest-validated
+    (tests/test_sampling.py) rather than oracle-checked."""
+    from wx20222_bigdata_spark.functions.hashing import spark_md5_hash
+
     emb = load_table(spark, sf_dir, "embeddings")
-    train, holdout = stratified_split(emb, "label", HOLDOUT_FRACTION, HOLDOUT_SEED)
-    t = train.groupBy("label").agg(F.count("*").alias("n_train"))
-    h = holdout.groupBy("label").agg(F.count("*").alias("n_holdout"))
-    return t.join(h, "label", "full_outer").select(
-        "label",
-        F.coalesce("n_train", F.lit(0)).alias("n_train"),
-        F.coalesce("n_holdout", F.lit(0)).alias("n_holdout"),
+    bucket = F.expr(f"{spark_md5_hash('CAST(vec_id AS STRING)')} % 100")
+    b = emb.select("label", (bucket < _HOLDOUT_PCT).alias("is_train"))
+    return b.groupBy("label").agg(
+        F.sum(F.when(F.col("is_train"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum(F.when(F.col("is_train"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_holdout"),
     )
 
 
