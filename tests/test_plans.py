@@ -208,6 +208,23 @@ def test_w6_rank_pushdown(spark):
     assert "WindowGroupLimit" in plan, plan[:2000]
 
 
+def test_e4g_shuffles_hashed_gram_keys(spark):
+    """r5 verdict item 7: e4g's exchanges must partition on the int64
+    xxhash64 gram key, never the gram string — at 100× the per-(gram,
+    doc) distinct pairs dominate the shuffle and string keys there are
+    pure waste. Pin: every hashpartitioning expression list is free of
+    the string column g (it rides only in the min() agg buffer)."""
+    import re
+
+    plan = formatted_plan(_q("e4g_char_ngram_stats")(spark, SF_ORACLE))
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts, plan[:2000]
+    for p in parts:
+        cols = [c.strip().split("#")[0] for c in p.split(",")]
+        assert "g" not in cols, f"string gram key crosses an exchange: {p}"
+    assert "xxhash64" in plan
+
+
 def test_minhash_band_keys_no_permutation_explode(spark):
     """r4 LSH rewrite (NOTES_r4): all 16 permutation minima come from ONE
     groupBy(doc_id) over un-multiplied shingle rows. Pin the shape —

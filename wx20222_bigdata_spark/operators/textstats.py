@@ -130,12 +130,24 @@ def e4g_char_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
     )
+    # Group on xxhash64(g), not g (VERDICT r5 item 7, the LSH tiers'
+    # discipline): countDistinct's pre-aggregation shuffles one row per
+    # DISTINCT (gram, doc) pair, and at 100× those string keys dominate
+    # the exchange — the int64 hash carries the same key in 8 bytes.
+    # min(g) rides only in the aggregation buffer (one string per
+    # distinct gram per map partition, the same volume a plain
+    # groupBy(g) would shuffle) and recovers the gram + the oracle's
+    # lexicographic tiebreak exactly; the hash is bijective here in
+    # practice (trigram space ≪ 2^64; the sf0.01 oracle cross-checks).
     return (
-        grams.groupBy("g")
+        grams.select("doc_id", "g", F.xxhash64("g").alias("gh"))
+        .groupBy("gh")
         .agg(
+            F.min("g").alias("g"),
             F.count("*").cast("bigint").alias("freq"),
             F.countDistinct("doc_id").cast("bigint").alias("df"),
         )
+        .select("g", "freq", "df")
         .orderBy(F.col("freq").desc(), F.col("g").asc())
         .limit(20)
     )
