@@ -41,6 +41,8 @@ import sys
 import time
 from pathlib import Path
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution
+
 N_RUNS = 5  #: runs per query; median reported (odd → true middle sample)
 BUDGET_FILE = "bench_budgets.json"
 BUDGET_FACTOR = 1.5  #: flag a query when median > factor × budget
@@ -48,6 +50,17 @@ BUDGET_FACTOR = 1.5  #: flag a query when median > factor × budget
 REPO_ROOT = str(Path(__file__).resolve().parent)
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
+
+#: Queries whose hot path is the Python worker (mapInPandas /
+#: pandas_udf): budget-scaled by the Arrow calibration probe, not the
+#: JVM-codegen one (r5 verdict item 3 — the JVM probe under-tracks
+#: Python-worker/Arrow host drift).
+ARROW_QUERIES = {
+    "x4_map_in_pandas_scoring",
+    "e5d_frame_sample",
+    "f7b_char_tokenize",
+    "etl_prepare_features",
+}
 
 #: Headline suite: one representative per operator family (SURVEY.md §2,
 #: incl. the E6–E8 LLM-pipeline family added in round 2).
@@ -172,7 +185,39 @@ def main() -> None:
             out.append(time.perf_counter() - t0)
         return out
 
+    # Second probe (r5 verdict item 3): the JVM-codegen probe above does
+    # not track the Python-worker path — fork/reuse of the pyspark daemon,
+    # Arrow serialization, pandas kernel dispatch — which is exactly what
+    # the Arrow-shaped queries (mapInPandas/pandas_udf) spend their time
+    # in. Measured while bisecting the r4→r5 s9/x4/e7 "regressions":
+    # identical code from both rounds, run side-by-side in one host
+    # window, timed the same — the recorded deltas were host drift that
+    # calib_ratio (1.189 vs 1.211) did not reflect. Arrow-shaped queries
+    # are therefore budget-scaled by THIS probe's ratio instead.
+    def _calibrate_arrow(n: int = 3) -> list[float]:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def _probe(x: pd.Series) -> pd.Series:
+            return x * 1.0000001 + x.map(lambda v: v % 97)
+
+        out = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            (
+                spark.range(0, 2_000_000)
+                .select(_probe(F.col("id").cast("double")).alias("p"))
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            out.append(time.perf_counter() - t0)
+        return out
+
+    from pyspark.sql import functions as F
+
     calib_samples = _calibrate()
+    calib_arrow_samples = _calibrate_arrow()
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -236,6 +281,8 @@ def main() -> None:
     # the queries actually ran in.
     calib_samples += _calibrate()
     calib_sec = round(statistics.median(calib_samples), 3)
+    calib_arrow_samples += _calibrate_arrow()
+    calib_arrow_sec = round(statistics.median(calib_arrow_samples), 3)
 
     # Budget gate (fully calibrated units, r4 verdict item 5): each
     # query's median is divided by calib_ratio = calib_sec/_calib_ref —
@@ -251,6 +298,7 @@ def main() -> None:
     violations: dict[str, dict[str, float]] = {}
     raw_violations: dict[str, dict[str, float]] = {}
     calib_ratio = 1.0
+    calib_arrow_ratio = 1.0
     calib_suspect = False
     timings_calibrated: dict[str, float] = {}
     budget_path = Path(REPO_ROOT) / BUDGET_FILE
@@ -271,8 +319,18 @@ def main() -> None:
                 if calib_ratio > 2.0:
                     calib_suspect = True
                     calib_ratio = 2.0
+        calib_arrow_ref = budgets.get("_calib_arrow_ref")
+        if calib_arrow_ref:
+            calib_arrow_ratio = round(calib_arrow_sec / calib_arrow_ref, 3)
+            if calib_arrow_ratio > 2.0:
+                calib_arrow_samples += _calibrate_arrow()
+                calib_arrow_sec = round(statistics.median(calib_arrow_samples), 3)
+                calib_arrow_ratio = min(
+                    round(calib_arrow_sec / calib_arrow_ref, 3), 2.0
+                )
         for name, med in timings.items():
-            cal = round(med / calib_ratio, 3)
+            ratio = calib_arrow_ratio if name in ARROW_QUERIES else calib_ratio
+            cal = round(med / ratio, 3)
             timings_calibrated[name] = cal
             b = budgets.get(name)
             if b is None:
@@ -282,7 +340,7 @@ def main() -> None:
                     "median": med,
                     "calibrated": cal,
                     "budget": b,
-                    "calib_ratio": calib_ratio,
+                    "calib_ratio": ratio,
                 }
                 print(
                     f"BUDGET VIOLATION {name}: calibrated median {cal}s "
@@ -311,6 +369,8 @@ def main() -> None:
         "uncalibrated_violations": raw_violations,
         "calib_sec": calib_sec,
         "calib_ratio": calib_ratio,
+        "calib_arrow_sec": calib_arrow_sec,
+        "calib_arrow_ratio": calib_arrow_ratio,
         "calib_suspect": calib_suspect,
         "sf": sf_val,
     }

@@ -225,6 +225,19 @@ def test_e4g_shuffles_hashed_gram_keys(spark):
     assert "xxhash64" in plan
 
 
+def test_e3b_bucket_join_broadcasts_query_side(spark):
+    """r6 e3b rewrite: the LSH bucket join must broadcast the N_QUERIES-row
+    query side so the candidate corpus never crosses an exchange — at
+    100 TB the corpus-side shuffle would dominate the whole query. Pin:
+    the join is a BroadcastHashJoin and no hashpartitioning on bucket
+    appears below it (the only exchange allowed is the final per-query
+    rank window, whose key set is bounded by N_QUERIES)."""
+    df = _q("e3b_lsh_bucket_ann")(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "hashpartitioning(bucket" not in plan, plan[:2000]
+
+
 def test_minhash_band_keys_no_permutation_explode(spark):
     """r4 LSH rewrite (NOTES_r4): all 16 permutation minima come from ONE
     groupBy(doc_id) over un-multiplied shingle rows. Pin the shape —

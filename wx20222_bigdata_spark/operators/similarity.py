@@ -101,12 +101,23 @@ def e3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bucket_expr_spark() -> F.Column:
-    """LSH bucket id: 8-bit sign pattern of dot(embedding, plane_j)."""
+    """LSH bucket id: 8-bit sign pattern of dot(embedding, plane_j).
+
+    The plane weights are LITERAL arrays, not the per-row
+    ``transform(sequence(0, 63), i -> ...)`` construction: the literal
+    form constant-folds into the plan and saves rebuilding the weight
+    array per row (r6 A/B at sf0.1, 9 interleaved reps: literal 0.337 s
+    vs transform 0.378 s vs flat 64-term arithmetic chain 0.99 s vs
+    13-residue factorization 0.531 s — the giant flat expression loses
+    codegen locality, so the fold stays). Fold order is unchanged, so
+    buckets agree bit-for-bit with the DuckDB oracle's ``list_sum``
+    (cross-checked: 0 mismatches over sf0.1)."""
     terms = []
     for j in range(N_PLANES):
-        plane = _PLANE.format(j=j)
+        w = [((j * 64 + i) % 13) - 6 for i in range(64)]
+        arr = "array(" + ",".join(f"{v}D" for v in w) + ")"
         dot_j = (
-            f"aggregate(zip_with(embedding, transform(sequence(0, 63), i -> {plane}),"
+            f"aggregate(zip_with(embedding, {arr},"
             f" (x, w) -> double(x) * w), 0D, (a, v) -> a + v)"
         )
         terms.append(f"CASE WHEN ({dot_j}) > 0 THEN {2 ** j} ELSE 0 END")
@@ -166,8 +177,11 @@ def e3b_lsh_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"), "bucket"
     )
     cosine = _dot("qe", "ce") / (_norm("qe") * _norm("ce"))
+    # The query side is N_QUERIES rows by construction: broadcast it so
+    # the bucket join never shuffles the candidate corpus (at 100 TB the
+    # corpus-side exchange would otherwise dominate the query).
     cand = (
-        q.join(c, "bucket")
+        c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id", "bucket", cosine.alias("cosine"))
     )

@@ -47,62 +47,64 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # CORRECTNESS row yet — plus anything new/changed this round — get checked
 # before already-driver-verified ones. See NOTES_r2.md.
 _FRONT: list[str] = [
-    # Round-5 rotation: the 5 queries ADDED THIS ROUND first (driver-green
-    # for new ops in their own round — the norm since r3), the r4 CJK heads
-    # next, then a refresh of the OLDEST driver rows (r01 names, recorded
-    # four rounds ago; e5c_decode_features_stub mapped to its successor).
-    # Every registered name already has a driver row across r01-r04; this
-    # ordering decides which 50 get a FRESH row in r05.
-    "e2k_salted_lsh_pairs",
-    "e2m_char_lsh_production",
-    "e7c_funnel_accounting",
-    "e35_hyperplane_semdedup",
-    "s6_compaction_manifest",
-    "f7b_char_tokenize",
-    "e2j_char_shingle_lsh_pairs",
-    "e4g_char_ngram_stats",
-    "e34_nospace_exact_dedup",
-    "e27b_bpe_nospacing",
-    "a5_masked_mean_pool",
-    "a6_last4_mean",
-    "a8_argmax",
-    "a7_ensemble_argmax",
-    "o1_stride_sample",
-    "o3_pad_to_length",
-    "w4_head_tail_truncate",
-    "f11_cosine_pairs",
-    "f12_softmax_stats",
-    "u2_sequence_concat",
-    "f10_mask_arithmetic",
-    "f_array_breadth",
-    "e1_exact_dedup",
-    "e1b_dedup_survivors",
-    "e2_ngram_jaccard",
-    "e2b_minhash_lsh_pairs",
-    "e2c_simhash",
-    "e2g_minhash_lsh_production",
-    "e2h_levenshtein_fuzzy",
-    "f8_budget_cascade",
-    "x1_pandas_udf_token_stats",
-    "x2_apply_in_pandas_fold",
-    "x4_map_in_pandas_scoring",
-    "x4b_ensemble_scoring",
-    "x4c_broadcast_weights_scoring",
+    # Round-6 rotation (r5 verdict items 2 and 8): first the seats ADDED
+    # or REWRITTEN this round (f7c is brand new; o7 lost its
+    # single-partition window; i1/e23/o5 were converted rows-only→oracle;
+    # e4g shuffles hashed gram keys now; e3b got the literal-plane
+    # signature + broadcast bucket join; e7c sits on the crash-safe state
+    # swap), then the verdict's stale-rewritten list (q5 r01, a9 r03,
+    # e17 r02, e31/e33/q17 r04), then the OLDEST remaining driver rows:
+    # the r01 join/set names and the front of the r02 cohort.
+    "f7c_wordpiece",
+    "o7_seeded_shuffle",
     "i1_power_iteration",
-    "flagship_two_level_metrics",
-    "a1_per_class_f1",
-    "a3_rollup_class_counts",
-    "a11_distinct",
-    "a12_approx_distinct",
-    "f13_mlm_corruption",
-    "f14_batch_permutation",
-    "e2e_cosine_neardup",
-    "e2f_ml_minhash_lsh",
-    "x3_python_udtf_shingles",
-    "e5_multimodal_manifest",
-    "e5b_multimodal_join",
-    "e5c_decode_features",
-    "a4_pricing_summary",
+    "e23_ffd_packing",
+    "o5_stratified_holdout",
+    "e4g_char_ngram_stats",
+    "e3b_lsh_bucket_ann",
+    "e7c_funnel_accounting",
+    "q5_local_supplier_volume",
+    "a9_ema_ordered_fold",
+    "e17_semantic_dedup",
+    "e31_dsir_importance",
+    "e33_ngram_novelty",
+    "q17_small_quantity_revenue",
+    "j2_broadcast_dim_join",
+    "j3_inner_join_revenue",
+    "j3_anti_join_integrity",
+    "j3_semi_join",
+    "j1_positional_zip_join",
+    "j4_file_key_join",
+    "u1_union_all",
+    "set_intersect_except",
+    "o4_top_k_orders",
+    "e25_incremental_dedup",
+    "e9_dedup_clusters",
+    "e9b_triangle_count",
+    "e28_cluster_survivors",
+    "e18_cdc_chunking",
+    "e20_chunk_dedup",
+    "e24_length_bucketing",
+    "e30_dataset_card",
+    "e10_decontamination",
+    "x7_bloom_decontaminate",
+    "f19_minmax_scale",
+    "x9_cogroup_attribution",
+    "i2_pagerank_2iter",
+    "i3_label_propagation",
+    "z1_zorder_stats",
+    "u3_bag_set_ops",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "s10_python_datasource",
+    "dq1_constraint_report",
+    "e26_quality_classifier",
+    "dq2_order_reconciliation",
+    "dq3_distribution_drift",
+    "rrf1_hybrid_retrieval",
+    "o11_weighted_sample",
+    "o12_consistent_sample",
+    "e29_random_projection",
 ]
 
 
