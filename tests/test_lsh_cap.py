@@ -80,6 +80,82 @@ def test_default_path_matches_declared_query(spark):
     assert a == b
 
 
+def test_production_tiers_run_capped_and_keep_mutant_recall(spark):
+    """e2g/e2m (the production tiers) run with PROD_MAX_BUCKET_SIZE
+    (added after the sf10 curve measured a 17,727-doc char bucket —
+    157M pairs through one reducer). The cap must not cost recall of
+    the seeded mutants: every (doc, doc+100000) mutant pair the
+    uncapped join finds is still found capped, and capped ⊆ uncapped."""
+    from wx20222_bigdata_spark.operators.dedup import (
+        PROD_MAX_BUCKET_SIZE,
+        e2g_minhash_lsh_production,
+        e2m_char_lsh_production,
+    )
+
+    corpus = _corpus_with_mutants_spark(spark, SF)
+    for tier_fn, ws in [(e2g_minhash_lsh_production, True), (e2m_char_lsh_production, False)]:
+        bands = minhash_band_keys(corpus, production_hash=True, whitespace=ws)
+        uncapped = _pairs(lsh_candidate_pairs(bands))
+        capped = _pairs(tier_fn(spark, SF))
+        assert capped <= uncapped
+        mutant_pairs = {(a, b) for (a, b) in uncapped if b == a + 100000}
+        assert mutant_pairs, "fixture must contain seeded mutants"
+        assert mutant_pairs <= capped
+        # fixture buckets are all far below the production cap, so the
+        # capped tier loses nothing here (the cap only bites degenerate
+        # boilerplate families, by construction)
+        assert capped == uncapped
+    # guard accidental tightening below the measured p99.9 bucket size
+    # (297 at sf10) — a cap under that starts pruning real buckets
+    assert PROD_MAX_BUCKET_SIZE >= 300
+
+
+def test_grouped_path_equals_join_path(spark):
+    """lsh_candidate_pairs_grouped (one-exchange production path) emits
+    the SAME (id_a, id_b, band) rows as the join path with the same cap —
+    on the degenerate boilerplate corpus and on real fixture data."""
+    from wx20222_bigdata_spark.operators.dedup import lsh_candidate_pairs_grouped
+
+    for corpus, cap in [
+        (_boilerplate_corpus(spark), 5),
+        (_corpus_with_mutants_spark(spark, SF), 500),
+    ]:
+        for ws in (True, False):
+            bands = minhash_band_keys(corpus, whitespace=ws)
+            join_rows = {
+                tuple(r)
+                for r in lsh_candidate_pairs(bands, max_bucket_size=cap)
+                .select("id_a", "id_b", "band")
+                .collect()
+            }
+            grouped_rows = {
+                tuple(r)
+                for r in lsh_candidate_pairs_grouped(bands, max_bucket_size=cap)
+                .select("id_a", "id_b", "band")
+                .collect()
+            }
+            assert grouped_rows == join_rows
+            assert all(a < b for (a, b, _) in grouped_rows)
+
+
+def test_grouped_path_plan_has_no_join(spark):
+    """The grouped path's physical plan must contain NO join operator —
+    the pairs come from the grouped bucket array — and exactly one
+    aggregate exchange pair for the bucket groupBy."""
+    from wx20222_bigdata_spark.operators.dedup import lsh_candidate_pairs_grouped
+
+    bands = minhash_band_keys(_boilerplate_corpus(spark))
+    plan = (
+        lsh_candidate_pairs_grouped(bands, max_bucket_size=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+               "CartesianProduct", "BroadcastNestedLoopJoin", "Window"):
+        assert op not in plan, f"unexpected {op} in grouped-path plan"
+
+
 def test_cap_adds_no_extra_exchange(spark):
     """The window count partitions by (band, bucket_key) — exactly the
     self-join's key — so capping must not add an Exchange beyond the

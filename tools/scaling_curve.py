@@ -81,11 +81,18 @@ def _ensure(dst: str, k: int, src: str) -> None:
 def main() -> None:
     runs = 3
     out_file = None
+    seats = SEATS
+    tiers = TIERS
     argv = sys.argv[1:]
     if "--runs" in argv:
         runs = int(argv[argv.index("--runs") + 1])
     if "--out" in argv:
         out_file = argv[argv.index("--out") + 1]
+    if "--seats" in argv:
+        seats = argv[argv.index("--seats") + 1].split(",")
+    if "--tiers" in argv:
+        wanted = set(argv[argv.index("--tiers") + 1].split(","))
+        tiers = [(t, d) for t, d in TIERS if t in wanted]
 
     existing = os.environ.get("PYSPARK_SUBMIT_ARGS", "pyspark-shell")
     if "--driver-memory" not in existing:
@@ -107,9 +114,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    results: dict[str, dict[str, float]] = {n: {} for n in SEATS}
-    for tier, sf_dir in TIERS:
-        for name in SEATS:
+    results: dict[str, dict[str, float]] = {n: {} for n in seats}
+    for tier, sf_dir in tiers:
+        for name in seats:
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()  # warm
             samples = []
@@ -125,9 +132,9 @@ def main() -> None:
     hdr = f"| {'seat':32s} | sf0.1 | sf1 | sf10 | x(0.1->1) | x(1->10) |"
     print(hdr)
     print("|" + "-" * 34 + "|---|---|---|---|---|")
-    for name in SEATS:
+    for name in seats:
         r = results[name]
-        s01, s1, s10 = r["sf0.1"], r["sf1"], r["sf10"]
+        s01, s1, s10 = r.get("sf0.1", 0), r.get("sf1", 0), r.get("sf10", 0)
         print(
             f"| {name:32s} | {s01:.3f} | {s1:.3f} | {s10:.3f} "
             f"| x{s1 / max(s01, 1e-9):.1f} | x{s10 / max(s1, 1e-9):.1f} |"

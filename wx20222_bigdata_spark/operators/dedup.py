@@ -37,6 +37,19 @@ N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = 4
 
+#: Frequent-bucket cap for the PRODUCTION tiers (e2g/e2m). Measured on the
+#: sf10 replica (tools/make_sf1.py applied twice — near-dup family size
+#: squares 10→100, a deliberate boilerplate stress): char-mode banding put
+#: 17,727 docs in ONE bucket — 157M candidate pairs through a single
+#: reducer (observed: 20+ min straggler, 21 GiB peak execution memory,
+#: GC-locker stalls), while the p99.9 bucket size was 297. Capping at 500
+#: keeps >99.9% of buckets, preserves every seeded-mutant pair (mutant
+#: families are 2 docs), and drops only degenerate boilerplate families —
+#: which the linear exact-dedup tier (e1/e34) owns anyway. The
+#: oracle-checked tiers (e2b/e2j/e2k) stay uncapped because the DuckDB
+#: mirror joins uncapped; they are fixture-scale only.
+PROD_MAX_BUCKET_SIZE = 500
+
 
 @query(
     "e1_exact_dedup",
@@ -388,6 +401,52 @@ def lsh_candidate_pairs(
     ).select("id_a", "id_b", "band")
 
 
+def lsh_candidate_pairs_grouped(
+    bands: DataFrame, max_bucket_size: int
+) -> DataFrame:
+    """``lsh_candidate_pairs`` semantics with a mandatory bucket cap, in
+    ONE exchange and NO self-join: band rows group into their bucket
+    (``collect_list`` of doc ids), degenerate buckets are dropped by the
+    same rule as ``max_bucket_size`` in the join path, and the surviving
+    buckets emit their intra-bucket pairs from the grouped array.
+
+    MEASURED AND REJECTED for the production tiers (kept as an
+    independent semantic mirror — tests pin its pair set bit-equal to
+    the join path). The hypothesis was that the capped join path pays
+    for re-deriving the shingle pipeline per join branch plus the window
+    pre-count; in fact at sf10 (48 GiB heap, local[32], medians of 3)
+    this path LOST to the capped self-join on both modes — word 138.3 s
+    vs 22.6 s, char 45.2 s vs 30.8 s. The join streams pair rows out of
+    codegen, while this path materializes each bucket's B·(B−1)/2 pair
+    structs as ONE array value before exploding (cap 500 → 125k structs
+    per hot bucket): allocation + GC on the array dominates everything
+    the single exchange saves. Negative result recorded in SCALE.md
+    "LSH at sf10"; use :func:`lsh_candidate_pairs` (capped) in
+    production, :func:`lsh_candidate_pairs_salted` when hot-but-legit
+    buckets skew reducers.
+
+    Output column contract matches ``lsh_candidate_pairs``:
+    (id_a, id_b, band) with id_a < id_b, one row per shared band."""
+    grouped = (
+        bands.groupBy("band", "bucket_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(
+            (F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size)
+        )
+    )
+    pairs = grouped.select(
+        "band",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(ids) - 1), i -> "
+                "transform(sequence(0, i - 1), j -> "
+                "struct(ids[j] AS id_a, ids[i] AS id_b))))"
+            )
+        ).alias("p"),
+    )
+    return pairs.select("p.id_a", "p.id_b", "band")
+
+
 def lsh_candidate_pairs_salted(
     bands: DataFrame,
     n_cells: int = 8,
@@ -710,11 +769,14 @@ def e2g_minhash_lsh_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 MinHash-LSH on the PRODUCTION hash tier (xxhash64, 3× faster
     than the cross-engine fold — see _permuted_shingle_hashes). Rows-only:
     bucket ids are engine-specific; recall is still observable — the
-    seeded mutants must collide (tested)."""
+    seeded mutants must collide (tested). Runs with the production
+    frequent-bucket cap (PROD_MAX_BUCKET_SIZE): candidate volume stays
+    bounded per bucket even when boilerplate families grow (the sf10
+    stress squares family size; word-mode buckets reached 788 docs)."""
     corpus = _corpus_with_mutants_spark(spark, sf_dir)
     bands = minhash_band_keys(corpus, production_hash=True)
     return (
-        lsh_candidate_pairs(bands)
+        lsh_candidate_pairs(bands, max_bucket_size=PROD_MAX_BUCKET_SIZE)
         .groupBy("id_a", "id_b")
         .agg(F.countDistinct("band").alias("n_shared_bands"))
     )
@@ -728,11 +790,19 @@ def e2m_char_lsh_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-tier md5 fold, ~3× the hash cost; this seat records the
     number production would pay). Rows-only like e2g: bucket ids are
     engine-specific; recall of the seeded mutants is the liveness
-    signal."""
+    signal.
+
+    Runs with the production frequent-bucket cap (PROD_MAX_BUCKET_SIZE)
+    — char-gram banding is where the cap EARNS its keep: short/templated
+    texts sketch alike far more often than word trigrams do (measured at
+    sf10: max char bucket 17,727 docs vs 788 word-mode; 300M of 367M
+    candidate pairs came from buckets >100 docs, and the uncapped
+    self-join sat 25+ min on one 21 GiB reducer; capped: 30.8 s — see
+    SCALE.md "LSH at sf10")."""
     corpus = _corpus_with_mutants_spark(spark, sf_dir, rebalance=True)
     bands = minhash_band_keys(corpus, production_hash=True, whitespace=False)
     return (
-        lsh_candidate_pairs(bands)
+        lsh_candidate_pairs(bands, max_bucket_size=PROD_MAX_BUCKET_SIZE)
         .groupBy("id_a", "id_b")
         .agg(F.countDistinct("band").alias("n_shared_bands"))
     )
