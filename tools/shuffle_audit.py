@@ -130,10 +130,13 @@ def main() -> None:
     queries = all_queries()
     results: dict[str, dict] = {}
     for name in seats:
-        df = queries[name](spark, sf_dir)
+        # watermark BEFORE building the DataFrame: some queries run eager
+        # actions at build time (o7's range-partition offset pass, e35's
+        # signature materialization) — that work belongs to the query.
         stages_before = _stage_rows(base)
         watermark = max((s["stageId"] for s in stages_before), default=-1)
         t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         wall = time.perf_counter() - t0
         m = _metrics_since(base, watermark)
