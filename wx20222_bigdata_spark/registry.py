@@ -55,6 +55,10 @@ _FRONT: list[str] = [
     # swap), then the verdict's stale-rewritten list (q5 r01, a9 r03,
     # e17 r02, e31/e33/q17 r04), then the OLDEST remaining driver rows:
     # the r01 join/set names and the front of the r02 cohort.
+    # Changed latest in-round (production LSH tiers got the frequent-
+    # bucket cap after the sf10 curve): check these first.
+    "e2g_minhash_lsh_production",
+    "e2m_char_lsh_production",
     "f7c_wordpiece",
     "o7_seeded_shuffle",
     "i1_power_iteration",
@@ -103,8 +107,8 @@ _FRONT: list[str] = [
     "dq3_distribution_drift",
     "rrf1_hybrid_retrieval",
     "o11_weighted_sample",
-    "o12_consistent_sample",
-    "e29_random_projection",
+    # (o12_consistent_sample / e29_random_projection rotated out to keep
+    # the window at 50 after e2g/e2m re-entered — front them in r7.)
 ]
 
 
