@@ -22,6 +22,20 @@ The DuckDB oracle computes the same fixpoint declaratively with a
 recursive CTE (reachability → MIN(root) per node), so the whole pipeline
 — shingle hash, banding, bucket join, transitive closure — is
 cross-engine bit-exact.
+
+PRODUCTION RULE — verify edges before transitive closure. Closure
+amplifies false positives catastrophically: one chance collision chains
+two families forever. Measured on the sf10 boilerplate-stress replica
+(char mode, capped candidates, 510k docs): raw candidates → ONE
+453,809-doc component (89% of the corpus; a keep-one policy deletes
+it); requiring ≥2 shared bands — the `n_shared_bands` column the e2*
+pair tiers already emit for free — recovers the exact planted structure
+(5,002 clusters, max 396, full coverage); ≥3 over-prunes (−7k docs).
+Use band-count ≥2 as the zero-cost filter, signature-estimated or exact
+Jaccard when the threshold needs calibrating. The declared queries
+below keep the raw-candidate shape (the oracle mirrors it; fixture-
+scale graphs have no chance collisions) — see SCALE.md "Cluster
+resolution at sf10".
 """
 
 from __future__ import annotations
