@@ -57,3 +57,36 @@ def test_e9_cluster_invariants(spark):
         if doc_cluster.get(r["doc_id"] - 100000) == r["cluster_id"]
     )
     assert recovered == len(mutant_rows)
+
+
+def test_e9c_verified_closure_laws(spark):
+    """e9c (verify-before-closure): every cluster doc pair traces back to
+    a candidate pair sharing >=2 bands; seeded mutants stay clustered
+    with their source (near-identical docs share >=2 of 4 bands); and
+    e9c's edge set is a subset of e9's raw candidates, so no e9c cluster
+    can span docs e9 would not have connected."""
+    from wx20222_bigdata_spark.operators.clusters import (
+        e9_dedup_clusters,
+        e9c_verified_clusters,
+    )
+
+    raw = {(r.doc_id, r.cluster_id) for r in e9_dedup_clusters(spark, SF).collect()}
+    ver = e9c_verified_clusters(spark, SF).collect()
+    assert ver, "verified clustering must be non-empty on the mutant fixture"
+    # mutants (doc_id >= 100000) must remain clustered with their source
+    # (components may legitimately also contain other sources that are
+    # near-dups of each other, so compare cluster membership, not ids)
+    cluster_of = {r.doc_id: r.cluster_id for r in ver}
+    mutants = [r for r in ver if r.doc_id >= 100000]
+    assert mutants
+    for r in mutants:
+        src = r.doc_id - 100000
+        assert src in cluster_of and cluster_of[src] == r.cluster_id
+        assert r.cluster_size >= 2
+    # verified docs are a subset of raw-clustered docs (dropping edges
+    # can only shrink/split components, never add members)
+    raw_docs = {d for (d, _) in raw}
+    assert {r.doc_id for r in ver} <= raw_docs
+    # canonical flag is consistent with min-id convention
+    for r in ver:
+        assert r.is_canonical == (r.doc_id == r.cluster_id)

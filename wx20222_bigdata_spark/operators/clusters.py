@@ -288,3 +288,64 @@ def e28_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dropped_chars"),
     )
+
+
+@query(
+    "e9c_verified_clusters",
+    oracle=f"""
+WITH RECURSIVE {LSH_BANDS_DUCK_CTES},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket_key = b.bucket_key AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(DISTINCT a.band) >= 2
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(node, root) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (
+  SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM comp
+""",
+)
+def e9c_verified_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 with the VERIFY-BEFORE-CLOSURE rule applied — the production
+    shape of cluster dedup. Edges are candidate pairs that share ≥2 LSH
+    bands (``n_shared_bands`` is a free byproduct of the pair groupBy),
+    which kills chance single-band collisions before transitive closure
+    can amplify them. Motivated by measurement, not theory: at the
+    sf10 boilerplate stress, raw-candidate closure chained 453,809 docs
+    (89% of the corpus) into ONE component, while this ≥2-band rule
+    recovered the exact planted family structure (5,002 clusters,
+    max 396, full coverage) — SCALE.md "Cluster resolution at sf10".
+    Same output contract as e9: (doc_id, cluster_id, cluster_size,
+    is_canonical), cluster id = min doc_id of the component."""
+    corpus = _corpus_with_mutants_spark(spark, sf_dir)
+    bands = minhash_band_keys(corpus)
+    edges = (
+        lsh_candidate_pairs(bands)
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("band").alias("n_shared_bands"))
+        .filter(F.col("n_shared_bands") >= 2)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    comp = connected_components(edges)
+    sizes = comp.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
+    )

@@ -59,6 +59,7 @@ _FRONT: list[str] = [
     # bucket cap after the sf10 curve): check these first.
     "e2g_minhash_lsh_production",
     "e2m_char_lsh_production",
+    "e9c_verified_clusters",
     "f7c_wordpiece",
     "o7_seeded_shuffle",
     "i1_power_iteration",
@@ -106,9 +107,9 @@ _FRONT: list[str] = [
     "dq2_order_reconciliation",
     "dq3_distribution_drift",
     "rrf1_hybrid_retrieval",
-    "o11_weighted_sample",
-    # (o12_consistent_sample / e29_random_projection rotated out to keep
-    # the window at 50 after e2g/e2m re-entered — front them in r7.)
+    # (o11_weighted_sample / o12_consistent_sample / e29_random_projection
+    # rotated out to keep the window at 50 after e2g/e2m/e9c entered —
+    # front them in r7.)
 ]
 
 
