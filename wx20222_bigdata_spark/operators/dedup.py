@@ -370,10 +370,12 @@ def lsh_candidate_pairs(
 
     Default ``None`` keeps every bucket — the oracle-checked tiers
     (DuckDB mirrors an uncapped join) and the sf* fixtures use that.
-    Production guidance (SCALE.md): cap at ~50–500; recall loss is
-    bounded because a true near-dup pair inside a pruned bucket still
-    collides in its other ``N_BANDS − 1`` bands unless those buckets are
-    degenerate too."""
+    The production tiers (e2g/e2m) pass ``PROD_MAX_BUCKET_SIZE`` (500,
+    sized above the measured p99.9 bucket of the sf10 boilerplate
+    stress — SCALE.md "LSH at sf10"); recall loss is bounded because a
+    true near-dup pair inside a pruned bucket still collides in its
+    other ``N_BANDS − 1`` bands unless those buckets are degenerate
+    too."""
     if max_bucket_size is not None:
         from pyspark.sql import Window
 
