@@ -140,11 +140,13 @@ def test_grouped_path_equals_join_path(spark):
 
 def test_grouped_path_plan_has_no_join(spark):
     """The grouped path's physical plan must contain NO join operator —
-    the pairs come from the grouped bucket array — and exactly one
-    aggregate exchange pair for the bucket groupBy."""
+    the pairs come from the grouped bucket array — and add exactly ONE
+    hash-partitioning exchange (the bucket groupBy's) on top of whatever
+    the band-keys input itself shuffles."""
     from wx20222_bigdata_spark.operators.dedup import lsh_candidate_pairs_grouped
 
     bands = minhash_band_keys(_boilerplate_corpus(spark))
+    bands_plan = bands._jdf.queryExecution().executedPlan().toString()
     plan = (
         lsh_candidate_pairs_grouped(bands, max_bucket_size=5)
         ._jdf.queryExecution()
@@ -154,6 +156,12 @@ def test_grouped_path_plan_has_no_join(spark):
     for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
                "CartesianProduct", "BroadcastNestedLoopJoin", "Window"):
         assert op not in plan, f"unexpected {op} in grouped-path plan"
+    n_bands = bands_plan.count("Exchange hashpartitioning")
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex == n_bands + 1, (
+        f"grouped path should add exactly 1 aggregate exchange over the "
+        f"band-keys input ({n_bands}), saw {n_ex}"
+    )
 
 
 def test_cap_adds_no_extra_exchange(spark):

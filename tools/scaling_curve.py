@@ -134,10 +134,21 @@ def main() -> None:
     print("|" + "-" * 34 + "|---|---|---|---|---|")
     for name in seats:
         r = results[name]
-        s01, s1, s10 = r.get("sf0.1", 0), r.get("sf1", 0), r.get("sf10", 0)
+        s01, s1, s10 = r.get("sf0.1"), r.get("sf1"), r.get("sf10")
+
+        def _cell(v: float | None) -> str:
+            return "n/a" if v is None else f"{v:.3f}"
+
+        def _ratio(lo: float | None, hi: float | None) -> str:
+            # A tier not run (--tiers filter) must read as "not measured",
+            # not as a 0.000 timing and an s/1e-9 growth ratio.
+            if lo is None or hi is None:
+                return "n/a"
+            return f"x{hi / max(lo, 1e-9):.1f}"
+
         print(
-            f"| {name:32s} | {s01:.3f} | {s1:.3f} | {s10:.3f} "
-            f"| x{s1 / max(s01, 1e-9):.1f} | x{s10 / max(s1, 1e-9):.1f} |"
+            f"| {name:32s} | {_cell(s01)} | {_cell(s1)} | {_cell(s10)} "
+            f"| {_ratio(s01, s1)} | {_ratio(s1, s10)} |"
         )
     if out_file:
         json.dump(results, open(out_file, "w"), indent=1, sort_keys=True)

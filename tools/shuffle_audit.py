@@ -71,6 +71,33 @@ def _stage_rows(base: str) -> list[dict]:
     return _api(f"{base}/stages?status=complete&details=false")
 
 
+def _stage_rows_settled(base: str) -> list[dict]:
+    # The AppStatusStore is fed by an async event queue, so a read taken
+    # immediately after a synchronous sink can miss late-flushing stage
+    # updates. Poll until two consecutive reads agree on the completed
+    # stage set and its byte totals (bounded at ~5 s).
+    def _key(rows: list[dict]):
+        return sorted(
+            (
+                st["stageId"],
+                st.get("numCompleteTasks", 0),
+                st.get("inputBytes", 0),
+                st.get("shuffleWriteBytes", 0),
+                st.get("shuffleReadBytes", 0),
+            )
+            for st in rows
+        )
+
+    rows = _stage_rows(base)
+    for _ in range(25):
+        time.sleep(0.2)
+        nxt = _stage_rows(base)
+        if _key(nxt) == _key(rows):
+            return nxt
+        rows = nxt
+    return rows
+
+
 def _metrics_since(base: str, watermark: int) -> dict:
     total = {
         "input_bytes": 0,
@@ -79,7 +106,7 @@ def _metrics_since(base: str, watermark: int) -> dict:
         "tasks": 0,
         "stages": 0,
     }
-    for st in _stage_rows(base):
+    for st in _stage_rows_settled(base):
         if st["stageId"] <= watermark:
             continue
         total["input_bytes"] += st.get("inputBytes", 0)
@@ -133,7 +160,7 @@ def main() -> None:
         # watermark BEFORE building the DataFrame: some queries run eager
         # actions at build time (o7's range-partition offset pass, e35's
         # signature materialization) — that work belongs to the query.
-        stages_before = _stage_rows(base)
+        stages_before = _stage_rows_settled(base)
         watermark = max((s["stageId"] for s in stages_before), default=-1)
         t0 = time.perf_counter()
         df = queries[name](spark, sf_dir)

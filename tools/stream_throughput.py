@@ -105,8 +105,19 @@ def main() -> None:
             )
             q.awaitTermination()
             wall = time.perf_counter() - t0
-            # micro-batch count from the checkpoint's offset log
-            n_batches = len(list(Path(ckpt, "offsets").glob("[0-9]*")))
+            # micro-batch count from query progress, counting only batches
+            # that moved rows — the offsets-dir glob also counts
+            # availableNow's trailing no-data commit batch on some Spark
+            # versions, inflating the recorded number.
+            n_batches = sum(
+                1
+                for p in (q.recentProgress or [])
+                if (p.get("numInputRows") or 0) > 0
+            )
+            if n_batches == 0:
+                # recentProgress is ring-buffered; fall back to the offset
+                # log if the buffer was evicted (very large --files runs).
+                n_batches = len(list(Path(ckpt, "offsets").glob("[0-9]*")))
             key = f"{name}.{variant}"
             results[key] = {
                 "rows": n_rows,

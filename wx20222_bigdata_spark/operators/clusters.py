@@ -32,10 +32,11 @@ it); requiring ≥2 shared bands — the `n_shared_bands` column the e2*
 pair tiers already emit for free — recovers the exact planted structure
 (5,002 clusters, max 396, full coverage); ≥3 over-prunes (−7k docs).
 Use band-count ≥2 as the zero-cost filter, signature-estimated or exact
-Jaccard when the threshold needs calibrating. The declared queries
-below keep the raw-candidate shape (the oracle mirrors it; fixture-
-scale graphs have no chance collisions) — see SCALE.md "Cluster
-resolution at sf10".
+Jaccard when the threshold needs calibrating. Of the declared queries
+below, e9/e9b/e28 keep the raw-candidate shape (the oracle mirrors it;
+fixture-scale graphs have no chance collisions) while e9c is the
+verified production shape — it applies the ≥2-shared-band edge filter
+before closure — see SCALE.md "Cluster resolution at sf10".
 """
 
 from __future__ import annotations

@@ -236,27 +236,36 @@ def e5d_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = N_SAMPLE_FRAMES
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        # Vectorized kernel: payloads are fixed-width (16-byte md5), so a
+        # whole Arrow batch flattens to one (rows, 16) uint8 matrix; the
+        # stride indices and byte gathers are then single numpy ops —
+        # no per-row Python loop, no list appends.
+        hex2 = np.array([f"{i:02x}" for i in range(256)])
+        j = np.arange(k, dtype=np.int64)
         for pdf in batches:
-            out = {
-                "doc_id": [],
-                "n_frames": [],
-                "frame_idx": [],
-                "byte_off": [],
-                "frame_hex": [],
-            }
-            for doc_id, payload, n in zip(
-                pdf["doc_id"], pdf["payload"], pdf["n_frames"]
-            ):
-                b = bytes(payload)
-                for j in range(k):
-                    idx = j * (int(n) - 1) // (k - 1)
-                    off = idx * 2
-                    out["doc_id"].append(doc_id)
-                    out["n_frames"].append(int(n))
-                    out["frame_idx"].append(idx)
-                    out["byte_off"].append(off)
-                    out["frame_hex"].append(b[off : off + 2].hex())
-            yield pd.DataFrame(out)
+            m = len(pdf)
+            if m == 0:
+                continue
+            payload = np.frombuffer(
+                b"".join(bytes(p) for p in pdf["payload"]), dtype=np.uint8
+            ).reshape(m, -1)
+            n = pdf["n_frames"].to_numpy(np.int64)
+            idx = (j[None, :] * (n[:, None] - 1)) // (k - 1)  # (m, k)
+            off = idx * 2
+            b0 = np.take_along_axis(payload, off, axis=1)
+            b1 = np.take_along_axis(payload, off + 1, axis=1)
+            frame_hex = np.char.add(hex2[b0], hex2[b1])
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(np.int64), k),
+                    "n_frames": np.repeat(n, k).astype(np.int32),
+                    "frame_idx": idx.ravel().astype(np.int32),
+                    "byte_off": off.ravel().astype(np.int32),
+                    "frame_hex": frame_hex.ravel(),
+                }
+            )
 
     return clips.mapInPandas(
         kernel,
