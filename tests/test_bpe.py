@@ -17,8 +17,13 @@ import duckdb
 
 from tests.conftest import SF_ORACLE
 from wx20222_bigdata_spark.operators.tokenize import (
+    BPE_CHAR_CHUNK,
+    BPE_MERGES,
+    BPE_MERGES_CHAR,
     N_MERGES,
     apply_bpe,
+    bpe_train_apply,
+    corpus_word_freq,
     e27_bpe_apply,
     train_bpe,
 )
@@ -83,6 +88,41 @@ def test_bpe_training_parity():
     assert train_bpe(wf, N_MERGES) == _independent_train(wf, N_MERGES)
 
 
+def test_pinned_merge_tables_fresh(spark):
+    """Pin freshness: retraining on the sf0.01 fixture with the committed
+    procedure must reproduce the committed BPE_MERGES / BPE_MERGES_CHAR
+    literals exactly — the oracle is only honest while this holds."""
+    from wx20222_bigdata_spark.catalog import load_table
+    from wx20222_bigdata_spark.operators.tokenize import BPE_VOCAB_CAP
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    for whitespace, pinned in ((True, BPE_MERGES), (False, BPE_MERGES_CHAR)):
+        wf_rows = (
+            corpus_word_freq(docs, whitespace=whitespace)
+            .orderBy("freq", ascending=False)
+            .limit(BPE_VOCAB_CAP)
+            .collect()
+        )
+        wf = {r["w"]: r["freq"] for r in wf_rows}
+        assert train_bpe(wf, N_MERGES) == pinned, f"whitespace={whitespace}"
+
+
+def test_e27_seat_equals_prod_tier_at_pin_corpus(spark):
+    """The declared e27 seat (pinned table) and the prod tier (in-query
+    training) must agree on the corpus the pin was trained on."""
+    docs_wf = corpus_word_freq(
+        __import__(
+            "wx20222_bigdata_spark.catalog", fromlist=["load_table"]
+        ).load_table(spark, SF_ORACLE, "documents"),
+        whitespace=True,
+    )
+    prod = {r["w"]: r for r in bpe_train_apply(spark, docs_wf).collect()}
+    seat = {r["w"]: r for r in e27_bpe_apply(spark, SF_ORACLE).collect()}
+    assert set(prod) == set(seat)
+    for w in prod:
+        assert prod[w]["pieces_str"] == seat[w]["pieces_str"], w
+
+
 def test_bpe_apply_laws(spark):
     wf = _word_freq()
     merges = train_bpe(wf, N_MERGES)
@@ -130,7 +170,12 @@ def test_bpe_vocab_cap_bounds_driver_collect(spark, tmp_path, monkeypatch):
     ).to_parquet(tmp_path / "documents.parquet")
     monkeypatch.setattr(tk, "BPE_VOCAB_CAP", 60)
 
-    out = {r["w"]: r for r in tk.e27_bpe_apply(spark, str(tmp_path)).collect()}
+    from wx20222_bigdata_spark.catalog import load_table
+
+    wf_df = tk.corpus_word_freq(
+        load_table(spark, str(tmp_path), "documents"), whitespace=True
+    )
+    out = {r["w"]: r for r in tk.bpe_train_apply(spark, wf_df).collect()}
     # apply stage is distributed: ALL distinct words come back, not top-K
     assert len(out) == 10 + 5000
     # merges must equal training on the exact top-60-by-(freq desc, w asc)

