@@ -138,6 +138,33 @@ def test_grouped_path_equals_join_path(spark):
             assert all(a < b for (a, b, _) in grouped_rows)
 
 
+def test_semijoin_cap_mode_equals_window_mode(spark):
+    """cap_mode='semijoin' (map-side-combinable count → broadcast
+    anti-join of the over-cap blacklist) must emit exactly the window
+    mode's rows — on the degenerate boilerplate corpus and on real
+    fixture data — and its plan must broadcast the blacklist (no full
+    shuffle of the band rows for the cap)."""
+    for corpus, cap in [
+        (_boilerplate_corpus(spark), 5),
+        (_corpus_with_mutants_spark(spark, SF), 500),
+    ]:
+        bands = minhash_band_keys(corpus)
+        win_rows = {
+            tuple(r)
+            for r in lsh_candidate_pairs(bands, max_bucket_size=cap)
+            .select("id_a", "id_b", "band")
+            .collect()
+        }
+        semi = lsh_candidate_pairs(bands, max_bucket_size=cap, cap_mode="semijoin")
+        semi_rows = {
+            tuple(r) for r in semi.select("id_a", "id_b", "band").collect()
+        }
+        assert semi_rows == win_rows
+    plan = semi._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1  # the anti-join
+
+
 def test_grouped_path_plan_has_no_join(spark):
     """The grouped path's physical plan must contain NO join operator —
     the pairs come from the grouped bucket array — and add exactly ONE

@@ -88,6 +88,28 @@ LIMIT 10
 """
 
 
+#: Q9 in naive spec order — the join-heaviest shape in the registry
+#: (lineitem x orders fact-fact join plus three dims). The FROM order
+#: deliberately joins supplier/nation BEFORE the selective part LIKE
+#: filter, so a left-to-right plan carries unfiltered rows through two
+#: extra joins; a stats-driven reorder (or the hand-ordered engine query)
+#: applies the part prune first.
+NAIVE_Q9 = """
+SELECT sn.n_name AS supp_nation,
+       CAST(year(o.o_orderdate) AS INT) AS order_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                - CAST(l.l_quantity AS DECIMAL(18,2))
+                  * CAST(p.p_retailprice * 0.6 AS DECIMAL(18,2))) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%e%'
+GROUP BY sn.n_name, year(o.o_orderdate)
+"""
+
+
 def _join_order(plan: str) -> list[str]:
     """Leaf relation order as the executed plan scans them. Catalog scans
     carry the table name; path scans are identified by their column
@@ -180,6 +202,35 @@ def main() -> None:
             "join_order": _join_order(plan),
         }
     assert q3_checks["q3_naive_no_cbo"] == q3_checks["q3_naive_cbo"]
+    # Q9 (r6 verdict item 6): the join-heaviest registry shape — does the
+    # stats-driven reorder reproduce the hand-written order (part prune
+    # before the wide joins, dims broadcast)?
+    from wx20222_bigdata_spark.operators.relational import q9_product_profit
+
+    q9_checks = {}
+    for label, fn in [
+        ("q9_naive_no_cbo", lambda: spark.sql(NAIVE_Q9)),
+        ("q9_naive_cbo", lambda: spark.sql(NAIVE_Q9)),
+        ("q9_hand_no_cbo", lambda: q9_product_profit(spark, sf_dir)),
+        ("q9_hand_cbo", lambda: q9_product_profit(spark, sf_dir)),
+    ]:
+        set_cbo(label.endswith("_cbo"))
+        df = fn()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        times = [_noop_time(fn()) for _ in range(5)]
+        q9_checks[label] = sorted(
+            (r["supp_nation"], r["order_year"], round(r["profit"], 2))
+            for r in df.collect()
+        )
+        results[label] = {
+            "median_sec": round(statistics.median(times), 3),
+            "join_order": _join_order(plan),
+            "n_broadcast_joins": plan.count("BroadcastHashJoin"),
+            "n_shuffle_joins": plan.count("SortMergeJoin")
+            + plan.count("ShuffledHashJoin"),
+        }
+    q9_vals = list(q9_checks.values())
+    assert all(v == q9_vals[0] for v in q9_vals), "a q9 variant changed the result!"
     for label, cbo in [("hand_no_cbo", False), ("hand_cbo", True)]:
         set_cbo(cbo)
         df = q5_local_supplier_volume(spark, sf_dir)

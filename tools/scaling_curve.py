@@ -58,6 +58,18 @@ SEATS = [
     "x4_map_in_pandas_scoring",
     "f7c_wordpiece",
     "e7_curation_pipeline",
+    # r7 additions (r6 verdict items 5+6): the iterative/graph seats —
+    # where lineage blowup and per-iteration plan growth bite at scale —
+    # and the join-heaviest TPC-H shapes missing from the curve; e5d for
+    # the vectorized Arrow-kernel shape.
+    "i1_power_iteration",
+    "i2_pagerank_2iter",
+    "i3_label_propagation",
+    "i4_bfs_levels",
+    "q9_product_profit",
+    "q18_large_volume_customers",
+    "q21_sole_supplier_orders",
+    "e5d_frame_sample",
 ]
 
 TIERS = [

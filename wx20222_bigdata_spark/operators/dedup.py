@@ -346,7 +346,9 @@ def minhash_band_keys(
 
 
 def lsh_candidate_pairs(
-    bands: DataFrame, max_bucket_size: int | None = None
+    bands: DataFrame,
+    max_bucket_size: int | None = None,
+    cap_mode: str = "window",
 ) -> DataFrame:
     """Candidate pairs from band keys: ``(id_a, id_b, band)`` — one row
     per shared (band, bucket) collision with ``id_a < id_b``. The single
@@ -377,14 +379,31 @@ def lsh_candidate_pairs(
     other ``N_BANDS − 1`` bands unless those buckets are degenerate
     too."""
     if max_bucket_size is not None:
-        from pyspark.sql import Window
+        if cap_mode == "semijoin":
+            # Alternative cap plan (r6 verdict item 7 A/B): map-side-
+            # combinable groupBy count -> tiny over-cap blacklist ->
+            # broadcast anti-join. The blacklist is bounded at
+            # n_band_rows / cap rows by construction (and in practice by
+            # the handful of truly degenerate buckets), so the broadcast
+            # is safe; the band rows themselves are never pre-shuffled.
+            over = (
+                bands.groupBy("band", "bucket_key")
+                .agg(F.count("*").alias("_bsz"))
+                .filter(F.col("_bsz") > max_bucket_size)
+                .select("band", "bucket_key")
+            )
+            bands = bands.join(
+                F.broadcast(over), ["band", "bucket_key"], "left_anti"
+            )
+        else:
+            from pyspark.sql import Window
 
-        w = Window.partitionBy("band", "bucket_key")
-        bands = (
-            bands.withColumn("_bsz", F.count("*").over(w))
-            .filter(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
-        )
+            w = Window.partitionBy("band", "bucket_key")
+            bands = (
+                bands.withColumn("_bsz", F.count("*").over(w))
+                .filter(F.col("_bsz") <= max_bucket_size)
+                .drop("_bsz")
+            )
     a = bands.select(
         F.col("doc_id").alias("id_a"),
         F.col("band").alias("band"),
