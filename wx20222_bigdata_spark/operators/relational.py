@@ -1214,7 +1214,15 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     basis derives from part; same join topology as the spec), per
     supplier nation per order year, over name-filtered parts. The cost
     product is decimal×decimal so the profit sum stays exact; the LIKE
-    filter prunes part before the broadcast."""
+    filter prunes part before any join.
+
+    Join hints (r7 scaling-curve audit): nation is broadcast (fixed 25
+    rows at every SF); part is deliberately NOT hinted — it scales with
+    the corpus, and at sf10 a forced broadcast of the 1.37M filtered
+    part rows measured 23.7–27.4 s vs 8.9 s letting AQE decide (AQE
+    broadcasts part at fixture SFs and switches the part join to
+    sort-merge once it outgrows the threshold — exactly the 100 TB
+    behavior; a hardcoded hint would OOM the build side there)."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%e%"))
@@ -1228,7 +1236,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * (F.col("p_retailprice") * 0.6).cast("decimal(18,2)")
     return (
         l.join(o, o.o_orderkey == l.l_orderkey)
-        .join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .join(p, p.p_partkey == l.l_partkey)
         .join(s, s.s_suppkey == l.l_suppkey)
         .join(F.broadcast(sn), F.col("sn_key") == s.s_nationkey)
         .groupBy(
