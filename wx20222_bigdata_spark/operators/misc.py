@@ -44,27 +44,78 @@ def a12_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("f13_mlm_corruption")
+MLM_EPOCH_SALT = "mlm42:"  #: a new salt = a fresh corruption mask per epoch
+
+#: 60-bit integer thresholds for the 80/10/10 split of the 15% selection
+#: (draw = md5-prefix hash of (salt, doc_id, pos), uniform on [0, 2^60)).
+_MLM_M = 1 << 60
+_MLM_T_MASK = int(0.15 * 0.8 * _MLM_M)
+_MLM_T_RANDOM = int(0.15 * 0.9 * _MLM_M)
+_MLM_T_SELECT = int(0.15 * _MLM_M)
+
+
+def _f13_oracle() -> str:
+    from wx20222_bigdata_spark.functions.hashing import duck_md5_hash
+
+    h = duck_md5_hash(
+        f"concat('{MLM_EPOCH_SALT}', CAST(doc_id AS VARCHAR), ':',"
+        " CAST(pos AS VARCHAR))"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, i - 1 AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i)
+),
+decided AS (
+  SELECT doc_id,
+         CASE WHEN {h} >= {_MLM_T_SELECT} THEN 'keep'
+              WHEN {h} < {_MLM_T_MASK} THEN 'mask'
+              WHEN {h} < {_MLM_T_RANDOM} THEN 'random'
+              ELSE 'identity' END AS action
+  FROM toks
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN action = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(SUM(CASE WHEN action = 'mask' THEN 1 ELSE 0 END) AS BIGINT) AS n_mask,
+       CAST(SUM(CASE WHEN action = 'random' THEN 1 ELSE 0 END) AS BIGINT) AS n_random,
+       CAST(SUM(CASE WHEN action = 'identity' THEN 1 ELSE 0 END) AS BIGINT) AS n_identity
+FROM decided GROUP BY doc_id
+"""
+
+
+@query("f13_mlm_corruption", oracle=_f13_oracle())
 def f13_mlm_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F13 seeded MLM 80/10/10 corruption (``pretrained_model.py:28-57``):
-    per token draw r ~ rand(seed); r < 0.15 selects the token, of which
-    80% → [MASK], 10% → random vocab id, 10% → keep. Rows-only (Spark's
-    per-partition RNG is not DuckDB-reproducible); aggregate corruption
-    rates per doc are the output, pinned by tests for stability."""
+    per token draw r ~ uniform; r < 0.15 selects the token, of which
+    80% → [MASK], 10% → random vocab id, 10% → keep.
+
+    Oracle-checked (upgraded r7, the o7/o10/o12 content-hash
+    discipline): the per-token draw is the 60-bit md5-prefix hash of
+    (epoch salt, doc_id, pos) compared against integer thresholds —
+    uniform like ``rand(seed)`` but reproducible across engines,
+    repartitionings, and reruns (the property a debuggable training
+    pipeline wants from its corruption mask; a fresh mask per epoch is a
+    new salt, exactly o7's epoch-shuffle contract). The old
+    ``F.rand(42)`` form was rows-only because Spark's partition-seeded
+    RNG streams have no DuckDB twin."""
+    from wx20222_bigdata_spark.functions.hashing import spark_md5_hash
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
-    # rand() is nondeterministic per *evaluation*: referencing the same
-    # F.rand Column from several when-branches draws from desynchronized
-    # RNG streams (not CSE'd) and breaks the 80/10/10 split. Materialize
-    # one draw per token first.
-    drawn = toks.withColumn("r", F.rand(42))
-    decided = drawn.select(
+    h = F.expr(
+        spark_md5_hash(
+            f"concat('{MLM_EPOCH_SALT}', CAST(doc_id AS STRING), ':',"
+            " CAST(pos AS STRING))"
+        )
+    )
+    decided = toks.select(
         "doc_id",
-        F.when(F.col("r") >= 0.15, "keep")
-        .when(F.col("r") < 0.15 * 0.8, "mask")
-        .when(F.col("r") < 0.15 * 0.9, "random")
+        F.when(h >= _MLM_T_SELECT, "keep")
+        .when(h < _MLM_T_MASK, "mask")
+        .when(h < _MLM_T_RANDOM, "random")
         .otherwise("identity")
         .alias("action"),
     )

@@ -113,15 +113,47 @@ def o5_stratified_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("o2_sample_restore_order")
+O2_SAMPLE_SALT = "o2sample:"  #: a new salt = a fresh sample
+
+
+@query(
+    "o2_sample_restore_order",
+    oracle=f"""
+WITH keyed AS (
+  SELECT vec_id, label,
+         md5(concat('{O2_SAMPLE_SALT}', CAST(vec_id AS VARCHAR))) AS k
+  FROM embeddings
+)
+SELECT vec_id, label
+FROM (SELECT vec_id, label,
+             ROW_NUMBER() OVER (ORDER BY k, vec_id) AS draw
+      FROM keyed)
+WHERE draw <= 50
+""",
+)
 def o2_sample_restore_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 random-sample-then-restore-order (``data_helper.py:173-178``:
-    shuffle → take k → sorted): rank by seeded random key, keep top 50,
-    re-sort by the original id. Rows-only (seeded)."""
+    shuffle → take k → sorted): rank by a pseudo-random key, keep top 50,
+    re-sort by the original id.
+
+    Oracle-checked (upgraded r7): the sample key is the salted md5 of the
+    row id — the o7/o10/o12 content-hash discipline — instead of
+    ``rand(seed)``, so membership is reproducible across engines and
+    repartitionings and a new salt draws a fresh sample. The rank-limit
+    collapses to TakeOrderedAndProject (top-50 by key, no global sort —
+    plan verified in r5), so the selection is a driver-bounded top-k at
+    any corpus size."""
     emb = load_table(spark, sf_dir, "embeddings")
-    w = Window.orderBy(F.rand(HOLDOUT_SEED), "vec_id")
+    keyed = emb.select(
+        "vec_id",
+        "label",
+        F.md5(
+            F.concat(F.lit(O2_SAMPLE_SALT), F.col("vec_id").cast("string"))
+        ).alias("_k"),
+    )
+    w = Window.orderBy("_k", "vec_id")
     return (
-        emb.select("vec_id", "label", F.row_number().over(w).alias("draw"))
+        keyed.select("vec_id", "label", F.row_number().over(w).alias("draw"))
         .filter(F.col("draw") <= 50)
         .orderBy("vec_id")
         .select("vec_id", "label")

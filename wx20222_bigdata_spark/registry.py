@@ -62,7 +62,10 @@ _FRONT: list[str] = [
     "e27_bpe_apply",
     "e27b_bpe_nospacing",
     "e3c_ivf_probe_ann",
+    "f13_mlm_corruption",
+    "o2_sample_restore_order",
     "e5d_frame_sample",
+    "q9_product_profit",
     # --- r02-stale cohort, rewritten-since-check first ---
     "w10_rank_surface",
     "m5_changefeed_apply",
@@ -110,9 +113,6 @@ _FRONT: list[str] = [
     "a13_percentiles",
     "a13b_approx_percentiles",
     "a14_moments",
-    "a10_swa_snapshot_avg",
-    "m1_upsert_merge",
-    "m2_scd2_history",
 ]
 
 
