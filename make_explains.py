@@ -24,6 +24,7 @@ SHOWN = [
     ("e10_decontamination", "eval n-gram set broadcast — train corpus scanned once, no corpus shuffle"),
     ("e13_bm25_retrieval", "term stats broadcast; final top-k is TakeOrderedAndProject"),
     ("q6_forecast_revenue", "every predicate pushed into the lineitem scan (PushedFilters)"),
+    ("q9_product_profit", "fact-fact join + three dims: fixed-size nation hinted broadcast, SF-scaled part left to AQE (r7 — the forced part broadcast lost 2.7x at sf10)"),
     ("t7_cohort_retention", "integer-bucket cohort matrix: two keyed aggregates, co-partitioned join"),
     ("e18_cdc_chunking", "content-defined chunking: zero-Exchange narrow HOF plan"),
     ("e20_chunk_dedup", "chunk-hash dedup: narrow chunker into one map-side-combinable groupBy"),
@@ -110,7 +111,27 @@ selectivity suffices for date filters); (2) engine sessions keep CBO off
 by default: the testdata path reads bare parquet (no catalog stats), and
 a stats-less CBO is a no-op — production catalogs with maintained stats
 should enable `spark.sql.cbo.enabled` + `joinReorder.enabled`, and the
-plan suite asserts our hand-shaped plans survive that flip."""
+plan suite asserts our hand-shaped plans survive that flip.
+
+Q9 added round 7 (the join-heaviest registry shape — lineitem⋈orders
+fact-fact plus three dims, naive FROM order joining supplier/nation
+BEFORE the selective part LIKE prune):
+
+| variant | join order chosen | median |
+|---|---|---|
+| q9 naive, no CBO | supplier→nation→lineitem→orders→part (= FROM order) | 1.52 s |
+| q9 naive, CBO+stats | unchanged at sf0.1 | 1.49 s |
+| q9 hand (engine), no CBO | **lineitem→orders→part**→supplier→nation | 1.17 s |
+| q9 hand, CBO | unchanged (regression guard) | 1.19 s |
+
+All four identical results, all-broadcast at sf0.1 (every dim fits), yet
+the hand order is ~20% faster even here: applying the part prune before
+the supplier/nation joins shrinks the probe stream two joins earlier.
+CBO declines to reorder q9 at sf0.1 because the all-broadcast costs tie —
+the reorder margin appears at the SF where the part join outgrows the
+broadcast threshold (see SCALE.md "q9 broadcast(part) hint": at sf10 AQE
+runs that join as sort-merge, and join order decides how many rows reach
+it). The hand order stays, and the part hint was removed the same round."""
 
 
 def main() -> None:

@@ -29,7 +29,14 @@ Expected shapes (all bounded, for different reasons):
   (one row per user) — flat once every user has appeared; bounded by
   design of the key domain, not by eviction.
 
-Usage: python tools/state_store_audit.py [--events N] [--files K] [--out FILE]
+``--provider rocksdb`` switches the state store to the RocksDB provider —
+the store a real 100 TB deployment runs, because HDFS-backed in-memory
+state is bounded by executor heap while RocksDB spills to local disk and
+snapshots incrementally. The audit verifies the SAME boundedness contract
+holds (and records the throughput delta vs the default provider).
+
+Usage: python tools/state_store_audit.py [--events N] [--files K]
+       [--provider hdfs|rocksdb] [--out FILE]
 """
 
 from __future__ import annotations
@@ -59,18 +66,27 @@ def main() -> None:
         n_files = int(argv[argv.index("--files") + 1])
     if "--out" in argv:
         out_file = argv[argv.index("--out") + 1]
+    provider = "hdfs"
+    if "--provider" in argv:
+        provider = argv[argv.index("--provider") + 1]
 
     from pyspark.sql import functions as F
 
     from wx20222_bigdata_spark.session import get_spark
     from wx20222_bigdata_spark.streaming import jobs
 
+    extra = {"spark.ui.showConsoleProgress": "false"}
+    if provider == "rocksdb":
+        extra["spark.sql.streaming.stateStore.providerClass"] = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(
         app_name="state_store_audit",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -109,7 +125,7 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     for name, (make, mode) in cases.items():
-        ckpt = f"{WORK}/ckpt_{name}"
+        ckpt = f"{WORK}/ckpt_{provider}_{name}"
         shutil.rmtree(ckpt, ignore_errors=True)
         stream = (
             spark.readStream.schema(jobs.EVENTS_STREAM_SCHEMA)
