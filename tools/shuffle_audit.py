@@ -41,6 +41,8 @@ SEATS = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q18_large_volume_customers",
+    "q9_product_profit",
+    "e5d_frame_sample",
     "e1_exact_dedup",
     "e2b_minhash_lsh_pairs",
     "e2g_minhash_lsh_production",
