@@ -106,6 +106,10 @@ HEADLINE = [
     "e2k_salted_lsh_pairs",       # grid-salted LSH pair join (skew tier)
     "e2m_char_lsh_production",    # production-hash CJK LSH (real CJK dedup cost)
     "e35_hyperplane_semdedup",    # centroid-free embedding near-dup
+    # round-7 additions (oracle-upgraded seats now perf-gated too)
+    "e27_bpe_apply",              # pinned-merge-table BPE encode
+    "f13_mlm_corruption",         # salted-hash MLM 80/10/10 corruption
+    "e9c_verified_clusters",      # >=2-band verified connected components
 ]
 
 
