@@ -192,3 +192,43 @@ def test_bpe_vocab_cap_bounds_driver_collect(spark, tmp_path, monkeypatch):
     # hot words compress under the capped trainer; junk words must not
     # have influenced the merge table (their pairs are all cold)
     assert all(out[w]["n_pieces"] < len(w) for w in hot)
+
+
+# ---------------------------------------------------------------------------
+# Property-based laws for the pinned-table encode path (round 7): for ANY
+# word and ANY merge table, apply_bpe (the spec used by the e27 seats' Spark
+# kernel and mirrored by the recursive-CTE oracle) must reconstruct, derive
+# every multi-char piece from the table, and agree with the independent
+# recursive encoder.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_alpha = st.text(alphabet="abcd", min_size=0, max_size=12)
+
+
+@st.composite
+def _merge_tables(draw):
+    n = draw(st.integers(min_value=0, max_value=8))
+    merges, symbols = [], ["a", "b", "c", "d"]
+    for _ in range(n):
+        a = draw(st.sampled_from(symbols))
+        b = draw(st.sampled_from(symbols))
+        if (a, b) not in merges:
+            merges.append((a, b))
+            symbols.append(a + b)
+    return merges
+
+
+@given(word=_alpha, merges=_merge_tables())
+@settings(max_examples=200, deadline=None)
+def test_bpe_apply_properties(word, merges):
+    ranks = {p: i for i, p in enumerate(merges)}
+    pieces = apply_bpe(word, ranks)
+    assert "".join(pieces) == word
+    products = {a + b for a, b in merges}
+    assert all(len(p) == 1 or p in products for p in pieces)
+    assert pieces == _independent_apply(word, merges)
+    # fixpoint: no adjacent pair of the result is still mergeable
+    assert all((x, y) not in ranks for x, y in zip(pieces, pieces[1:]))
