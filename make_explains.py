@@ -115,23 +115,28 @@ plan suite asserts our hand-shaped plans survive that flip.
 
 Q9 added round 7 (the join-heaviest registry shape — lineitem⋈orders
 fact-fact plus three dims, naive FROM order joining supplier/nation
-BEFORE the selective part LIKE prune):
+BEFORE the selective part LIKE prune). Numbers below are from the FIXED
+harness — the first r7 recording ran every q9 variant with CBO on
+(`label.endswith("_cbo")` is true for "..._no_cbo" too; caught in the
+round's self-review and re-measured with explicit booleans):
 
-| variant | join order chosen | median |
+| variant | join order (plan leaf-scan order) | median |
 |---|---|---|
-| q9 naive, no CBO | supplier→nation→lineitem→orders→part (= FROM order) | 1.52 s |
-| q9 naive, CBO+stats | unchanged at sf0.1 | 1.49 s |
-| q9 hand (engine), no CBO | **lineitem→orders→part**→supplier→nation | 1.17 s |
-| q9 hand, CBO | unchanged (regression guard) | 1.19 s |
+| q9 naive, no CBO | lineitem→orders→supplier→nation→part (= FROM order; part prune LAST) | 1.26 s |
+| q9 naive, CBO+stats | **reordered**: supplier→nation→lineitem→orders→part | 1.25 s |
+| q9 hand (engine), no CBO | **lineitem→orders→part**→supplier→nation | 1.21 s |
+| q9 hand, CBO | unchanged (regression guard) | 1.14 s |
 
-All four identical results, all-broadcast at sf0.1 (every dim fits), yet
-the hand order is ~20% faster even here: applying the part prune before
-the supplier/nation joins shrinks the probe stream two joins earlier.
-CBO declines to reorder q9 at sf0.1 because the all-broadcast costs tie —
-the reorder margin appears at the SF where the part join outgrows the
-broadcast threshold (see SCALE.md "q9 broadcast(part) hint": at sf10 AQE
-runs that join as sort-merge, and join order decides how many rows reach
-it). The hand order stays, and the part hint was removed the same round."""
+All four identical results. Unlike the earlier (buggy) recording
+claimed, CBO+stats DOES rebuild q9's join tree from the naive SQL —
+the evidence dimension this harness exists for — though at sf0.1 the
+wall-clocks tie (every dim broadcasts, so join order barely moves the
+probe volume). The hand order keeps the part prune immediately after
+the fact-fact join and stays fastest; the margin between orders appears
+at the SF where the part join outgrows the broadcast threshold (see
+SCALE.md "q9 broadcast(part) hint": at sf10 AQE runs that join as
+sort-merge, and join order decides how many rows reach it). The part
+hint was removed the same round."""
 
 
 def main() -> None:

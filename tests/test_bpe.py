@@ -95,11 +95,16 @@ def test_pinned_merge_tables_fresh(spark):
     from wx20222_bigdata_spark.catalog import load_table
     from wx20222_bigdata_spark.operators.tokenize import BPE_VOCAB_CAP
 
+    from pyspark.sql import functions as F
+
     docs = load_table(spark, SF_ORACLE, "documents")
     for whitespace, pinned in ((True, BPE_MERGES), (False, BPE_MERGES_CHAR)):
+        # the committed procedure's exact selection: (freq desc, w asc)
+        # tie-break before the cap — freq alone would pick arbitrary rows
+        # when ties span the cap boundary
         wf_rows = (
             corpus_word_freq(docs, whitespace=whitespace)
-            .orderBy("freq", ascending=False)
+            .orderBy(F.desc("freq"), F.asc("w"))
             .limit(BPE_VOCAB_CAP)
             .collect()
         )
@@ -110,11 +115,10 @@ def test_pinned_merge_tables_fresh(spark):
 def test_e27_seat_equals_prod_tier_at_pin_corpus(spark):
     """The declared e27 seat (pinned table) and the prod tier (in-query
     training) must agree on the corpus the pin was trained on."""
+    from wx20222_bigdata_spark.catalog import load_table
+
     docs_wf = corpus_word_freq(
-        __import__(
-            "wx20222_bigdata_spark.catalog", fromlist=["load_table"]
-        ).load_table(spark, SF_ORACLE, "documents"),
-        whitespace=True,
+        load_table(spark, SF_ORACLE, "documents"), whitespace=True
     )
     prod = {r["w"]: r for r in bpe_train_apply(spark, docs_wf).collect()}
     seat = {r["w"]: r for r in e27_bpe_apply(spark, SF_ORACLE).collect()}

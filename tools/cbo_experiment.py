@@ -208,13 +208,15 @@ def main() -> None:
     from wx20222_bigdata_spark.operators.relational import q9_product_profit
 
     q9_checks = {}
-    for label, fn in [
-        ("q9_naive_no_cbo", lambda: spark.sql(NAIVE_Q9)),
-        ("q9_naive_cbo", lambda: spark.sql(NAIVE_Q9)),
-        ("q9_hand_no_cbo", lambda: q9_product_profit(spark, sf_dir)),
-        ("q9_hand_cbo", lambda: q9_product_profit(spark, sf_dir)),
+    for label, cbo, fn in [
+        # explicit booleans: "..._no_cbo".endswith("_cbo") is True, so a
+        # suffix test would silently run every variant with CBO on
+        ("q9_naive_no_cbo", False, lambda: spark.sql(NAIVE_Q9)),
+        ("q9_naive_cbo", True, lambda: spark.sql(NAIVE_Q9)),
+        ("q9_hand_no_cbo", False, lambda: q9_product_profit(spark, sf_dir)),
+        ("q9_hand_cbo", True, lambda: q9_product_profit(spark, sf_dir)),
     ]:
-        set_cbo(label.endswith("_cbo"))
+        set_cbo(cbo)
         df = fn()
         plan = df._jdf.queryExecution().executedPlan().toString()
         times = [_noop_time(fn()) for _ in range(5)]

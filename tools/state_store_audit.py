@@ -75,7 +75,16 @@ def main() -> None:
     from wx20222_bigdata_spark.session import get_spark
     from wx20222_bigdata_spark.streaming import jobs
 
-    extra = {"spark.ui.showConsoleProgress": "false"}
+    extra = {
+        "spark.ui.showConsoleProgress": "false",
+        # recentProgress is ring-buffered (default 100): with more
+        # micro-batches than that, the per-batch state series would
+        # silently keep only the tail — a linearly growing store could
+        # read as "bounded". Size the buffer to the run.
+        "spark.sql.streaming.numRecentProgressUpdates": str(
+            max(2 * n_files + 10, 200)
+        ),
+    }
     if provider == "rocksdb":
         extra["spark.sql.streaming.stateStore.providerClass"] = (
             "org.apache.spark.sql.execution.streaming.state."
@@ -93,6 +102,7 @@ def main() -> None:
     src = f"{WORK}/events_in"
     shutil.rmtree(src, ignore_errors=True)
     chunk = n_events // n_files
+    n_events = chunk * n_files  # actual rows written (integer division)
     for i in range(n_files):
         # sequential single-file writes -> ascending mod-times -> the
         # file source replays them in time order, one per micro-batch

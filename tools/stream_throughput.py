@@ -58,7 +58,15 @@ def main() -> None:
         app_name="stream_throughput",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # recentProgress is a ring buffer (default 100): with more
+            # micro-batches than that, the progress-derived batch count
+            # silently truncates. Size the buffer to the run.
+            "spark.sql.streaming.numRecentProgressUpdates": str(
+                max(2 * n_files + 10, 200)
+            ),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -395,7 +395,7 @@ def lsh_candidate_pairs(
             bands = bands.join(
                 F.broadcast(over), ["band", "bucket_key"], "left_anti"
             )
-        else:
+        elif cap_mode == "window":
             from pyspark.sql import Window
 
             w = Window.partitionBy("band", "bucket_key")
@@ -404,6 +404,8 @@ def lsh_candidate_pairs(
                 .filter(F.col("_bsz") <= max_bucket_size)
                 .drop("_bsz")
             )
+        else:
+            raise ValueError(f"unknown cap_mode {cap_mode!r}")
     a = bands.select(
         F.col("doc_id").alias("id_a"),
         F.col("band").alias("band"),
