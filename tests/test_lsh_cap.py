@@ -160,9 +160,11 @@ def test_semijoin_cap_mode_equals_window_mode(spark):
             tuple(r) for r in semi.select("id_a", "id_b", "band").collect()
         }
         assert semi_rows == win_rows
-    plan = semi._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan
-    assert plan.count("BroadcastHashJoin") >= 1  # the anti-join
+        # plan-verify BOTH cap configurations (ADVICE r7: these asserts
+        # previously sat outside the loop, checking only the last corpus)
+        plan = semi._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert plan.count("BroadcastHashJoin") >= 1  # the anti-join
 
 
 def test_grouped_path_plan_has_no_join(spark):

@@ -10,6 +10,7 @@ from __future__ import annotations
 from tests.conftest import SF_ORACLE
 
 from wx20222_bigdata_spark.plans import (
+    forced_broadcast_sf_scans,
     formatted_plan,
     has_broadcast_join,
     has_take_ordered,
@@ -50,6 +51,39 @@ def test_small_dim_joins_broadcast(spark):
     for name in ["j2_broadcast_dim_join", "p3_dict_encode", "j3_inner_join_revenue"]:
         df = _q(name)(spark, SF_ORACLE)
         assert has_broadcast_join(df), f"{name} lost its broadcast join"
+
+
+def test_no_forced_broadcast_of_sf_scaled_table(spark):
+    """r8 inverse of test_small_dim_joins_broadcast (the q9 rule,
+    NOTES_r7 item 6): no registered query may carry a *hint-forced*
+    broadcast whose build side scans an SF-scaled table (lineitem /
+    orders / part / supplier / customer / documents / embeddings /
+    events) un-aggregated. A forced hint on a corpus-scaled table is an
+    executor OOM at 100 TB — the strategy must be left to AQE, which
+    broadcasts at small SF and falls back to a shuffled hash join at
+    scale. q9 had exactly this bug (F.broadcast(part): 2.7x slower at
+    sf10, measured); r8 swept the same hint out of q2/q11/q14/q15/q16/
+    q17/q19/q20/q21/dq1. Hints stay legal on fixed-cardinality dims
+    (nation/region — not in SF_TABLE_SIGNATURES) and on bounded
+    subtrees (a global aggregate or LIMIT under the hint passes the
+    detector). The allowlist below is for bounds the plan cannot see."""
+    from wx20222_bigdata_spark.registry import all_queries
+
+    # bounded by construction, invisible to the plan: the ANN query
+    # sides are filter(vec_id < N_QUERIES) — a constant <=10-row probe
+    # set carved from embeddings (similarity.py / retrieval.py document
+    # the bound at each site).
+    BOUNDED_BY_CONSTRUCTION = {
+        "e3_cosine_topk",
+        "e3b_lsh_bucket_ann",
+        "rrf1_hybrid_retrieval",
+    }
+    offenders = {}
+    for name, fn in all_queries().items():
+        hits = forced_broadcast_sf_scans(fn(spark, SF_ORACLE))
+        if hits and name not in BOUNDED_BY_CONSTRUCTION:
+            offenders[name] = hits
+    assert not offenders, offenders
 
 
 def test_topk_is_take_ordered(spark):

@@ -381,11 +381,15 @@ def lsh_candidate_pairs(
     if max_bucket_size is not None:
         if cap_mode == "semijoin":
             # Alternative cap plan (r6 verdict item 7 A/B): map-side-
-            # combinable groupBy count -> tiny over-cap blacklist ->
-            # broadcast anti-join. The blacklist is bounded at
-            # n_band_rows / cap rows by construction (and in practice by
-            # the handful of truly degenerate buckets), so the broadcast
-            # is safe; the band rows themselves are never pre-shuffled.
+            # combinable groupBy count -> over-cap blacklist ->
+            # broadcast anti-join. The n_band_rows / cap bound on the
+            # blacklist is corpus-LINEAR in the worst case (ADVICE r7),
+            # so the broadcast is only safe when degenerate buckets are
+            # rare — in practice the blacklist is a handful of rows, but
+            # this mode stays EXPERIMENT-ONLY (measured and rejected for
+            # the production tiers, SCALE.md r7: it loses to the window
+            # pre-count at sf10 on both tiers); the band rows themselves
+            # are never pre-shuffled.
             over = (
                 bands.groupBy("band", "bucket_key")
                 .agg(F.count("*").alias("_bsz"))

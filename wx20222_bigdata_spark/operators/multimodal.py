@@ -14,9 +14,10 @@ column plus a metadata struct, processed by Arrow-batched kernels:
   FOR REAL by ``e5c_decode_features`` via ``operators/frames.py`` (numpy is
   a worker dependency) against a committed fixture dir, value-checked by an
   independent pure-Python spec;
-- image/audio codecs (PIL/ffmpeg) are not in this container — the generic
-  ``decode_features`` kernel keeps the honest ``fake=``/``NotImplementedError``
-  guard for those formats; its Spark-side plumbing is tested.
+- image/audio codecs (PIL/ffmpeg) are not in this container; a codec-backed
+  decode would slot into the same ``mapInPandas`` shape e5c/e5d use (the
+  former fake-decode stub was deleted in r8 — the real npy path superseded
+  it, r7 verdict hygiene note).
 """
 
 from __future__ import annotations
@@ -105,41 +106,6 @@ def e5b_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("emb_sum"),
         )
     )
-
-
-def decode_features(mm: DataFrame, fake: bool = False) -> DataFrame:
-    """E5 decode kernel: binary payload → fixed-length feature vector via
-    ``mapInPandas`` (Arrow-batched). Real decode needs an image codec that
-    is not installed — STUB: ``fake=True`` derives features from the raw
-    bytes deterministically; ``fake=False`` raises NotImplementedError.
-
-    Output schema: (doc_id, n_bytes, feat array<double> len 4)."""
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not fake:
-            raise NotImplementedError(
-                "real image decode requires PIL/ffmpeg (not in container); "
-                "pass fake=True for the deterministic stub"
-            )
-        for pdf in batches:
-            payloads = pdf["payload"]
-            feats = payloads.map(
-                lambda b: [
-                    float(len(b)),
-                    float(b[0]),
-                    float(b[-1]),
-                    float(sum(b) % 997),
-                ]
-            )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "feat": feats,
-                }
-            )
-
-    return mm.mapInPandas(kernel, "doc_id bigint, n_bytes bigint, feat array<double>")
 
 
 #: Committed fixture set for the real decode path (tools/gen_e5c_fixtures.py):
@@ -248,9 +214,19 @@ def e5d_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             m = len(pdf)
             if m == 0:
                 continue
-            payload = np.frombuffer(
+            buf = np.frombuffer(
                 b"".join(bytes(p) for p in pdf["payload"]), dtype=np.uint8
-            ).reshape(m, -1)
+            )
+            # fail fast if a payload is ever not exactly 16 bytes wide —
+            # reshape(m, -1) would silently misalign rows otherwise
+            # (ADVICE r7): it only errors when the TOTAL isn't divisible
+            # by m, not when individual widths vary.
+            if buf.size != m * 16:
+                raise ValueError(
+                    f"expected {m} fixed 16-byte payloads, got {buf.size} "
+                    "total bytes — upstream payload width changed"
+                )
+            payload = buf.reshape(m, 16)
             n = pdf["n_frames"].to_numpy(np.int64)
             idx = (j[None, :] * (n[:, None] - 1)) // (k - 1)  # (m, k)
             off = idx * 2

@@ -58,7 +58,7 @@ def dq1_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass constraint report over ``orders``: uniqueness, null,
     range, domain, and date-bound rules fused into a single scan's
     conditional aggregates (one row per rule via ``stack``), plus the
-    customer FK checked by a broadcast left-anti join. The report shape
+    customer FK checked by an AQE-governed left-anti join. The report shape
     (rule, n_violations, passed) is the contract a promotion gate
     consumes; a failed row carries its violation count for triage.
 
@@ -88,9 +88,13 @@ def dq1_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(zero)
         ).alias("stale_date"),
     )
+    # the customer keyset is SF-scaled (grows with the corpus), so the
+    # FK anti join is AQE-governed rather than hint-forced (q9 rule,
+    # NOTES_r7 item 6): a forced broadcast of every customer key is an
+    # executor OOM at 100 TB.
     orphans = (
         orders.join(
-            F.broadcast(customer.select("c_custkey")),
+            customer.select("c_custkey"),
             orders.o_custkey == F.col("c_custkey"),
             "left_anti",
         ).agg(F.count("*").alias("orphans"))

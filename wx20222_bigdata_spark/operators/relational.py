@@ -405,8 +405,9 @@ WHERE p.p_brand = 'Brand#1'
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q17-shaped correlated-aggregate filter: lines under half the
-    part's average quantity. Decorrelation order matters: the broadcast
-    brand semi-join runs FIRST, so the per-part average is computed only
+    part's average quantity. Decorrelation order matters: the brand
+    semi-join (AQE-governed — the one-brand part slice is SF-scaled)
+    runs FIRST, so the per-part average is computed only
     over the surviving parts' lines (identical value — a part's average
     is over all ITS lines, which the part-key join preserves — but the
     aggregate's input shrinks by the brand selectivity, ~the number of
@@ -420,7 +421,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     be."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
-    li_b = li.join(F.broadcast(p.select("p_partkey")), p.p_partkey == li.l_partkey)
+    # one-brand slice of part is still SF-scaled (~1/N of the corpus's
+    # parts) → AQE-governed, not hint-forced (q9 rule)
+    li_b = li.join(p.select("p_partkey"), p.p_partkey == li.l_partkey)
     w = Window.partitionBy("l_partkey")
     # decimal-exact sum / count, rounded: the filter compares against this
     # value, so it must be bit-identical cross-engine or boundary rows flip.
@@ -787,21 +790,24 @@ WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
 )
 def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q14-shaped promo revenue share: conditional decimal sums over
-    a date-windowed broadcast join with part, emitted as a rounded
-    percentage. Both sums are decimal-exact; only the final ratio is
-    floating, rounded to 6."""
+    a date-windowed part join, emitted as a rounded percentage. Both sums
+    are decimal-exact; only the final ratio is floating, rounded to 6.
+    part is SF-scaled, so the join strategy is AQE-governed (no forced
+    broadcast — the q9 rule, NOTES_r7 item 6): AQE converts to broadcast
+    at small SF and keeps a shuffled hash join at scale. Only the two
+    part columns the query reads are projected into the join."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
     )
-    p = load_table(spark, sf_dir, "part")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     dec = lambda c_: F.col(c_).cast("decimal(18,2)")  # noqa: E731
     rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
         F.lit(0).cast("decimal(18,2)")
     )
     return (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        li.join(p, p.p_partkey == li.l_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
@@ -900,8 +906,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q15-shaped argmax join: per-supplier windowed revenue, keep
     the supplier(s) achieving the maximum. The scalar MAX is a one-row
     aggregate joined back by *equality* on the decimal-exact revenue —
-    an equi broadcast join, not a nested loop; ties (multiple max
-    suppliers) surface as multiple rows, exactly as in the spec."""
+    an equi broadcast join, not a nested loop (the one-row side keeps
+    its hint: provably bounded); ties (multiple max suppliers) surface
+    as multiple rows, exactly as in the spec. supplier is SF-scaled so
+    its join is AQE-governed (q9 rule) — after the max-filter the rev
+    side is ~1 row and AQE broadcasts THAT side at runtime."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
@@ -916,7 +925,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = rev.agg(F.max("total_revenue").alias("max_rev"))
     return (
         rev.join(F.broadcast(mx), rev.total_revenue == mx.max_rev)
-        .join(F.broadcast(s), s.s_suppkey == rev.l_suppkey)
+        .join(s.select("s_suppkey", "s_name"), s.s_suppkey == rev.l_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -938,20 +947,26 @@ GROUP BY p.p_brand, p.p_size // 10
 def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q16-shaped distinct-supplier census: suppliers per
     (brand, size band) over shipped lines, excluding negative-balance
-    suppliers via NOT IN — compiled as a broadcast anti join (the
-    excluded set is a filtered dim scan). COUNT(DISTINCT) expands to the
-    two-level aggregate; the anti join runs before the expansion so
-    excluded rows never shuffle."""
+    suppliers via NOT IN — an anti join against the filtered supplier
+    scan. COUNT(DISTINCT) expands to the two-level aggregate; the anti
+    join runs before the expansion so excluded rows never shuffle.
+    Both the excluded-supplier set and part are SF-scaled, so both join
+    strategies are AQE-governed (q9 rule, NOTES_r7 item 6) — AQE
+    broadcasts them at small SF and falls back to shuffled hash joins
+    when they outgrow the threshold; a forced hint would OOM the
+    executors at 100 TB."""
     li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
     bad = (
         load_table(spark, sf_dir, "supplier")
         .filter(F.col("s_acctbal") < 0)
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, p.p_partkey == li.l_partkey)
         .groupBy("p_brand", F.expr("p_size div 10").alias("size_band"))
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -974,13 +989,18 @@ WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
 )
 def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q19-shaped OR-of-ANDs predicate join: three brand/size/
-    quantity envelopes unioned by OR over a broadcast part join. The
-    disjunction can't push into either scan whole, but its common
-    support (the join itself) stays a single broadcast hash join with
-    the residual OR applied post-join — one fact-table pass."""
+    quantity envelopes unioned by OR over a part join. The disjunction
+    can't push into either scan whole, but its common support (the join
+    itself) stays a single hash join with the residual OR applied
+    post-join — one fact-table pass. part is SF-scaled, so the strategy
+    is AQE-governed (q9 rule): broadcast at small SF, shuffled hash
+    join at scale; only the three part columns the envelopes read are
+    projected into the join."""
     li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(p, p.p_partkey == li.l_partkey)
     env = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -1032,12 +1052,13 @@ def q21_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join on orderkey with a supplier-inequality residual), counted
     per supplier, top 10. The anti join hashes on the equi key
     (orderkey) and applies the inequality as residual; the top-k is
-    TakeOrderedAndProject."""
+    TakeOrderedAndProject. supplier is SF-scaled, so its join is
+    AQE-governed (q9 rule) rather than hint-forced."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     )
-    s = load_table(spark, sf_dir, "supplier")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     l1 = li.select(
         F.col("l_suppkey").alias("k1"), F.col("l_orderkey").alias("ok1")
     )
@@ -1053,7 +1074,7 @@ def q21_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        sole.join(F.broadcast(s), s.s_suppkey == sole.k1)
+        sole.join(s, s.s_suppkey == sole.k1)
         .groupBy("s_name")
         .agg(F.countDistinct("ok1").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -1304,7 +1325,8 @@ def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q20-shaped nested-semi chain: suppliers who moved more than
     a threshold quantity of a target brand's parts in a year. The inner
     HAVING aggregate collapses lineitem to (part, supplier) totals
-    FIRST, the brand filter broadcasts against it, and the outer EXISTS
+    FIRST, the brand filter joins against it (AQE-governed — the
+    one-brand part slice is SF-scaled, q9 rule), and the outer EXISTS
     is a semi join — the fact table is aggregated before any join
     touches it, so no supplier row ever fans out."""
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -1318,7 +1340,7 @@ def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
         .filter(F.col("q") > 30)
     )
-    qualified = hot.join(F.broadcast(p), p.p_partkey == hot.l_partkey).select(
+    qualified = hot.join(p.select("p_partkey"), p.p_partkey == hot.l_partkey).select(
         "l_suppkey"
     )
     return s.join(
@@ -1451,9 +1473,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_cost). With q2/q11 over the synthesized partsupp, every TPC-H
     query topology the schema admits is now declared (q1 ≙ a4,
     q3-q10/q12-q22 registered; q2/q11 were blocked only by the missing
-    table). Dimension chain (region→nation→supplier) is broadcast;
-    the only fact-scale shuffles are the cost groupBy and its re-join,
-    both keyed on ps_partkey (co-partitioned). Ties on min cost are
+    table). The fixed-cardinality dims (nation/region) keep broadcast
+    hints; the one-region supplier slice is SF-scaled so its join into
+    partsupp is AQE-governed (q9 rule). The only fact-scale shuffles
+    are the cost groupBy and its re-join, both keyed on ps_partkey
+    (co-partitioned). Ties on min cost are
     real and kept (both suppliers emitted — the TPC-H contract), so
     ordering is made total by (acctbal desc, partkey, s_name)."""
     part = load_table(spark, sf_dir, "part")
@@ -1470,7 +1494,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     costs = _partsupp(spark, sf_dir).join(
-        F.broadcast(europe_supp), F.col("s_suppkey") == F.col("ps_suppkey")
+        europe_supp, F.col("s_suppkey") == F.col("ps_suppkey")
     )
     mins = costs.groupBy("ps_partkey").agg(
         F.min("ps_supplycost").alias("min_cost")
@@ -1528,11 +1552,15 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     partsupp), so the threshold comparison is integer — no float
     boundary. The two aggregates share the same shuffle key
     (ps_partkey → none), and the top-k is TakeOrderedAndProject."""
-    supplier = load_table(spark, sf_dir, "supplier")
+    # supplier is SF-scaled → AQE-governed join (q9 rule); nation is the
+    # fixed-cardinality dim and keeps its broadcast hint.
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
     nation = load_table(spark, sf_dir, "nation")
     ps = _partsupp(spark, sf_dir)
     vals = (
-        ps.join(F.broadcast(supplier), supplier.s_suppkey == ps.ps_suppkey)
+        ps.join(supplier, supplier.s_suppkey == ps.ps_suppkey)
         .join(F.broadcast(nation), nation.n_nationkey == F.col("s_nationkey"))
         .filter(F.col("n_name").isin("NATION_0", "NATION_5", "NATION_10"))
         .groupBy("ps_partkey")

@@ -350,6 +350,8 @@ def rrf1_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lex_rank")
     )
+    # qv is one row by construction (vec_id == 0) — a safe broadcast the
+    # plan can't prove; allowlisted in the forced-broadcast guard test
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     cos = (
         emb.filter(F.col("vec_id") != 0)

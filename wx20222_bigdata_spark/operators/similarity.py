@@ -80,6 +80,10 @@ def e3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate stream, rank per query. The exact-search baseline every ANN
     variant is measured against."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # the broadcast hint on q is safe: vec_id < N_QUERIES bounds it to a
+    # constant <=10-row probe set regardless of SF (allowlisted in
+    # test_no_forced_broadcast_of_sf_scaled_table — the plan can't see
+    # this bound)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -179,7 +183,9 @@ def e3b_lsh_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine = _dot("qe", "ce") / (_norm("qe") * _norm("ce"))
     # The query side is N_QUERIES rows by construction: broadcast it so
     # the bucket join never shuffles the candidate corpus (at 100 TB the
-    # corpus-side exchange would otherwise dominate the query).
+    # corpus-side exchange would otherwise dominate the query). The plan
+    # can't see the vec_id bound, so the seat is allowlisted in
+    # test_no_forced_broadcast_of_sf_scaled_table.
     cand = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("cand_id"))

@@ -47,72 +47,67 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # CORRECTNESS row yet — plus anything new/changed this round — get checked
 # before already-driver-verified ones. See NOTES_r2.md.
 _FRONT: list[str] = [
-    # Round-7 rotation (r6 verdict item 1): first the seats REWRITTEN
-    # this round (e27/e27b converted rows-only→oracle via the pinned
-    # merge table + recursive-CTE encode oracle; e3c converted
-    # rows-only→oracle via the ordered-fold centroid mean; e5d's kernel
-    # vectorized), then the ENTIRE r02-stale cohort — all 24 seats whose
-    # last driver row is r02 plus e5c (r01) — leading with the ones whose
-    # files were rewritten after their last driver check (w10 rewritten
-    # commit 38d227c; m4/m5 in stats.py touched r6; e21 in tokenize.py
-    # touched r6+r7; e11/e19/e22 in textstats.py touched r6; o11/o12/e29
-    # rotated out of the r6 window), then the front of the r03 cohort's
-    # oldest, biased toward files touched since (similarity/kmeans/
-    # tokenize).
-    "e27_bpe_apply",
-    "e27b_bpe_nospacing",
-    "e3c_ivf_probe_ann",
-    "f13_mlm_corruption",
-    "o2_sample_restore_order",
-    "e5d_frame_sample",
-    "q9_product_profit",
-    # --- r02-stale cohort, rewritten-since-check first ---
-    "w10_rank_surface",
-    "m5_changefeed_apply",
-    "m4_incremental_agg",
-    "e21_bpe_pair_counts",
-    "e11_repetition_filter",
-    "e19_unigram_logprob",
-    "e22_feature_hashing",
-    "o11_weighted_sample",
-    "o12_consistent_sample",
-    "e29_random_projection",
-    "w7_gap_fill",
-    "w8_rolling_zscore",
-    "w9_sessionization",
-    "w11_cumulative_actives",
-    "w12_range_frame",
-    "a15_value_histogram",
-    "a16_regression_stats",
-    "a17_winsorized_stats",
-    "x8_hll_sketch_union",
-    "t5b_unpivot",
-    "t8_grouping_sets",
-    "t9_date_spine",
-    "s9f_stream_static_enrich",
-    # (the old e5c_decode_features_stub r01 row is a renamed seat;
-    # e5c_decode_features itself is r05-fresh)
-    "m3_snapshot_diff",
-    # --- r03 cohort, touched-module and pipeline seats first ---
-    "e3_cosine_topk",
-    "e14_kmeans_assign",
-    "f7_vocab_tokenize",
-    "e7_curation_pipeline",
-    "e6_sequence_packing",
-    "e13_bm25_retrieval",
-    "e15_pii_redaction",
-    "e16_tfidf_keywords",
-    "e12_mixture_sampling",
-    "e8_document_chunking",
-    "e4_group_stats",
-    "e4b_token_freq_topk",
-    "e4c_language_id",
-    "e4d_quality_score",
-    "e4e_doc_fingerprint",
-    "e4f_token_count",
-    "a13_percentiles",
-    "a13b_approx_percentiles",
-    "a14_moments",
+    # Round-8 rotation (r7 verdict item 3): first the ten seats REWRITTEN
+    # this round (the q9-rule broadcast sweep: forced F.broadcast() of
+    # SF-scaled part/supplier/customer removed, AQE-governed now — fresh
+    # driver rows required even though logic is unchanged), then the
+    # ENTIRE remaining r03-stale cohort (last driver row r03; q14 is in
+    # both groups and leads the sweep block), then 18 of the r04
+    # cohort's seats to lift the staleness floor.
+    # --- q9-rule broadcast sweep (rewritten r8) ---
+    "q14_promo_effect",
+    "q16_supplier_part_counts",
+    "q19_discounted_revenue",
+    "q15_top_supplier",
+    "q21_sole_supplier_orders",
+    "q11_important_stock",
+    "dq1_constraint_report",
+    "q17_small_quantity_revenue",
+    "q20_part_promotion_suppliers",
+    "q2_min_cost_supplier",
+    # --- r03-stale cohort (builder pre-verified all 23 in r7;
+    #     judge re-verified 10 — driver rows still wanted) ---
+    "a10_swa_snapshot_avg",
+    "f16_datetime_json",
+    "f_conditional_fns",
+    "f_null_semantics",
+    "f_string_surface",
+    "j1b_scalable_zip_index",
+    "j5_outer_join_family",
+    "m1_upsert_merge",
+    "m2_scd2_history",
+    "o10_hash_split",
+    "o6_ntile_kfold",
+    "p1_flatten_concat",
+    "p2_derive_drop",
+    "p3_dict_encode",
+    "p4_dict_decode",
+    "p5_prefix_projection",
+    "p7_substring_predicates",
+    "p8_conditional_gates",
+    "prof1_table_profile",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    # --- r04 cohort (next-stalest block) ---
+    "e32_paragraph_dedup",
+    "f20_robust_scale",
+    "f21_variant_json",
+    "i4_bfs_levels",
+    "q18_large_volume_customers",
+    "q22_global_sales_opportunity",
+    "q3_shipping_priority",
+    "q4_priority_check",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "s1_json_roundtrip",
+    "s4_csv_line_parse",
+    "s9_tumbling_window",
+    "s9b_sliding_window",
+    "s9c_session_windows",
+    "s9d_windowed_dedup",
+    "s9e_interval_join",
 ]
 
 
