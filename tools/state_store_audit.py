@@ -35,8 +35,19 @@ state is bounded by executor heap while RocksDB spills to local disk and
 snapshots incrementally. The audit verifies the SAME boundedness contract
 holds (and records the throughput delta vs the default provider).
 
+``--skew`` (r8 verdict item 6) routes ~50% of events to ONE hot user_id
+(the rest keep the uniform mod-10k spread). The boundedness contract must
+hold unchanged — a hot key updates one state row more often, it does not
+create more rows (sessions: the hot key's events merge into one
+ever-extending open session; EMA: one row per user regardless of
+traffic). What skew CAN cost is a straggler task (every hot-key row
+shuffles to one state partition), which shows up as a throughput drop vs
+the uniform run — compare rows_per_sec between the two runs; the salted
+mitigation, if ever needed, is the same two-level pattern as
+skew_salted_agg (operators/skew.py).
+
 Usage: python tools/state_store_audit.py [--events N] [--files K]
-       [--provider hdfs|rocksdb] [--out FILE]
+       [--provider hdfs|rocksdb] [--skew] [--out FILE]
 """
 
 from __future__ import annotations
@@ -69,6 +80,7 @@ def main() -> None:
     provider = "hdfs"
     if "--provider" in argv:
         provider = argv[argv.index("--provider") + 1]
+    skew = "--skew" in argv
 
     from pyspark.sql import functions as F
 
@@ -99,10 +111,17 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    src = f"{WORK}/events_in"
+    src = f"{WORK}/events_in" + ("_skew" if skew else "")
     shutil.rmtree(src, ignore_errors=True)
     chunk = n_events // n_files
     n_events = chunk * n_files  # actual rows written (integer division)
+    # uniform: user_id = id % 10k. skew: every even id -> hot user 0
+    # (~50% of all events), odd ids keep the mod-10k spread.
+    user_col = (
+        F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id") % 10_000)
+        if skew
+        else (F.col("id") % 10_000)
+    )
     for i in range(n_files):
         # sequential single-file writes -> ascending mod-times -> the
         # file source replays them in time order, one per micro-batch
@@ -111,7 +130,7 @@ def main() -> None:
             .select(
                 F.col("id").alias("event_id"),
                 F.col("id").cast("timestamp").alias("ts"),  # 1 event/sec
-                (F.col("id") % 10_000).alias("user_id"),
+                user_col.cast("long").alias("user_id"),
                 F.element_at(
                     F.array(F.lit("view"), F.lit("click"), F.lit("buy"), F.lit("scroll")),
                     (F.col("id") % 4 + 1).cast("int"),
@@ -132,6 +151,12 @@ def main() -> None:
         ),
         "stateful_ema": (lambda s: jobs.stateful_ema(s), "update"),
     }
+    if skew:
+        # the skew audit targets the two user_id-keyed jobs (the window
+        # jobs key on time, not user — a hot user doesn't skew them)
+        cases = {
+            k: cases[k] for k in ("session_window_counts", "stateful_ema")
+        }
 
     results: dict[str, dict] = {}
     for name, (make, mode) in cases.items():
@@ -166,13 +191,22 @@ def main() -> None:
                     "updated": sum(o.get("numRowsUpdated", 0) for o in ops),
                     "removed": sum(o.get("numRowsRemoved", 0) for o in ops),
                     "state_bytes": sum(o.get("memoryUsedBytes", 0) for o in ops),
+                    "batch_ms": (p.get("durationMs") or {}).get(
+                        "triggerExecution", 0
+                    ),
                 }
             )
         series = [b["state_rows"] for b in batches]
         mid = series[len(series) // 2] if series else 0
         fin = series[-1] if series else 0
         growth = round(fin / max(mid, 1), 3)
+        durs = sorted(b["batch_ms"] for b in batches)
         results[name] = {
+            "skew": skew,
+            "batch_ms_p50": durs[len(durs) // 2] if durs else 0,
+            "batch_ms_p95": durs[int(len(durs) * 0.95)] if durs else 0,
+        }
+        results[name] |= {
             "rows": n_events,
             "micro_batches": len(batches),
             "wall_sec": round(wall, 2),

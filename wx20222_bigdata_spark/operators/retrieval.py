@@ -105,6 +105,9 @@ def e13_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
+    # df is NOT vocab-sized here: tf is pre-filtered by the QUERY_TERMS
+    # join, so df has at most |QUERY_TERMS| rows at ANY corpus size —
+    # bounded by construction, the hint is safe (r8 df-table audit).
     df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
         tf.join(F.broadcast(df), "term")
@@ -171,10 +174,16 @@ def e16_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tok"),
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    # df IS vocab-sized (one row per distinct corpus token) — sublinear
+    # by Heaps' law but unbounded (10^8+ rows web-scale), so its join is
+    # AQE-governed, not hint-forced (q9 rule; r8 df-table audit measured
+    # the growth: SCALE.md "df-table growth"). AQE broadcasts it at test
+    # SFs and falls back to a shuffled join when vocab outgrows the
+    # threshold.
     df = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "tok")
+        tf.join(df, "tok")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -313,6 +322,8 @@ def rrf1_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
+    # df bounded at |QUERY_TERMS| rows (tf is query-term-filtered), same
+    # as e13 — safe hint (r8 df-table audit)
     df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     bm25 = (
         tf.join(F.broadcast(df), "term")

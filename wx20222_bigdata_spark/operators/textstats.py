@@ -565,10 +565,14 @@ def e19_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tok"),
     )
     pairs = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("k"))
+    # freq is vocab-sized (unbounded — Heaps' law), so the weight join is
+    # AQE-governed rather than hint-forced (q9 rule; r8 df-table audit,
+    # SCALE.md "df-table growth"); e31's weight join already works this
+    # way. The one-row total keeps its benign broadcast.
     freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     tot = freq.agg(F.sum("cnt").alias("total"))
     lp = (
-        pairs.join(F.broadcast(freq), "tok")
+        pairs.join(freq, "tok")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",

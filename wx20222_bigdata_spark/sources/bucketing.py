@@ -43,3 +43,59 @@ def cojoin_bucketed(
     left = spark.table(left_table)
     right = spark.table(right_table)
     return left.join(right, left[left_key] == right[right_key])
+
+
+def layout_orderkey_buckets(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int = 32,
+    suffix: str = "",
+) -> tuple[str, str]:
+    """One-time layout for the recurring orderkey fact-fact joins (q9/q18
+    are the steepest rows of SCALING_CURVE.json — ×5.3 / ×4.9 per ×10
+    step, both dominated by the lineitem⋈orders exchange): write lineitem
+    and orders bucketed + sorted on the order key. Pay the shuffle once at
+    ingest; every subsequent orderkey join and lineitem-per-order
+    aggregate is exchange-free. The reference stages the same idea as its
+    22-shard pre-split (``split_pretrain_data.py:28-35``) — layout chosen
+    for the downstream access pattern."""
+    from wx20222_bigdata_spark.catalog import load_table
+
+    li_t, o_t = f"lineitem_obkt{suffix}", f"orders_obkt{suffix}"
+    write_bucketed_table(
+        load_table(spark, sf_dir, "lineitem"), li_t, "l_orderkey", n_buckets
+    )
+    write_bucketed_table(
+        load_table(spark, sf_dir, "orders"), o_t, "o_orderkey", n_buckets
+    )
+    return li_t, o_t
+
+
+def q18_bucketed(spark: SparkSession, sf_dir: str, suffix: str = "") -> DataFrame:
+    """q18_large_volume_customers over the bucketed orderkey layout
+    (library twin of operators/relational.py::q18_large_volume_customers
+    — column-identical output). With lineitem bucketed on l_orderkey the
+    HAVING aggregate needs NO exchange (partial+final collapse into one
+    in-bucket aggregate), and with orders bucketed on o_orderkey the
+    big⋈orders join needs NO exchange on either side — the only shuffle
+    left in the whole query is the customer join, which AQE broadcasts.
+    Plan-asserted in tests/test_bucketing.py; measured vs the shuffled
+    registered seat in tools/bucketed_join_ab.py (SCALE.md r8)."""
+    from pyspark.sql import functions as F
+
+    from wx20222_bigdata_spark.catalog import load_table
+
+    li = spark.table(f"lineitem_obkt{suffix}")
+    o = spark.table(f"orders_obkt{suffix}")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_qty_dec"))
+        .filter(F.col("_qty_dec") > 150)
+        .select("l_orderkey", F.col("_qty_dec").cast("double").alias("total_qty"))
+    )
+    return (
+        big.join(o, o.o_orderkey == big.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+    )
