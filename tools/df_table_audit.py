@@ -23,12 +23,17 @@ Usage: python tools/df_table_audit.py [sf_dir ...]
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+_existing = os.environ.get("PYSPARK_SUBMIT_ARGS", "pyspark-shell")
+if "--driver-memory" not in _existing:
+    os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory 48g {_existing}"
 
 from pyspark.sql import functions as F
 
@@ -54,15 +59,23 @@ def _toks(docs):
 
 
 def e16_variant(spark, sf_dir, hinted: bool):
+    """hinted=True is the pre-r8 form (broadcast hint on the vocab-sized
+    df); hinted=False is the shipped r8 shared-partitioning form (tf
+    repartitioned once on tok; the df aggregate and the join reuse it)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = _toks(docs)
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     if hinted:
-        df = F.broadcast(df)
+        df = F.broadcast(
+            tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+        )
+        probe = tf
+    else:
+        probe = tf.repartition("tok")
+        df = probe.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     return (
-        tf.join(df, "tok")
+        probe.join(df, "tok")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -76,14 +89,15 @@ def e19_variant(spark, sf_dir, hinted: bool):
     docs = load_table(spark, sf_dir, "documents")
     toks = _toks(docs)
     pairs = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("k"))
-    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     if hinted:
-        freq = F.broadcast(freq)
-    tot = toks.groupBy("tok").agg(F.count("*").alias("cnt")).agg(
-        F.sum("cnt").alias("total")
-    )
+        freq = F.broadcast(toks.groupBy("tok").agg(F.count("*").alias("cnt")))
+        probe = pairs
+    else:
+        probe = pairs.repartition("tok")
+        freq = probe.groupBy("tok").agg(F.sum("k").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("total"))
     return (
-        pairs.join(freq, "tok")
+        probe.join(freq, "tok")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id", "tok", "k",

@@ -175,15 +175,19 @@ def e16_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     # df IS vocab-sized (one row per distinct corpus token) — sublinear
-    # by Heaps' law but unbounded (10^8+ rows web-scale), so its join is
-    # AQE-governed, not hint-forced (q9 rule; r8 df-table audit measured
-    # the growth: SCALE.md "df-table growth"). AQE broadcasts it at test
-    # SFs and falls back to a shuffled join when vocab outgrows the
-    # threshold.
-    df = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # by Heaps' law but unbounded (10^8+ rows web-scale), so it must
+    # never be hint-broadcast (q9 rule). Better than AQE-governing the
+    # naive join (which still materializes a probe-side shuffle before
+    # converting — measured 2.6x at sf10, SCALE.md "df-table growth"):
+    # repartition tf ONCE on tok and reuse that partitioning for BOTH
+    # the df aggregate (hash clustering on a subset of the grouping
+    # keys satisfies the distribution) and the join — 2 exchanges
+    # total, no broadcast of an unbounded table at any scale.
+    tfp = tf.repartition("tok")
+    df = tfp.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(df, "tok")
+        tfp.join(df, "tok")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

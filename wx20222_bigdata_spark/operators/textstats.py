@@ -538,16 +538,16 @@ def e19_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap — comparing at the printed precision removes the edge (and makes
     the band consistent with the emitted avg_logprob).
 
-    Plan: one token explode feeds both the |vocab|-row frequency table
-    (map-side-combinable count, broadcast back) and the DISTINCT
-    (doc, token) pair table with a repeat count k — the map-side
-    combinable pair groupBy means the per-doc exchange carries
-    |distinct pairs| rows, not |token instances| (the e31 compression;
-    local wall-time is flat at sf1 — 2.51 vs 2.42 s — because the
-    weight join was already broadcast, but the shuffled bytes shrink by
-    the corpus duplication factor, which is what matters at 100 TB);
-    the corpus total derives from the frequency table (Σ cnt,
-    integer-exact), not a third token pass. The tercile
+    Plan (r8 shared-partitioning form): ONE token explode collapses to
+    the DISTINCT (doc, token) pair table with repeat count k (map-side
+    combinable — the per-doc exchange carries |distinct pairs| rows,
+    not |token instances|, the e31 compression), which is then
+    repartitioned once on tok; the |vocab|-row frequency table derives
+    from THAT partitioning (cnt = Σk, instance-exact) and the weight
+    join reuses it — 2 exchanges total, and the unbounded vocab table
+    is never broadcast (q9 rule; it was hint-broadcast pre-r8, an OOM
+    at web-scale vocab). The corpus total derives from the frequency
+    table (Σ cnt, integer-exact), not a third token pass. The tercile
     boundaries are a one-row aggregate crossJoined in (documented benign
     pattern). Float discipline: per-doc sums fold in sorted token order
     (landmine 16) with the k copies of an equal token added SEQUENTIALLY
@@ -565,14 +565,18 @@ def e19_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tok"),
     )
     pairs = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("k"))
-    # freq is vocab-sized (unbounded — Heaps' law), so the weight join is
-    # AQE-governed rather than hint-forced (q9 rule; r8 df-table audit,
-    # SCALE.md "df-table growth"); e31's weight join already works this
-    # way. The one-row total keeps its benign broadcast.
-    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    # freq is vocab-sized (unbounded — Heaps' law), so it must never be
+    # hint-broadcast (q9 rule; r8 df-table audit, SCALE.md "df-table
+    # growth"). Shared-partitioning plan instead: derive freq FROM the
+    # tok-repartitioned pairs (cnt = Σk, instance-exact), so the freq
+    # aggregate and the weight join both reuse one tok exchange — the
+    # raw token stream is never shuffled a second time and nothing
+    # unbounded broadcasts. The one-row total keeps its benign hint.
+    pairsp = pairs.repartition("tok")
+    freq = pairsp.groupBy("tok").agg(F.sum("k").alias("cnt"))
     tot = freq.agg(F.sum("cnt").alias("total"))
     lp = (
-        pairs.join(freq, "tok")
+        pairsp.join(freq, "tok")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
