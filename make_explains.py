@@ -59,7 +59,7 @@ SHOWN = [
     ("t3_time_rollup", "grouping-sets rollup: one expand + one aggregate"),
     ("m1_upsert_merge", "CDC merge: key-partitioned latest-wins window, co-partitioned union"),
     # --- round-3 additions ---
-    ("e31_dsir_importance", "DSIR weights: one token explode feeds target/raw counts + per-doc fold; |vocab| weight table broadcast back"),
+    ("e31_dsir_importance", "DSIR weights: one token explode feeds target/raw counts + per-doc fold; |vocab| weight join AQE-governed (unbounded table, q9 rule)"),
     ("e32_paragraph_dedup", "segment dedup: map-side-combinable min-struct winner per segment, equi-join back — no windows over segments"),
     ("e33_ngram_novelty", "trigram novelty: distinct-then-count with partial aggregation; gram-keyed equi-join"),
     ("e5d_frame_sample", "frame sampling: single narrow mapInPandas pass over the binary column, zero shuffles"),
@@ -73,6 +73,9 @@ SHOWN = [
     ("e2k_salted_lsh_pairs", "grid-salted LSH: hot-bucket pair production split over (band, key, p, q) cells — no single-reducer hot key"),
     ("e35_hyperplane_semdedup", "centroid-free semantic dedup: hyperplane sign bands, self-equi-join on (band, 16-bit key), MAX prune aggregate"),
     ("e7c_funnel_accounting", "funnel accounting twin: quality gate pushed to the scan, first-occurrence window, three small keyed aggregates"),
+    # --- round-8 additions (broadcast sweep + shared partitioning) ---
+    ("q16_supplier_part_counts", "swept seat (r8): part + filtered-supplier joins AQE-governed — no forced broadcast of an SF-scaled table; anti join before the distinct expansion"),
+    ("e19_unigram_logprob", "shared-partitioning vocab join (r8): pairs repartitioned once on tok, freq derived from that partitioning, weight join exchange-free — the unbounded vocab table never broadcasts"),
 ]
 
 
