@@ -110,6 +110,9 @@ HEADLINE = [
     "e27_bpe_apply",              # pinned-merge-table BPE encode
     "f13_mlm_corruption",         # salted-hash MLM 80/10/10 corruption
     "e9c_verified_clusters",      # >=2-band verified connected components
+    # round-8 additions (broadcast-sweep + shared-partitioning seats)
+    "q16_supplier_part_counts",   # swept seat: AQE-governed part/supplier joins
+    "e19_unigram_logprob",        # shared-partitioning vocab join (no broadcast)
 ]
 
 
