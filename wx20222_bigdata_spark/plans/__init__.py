@@ -82,10 +82,12 @@ SF_TABLE_SIGNATURES = {
 
 #: logical operators that bound the cardinality of a hint's subtree:
 #: a global/grouped aggregate collapses the scan to its key domain, a
-#: limit caps rows outright. (A grouped aggregate over an SF-scaled key
-#: — e.g. per-supplier revenue — is NOT generally bounded; callers that
-#: rely on one must justify the bound in an allowlist, as the guard test
-#: does.)
+#: limit caps rows outright. Deliberately permissive: a grouped
+#: aggregate over an SF-scaled key (e.g. per-supplier revenue) is NOT
+#: generally bounded, but every such hint in this repo aggregates to a
+#: bounded domain (query terms, event types, one row) — a future hint
+#: on a genuinely SF-scaled grouped aggregate would PASS this detector,
+#: so review new F.broadcast(…groupBy…) sites by hand.
 _BOUNDING_NODE = re.compile(
     r"^[\s+:\-]*(Aggregate|GlobalLimit|Deduplicate|Distinct) ", re.M
 )
