@@ -75,7 +75,7 @@ SHOWN = [
     ("e7c_funnel_accounting", "funnel accounting twin: quality gate pushed to the scan, first-occurrence window, three small keyed aggregates"),
     # --- round-8 additions (broadcast sweep + shared partitioning) ---
     ("q16_supplier_part_counts", "swept seat (r8): part + filtered-supplier joins AQE-governed — no forced broadcast of an SF-scaled table; anti join before the distinct expansion"),
-    ("e19_unigram_logprob", "shared-partitioning vocab join (r8): pairs repartitioned once on tok, freq derived from that partitioning, weight join exchange-free — the unbounded vocab table never broadcasts"),
+    ("e19_unigram_logprob", "window-form vocab stats (r8): per-token count = sum(k) over a tok window of the pairs table — no frequency table materialized, joined, or broadcast; one tok exchange total"),
 ]
 
 

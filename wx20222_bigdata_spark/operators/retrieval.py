@@ -176,18 +176,20 @@ def e16_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     # df IS vocab-sized (one row per distinct corpus token) — sublinear
     # by Heaps' law but unbounded (10^8+ rows web-scale), so it must
-    # never be hint-broadcast (q9 rule). Better than AQE-governing the
-    # naive join (which still materializes a probe-side shuffle before
-    # converting — measured 2.6x at sf10, SCALE.md "df-table growth"):
-    # repartition tf ONCE on tok and reuse that partitioning for BOTH
-    # the df aggregate (hash clustering on a subset of the grouping
-    # keys satisfies the distribution) and the join — 2 exchanges
-    # total, no broadcast of an unbounded table at any scale.
-    tfp = tf.repartition("tok")
-    df = tfp.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # never be hint-broadcast (q9 rule). It is not materialized as a
+    # table at all: tf has exactly one row per (doc, tok), so
+    # count(*) over a tok window IS the document frequency — one
+    # exchange on tok, no join, no second aggregate, and nothing
+    # unbounded ever broadcasts. Measured vs the alternatives at sf10
+    # (SCALE.md "df-table growth"): window 2.06 s, shared-partitioning
+    # join 3.82 s, pre-r8 broadcast hint ~4.1 s — the window form beats
+    # even the hint, and its skew profile equals the join's (both hash-
+    # partition on tok; WindowExec spills per group, and a hot-token
+    # group lands on one reducer under either plan).
+    w_df = Window.partitionBy("tok")
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tfp.join(df, "tok")
+        tf.withColumn("df", F.count("*").over(w_df))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from wx20222_bigdata_spark.catalog import load_table, rebalance_small_scan
 from wx20222_bigdata_spark.functions.hashing import duck_md5_hash, spark_md5_hash
@@ -538,16 +539,15 @@ def e19_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap — comparing at the printed precision removes the edge (and makes
     the band consistent with the emitted avg_logprob).
 
-    Plan (r8 shared-partitioning form): ONE token explode collapses to
-    the DISTINCT (doc, token) pair table with repeat count k (map-side
-    combinable — the per-doc exchange carries |distinct pairs| rows,
-    not |token instances|, the e31 compression), which is then
-    repartitioned once on tok; the |vocab|-row frequency table derives
-    from THAT partitioning (cnt = Σk, instance-exact) and the weight
-    join reuses it — 2 exchanges total, and the unbounded vocab table
-    is never broadcast (q9 rule; it was hint-broadcast pre-r8, an OOM
-    at web-scale vocab). The corpus total derives from the frequency
-    table (Σ cnt, integer-exact), not a third token pass. The tercile
+    Plan (r8 window form): ONE token explode collapses to the DISTINCT
+    (doc, token) pair table with repeat count k (map-side combinable —
+    the per-doc exchange carries |distinct pairs| rows, not |token
+    instances|, the e31 compression); the per-token instance count is
+    then Σk over a tok WINDOW of that table — no frequency table is
+    ever materialized, joined, or broadcast (q9 rule: the vocab is
+    unbounded; it was hint-broadcast pre-r8, an OOM at web-scale
+    vocab). The corpus total is Σk over all pairs (one-row aggregate,
+    integer-exact), not a third token pass. The tercile
     boundaries are a one-row aggregate crossJoined in (documented benign
     pattern). Float discipline: per-doc sums fold in sorted token order
     (landmine 16) with the k copies of an equal token added SEQUENTIALLY
@@ -567,16 +567,17 @@ def e19_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("k"))
     # freq is vocab-sized (unbounded — Heaps' law), so it must never be
     # hint-broadcast (q9 rule; r8 df-table audit, SCALE.md "df-table
-    # growth"). Shared-partitioning plan instead: derive freq FROM the
-    # tok-repartitioned pairs (cnt = Σk, instance-exact), so the freq
-    # aggregate and the weight join both reuse one tok exchange — the
-    # raw token stream is never shuffled a second time and nothing
-    # unbounded broadcasts. The one-row total keeps its benign hint.
-    pairsp = pairs.repartition("tok")
-    freq = pairsp.groupBy("tok").agg(F.sum("k").alias("cnt"))
-    tot = freq.agg(F.sum("cnt").alias("total"))
+    # growth"). It is not materialized at all: the per-token instance
+    # count is Σk over a tok window of the pairs table (instance-exact,
+    # pairs carries every instance as k), and the corpus total is Σk
+    # over all pairs — one tok exchange, no join, no separate frequency
+    # table, nothing unbounded broadcasts. Measured at sf10: window
+    # 2.38 s vs 2.97 shared-partitioning join vs ~2.6 pre-r8 hint
+    # (SCALE.md). The one-row total keeps its benign hint.
+    w_tok = Window.partitionBy("tok")
+    tot = pairs.agg(F.sum("k").alias("total"))
     lp = (
-        pairsp.join(freq, "tok")
+        pairs.withColumn("cnt", F.sum("k").over(w_tok))
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
