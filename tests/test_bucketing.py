@@ -47,28 +47,34 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
 
 
 def test_q18_bucketed_twin_no_orderkey_exchange(spark):
-    """r8 verdict item 4: the bucketed q18 twin must (a) return exactly
-    the registered seat's rows and (b) carry NO exchange on the order
-    key — neither for the lineitem HAVING aggregate nor for the
-    big⋈orders join; the only shuffle left is the customer join."""
+    """r8 verdict item 4: the bucketed twins must (a) return exactly the
+    registered seats' rows and (b) carry NO exchange on the order key —
+    q18: neither for the lineitem HAVING aggregate nor the big⋈orders
+    join; q9 (same layout, amortization proof): not for the fact-fact
+    lineitem⋈orders join."""
     from wx20222_bigdata_spark.registry import all_queries
     from wx20222_bigdata_spark.sources.bucketing import (
         layout_orderkey_buckets,
         q18_bucketed,
+        q9_bucketed,
     )
 
     layout_orderkey_buckets(spark, SF_ORACLE, n_buckets=8, suffix="_t")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        twin = q18_bucketed(spark, SF_ORACLE, suffix="_t")
-        plan = formatted_plan(twin)
-        assert "Exchange hashpartitioning(l_orderkey" not in plan, plan[:3000]
-        assert "Exchange hashpartitioning(o_orderkey" not in plan, plan[:3000]
-        seat = all_queries()["q18_large_volume_customers"](spark, SF_ORACLE)
-        cols = twin.columns
-        assert sorted(map(tuple, twin.collect())) == sorted(
-            map(tuple, seat.select(cols).collect())
-        )
+        for twin_fn, seat_name in [
+            (q18_bucketed, "q18_large_volume_customers"),
+            (q9_bucketed, "q9_product_profit"),
+        ]:
+            twin = twin_fn(spark, SF_ORACLE, suffix="_t")
+            plan = formatted_plan(twin)
+            assert "Exchange hashpartitioning(l_orderkey" not in plan, plan[:3000]
+            assert "Exchange hashpartitioning(o_orderkey" not in plan, plan[:3000]
+            seat = all_queries()[seat_name](spark, SF_ORACLE)
+            cols = twin.columns
+            assert sorted(map(tuple, twin.collect())) == sorted(
+                map(tuple, seat.select(cols).collect())
+            ), seat_name
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS lineitem_obkt_t")

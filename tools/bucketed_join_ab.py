@@ -53,9 +53,13 @@ def main() -> None:
     from wx20222_bigdata_spark.sources.bucketing import (
         layout_orderkey_buckets,
         q18_bucketed,
+        q9_bucketed,
     )
 
-    seat = all_queries()["q18_large_volume_customers"]
+    PAIRS = [
+        ("q18", q18_bucketed, "q18_large_volume_customers"),
+        ("q9", q9_bucketed, "q9_product_profit"),
+    ]
     out: dict = {}
     for sf_dir in tiers:
         tier = sf_dir.rstrip("/").split("/")[-1]
@@ -63,27 +67,27 @@ def main() -> None:
         t0 = time.perf_counter()
         layout_orderkey_buckets(spark, sf_dir, n_buckets=32, suffix=sfx)
         layout_sec = time.perf_counter() - t0
-        twin = q18_bucketed(spark, sf_dir, suffix=sfx)
-        shuffled = seat(spark, sf_dir)
-        plan = twin._jdf.queryExecution().executedPlan().toString()
-        no_orderkey_exchange = (
-            "hashpartitioning(l_orderkey" not in plan
-            and "hashpartitioning(o_orderkey" not in plan
-        )
-        _noop(twin)  # warm
-        _noop(shuffled)
-        b, s = [], []
-        for _ in range(N_RUNS):  # interleaved
-            b.append(_noop(twin))
-            s.append(_noop(shuffled))
-        out[tier] = {
-            "layout_sec": round(layout_sec, 2),
-            "bucketed_sec": round(statistics.median(b), 3),
-            "shuffled_sec": round(statistics.median(s), 3),
-            "no_orderkey_exchange": no_orderkey_exchange,
-            "runs": N_RUNS,
-        }
-        print(f"{tier}: {out[tier]}", flush=True)
+        out[tier] = {"layout_sec": round(layout_sec, 2), "runs": N_RUNS}
+        for label, twin_fn, seat_name in PAIRS:
+            twin = twin_fn(spark, sf_dir, suffix=sfx)
+            shuffled = all_queries()[seat_name](spark, sf_dir)
+            plan = twin._jdf.queryExecution().executedPlan().toString()
+            no_orderkey_exchange = (
+                "hashpartitioning(l_orderkey" not in plan
+                and "hashpartitioning(o_orderkey" not in plan
+            )
+            _noop(twin)  # warm
+            _noop(shuffled)
+            b, s = [], []
+            for _ in range(N_RUNS):  # interleaved
+                b.append(_noop(twin))
+                s.append(_noop(shuffled))
+            out[tier][label] = {
+                "bucketed_sec": round(statistics.median(b), 3),
+                "shuffled_sec": round(statistics.median(s), 3),
+                "no_orderkey_exchange": no_orderkey_exchange,
+            }
+            print(f"{tier} {label}: {out[tier][label]}", flush=True)
         spark.sql(f"DROP TABLE IF EXISTS lineitem_obkt{sfx}")
         spark.sql(f"DROP TABLE IF EXISTS orders_obkt{sfx}")
     print(json.dumps(out, indent=1))

@@ -99,3 +99,42 @@ def q18_bucketed(spark: SparkSession, sf_dir: str, suffix: str = "") -> DataFram
         .join(c, c.c_custkey == o.o_custkey)
         .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
     )
+
+
+def q9_bucketed(spark: SparkSession, sf_dir: str, suffix: str = "") -> DataFrame:
+    """q9_product_profit over the SAME orderkey layout q18_bucketed uses
+    (column-identical output to the registered seat) — the amortization
+    proof: one layout, every recurring orderkey join paid for. The
+    lineitem⋈orders fact-fact join (the ×5.3-per-×10-step term of q9's
+    scaling curve) runs with NO exchange on either side; the part and
+    supplier joins behave exactly as in the registered seat (AQE-governed
+    — they key on partkey/suppkey, which no single layout can co-locate
+    simultaneously with orderkey; at a real deployment the second layout
+    axis would be a partsupp-side bucket, the classic two-table-layout
+    trade)."""
+    from pyspark.sql import functions as F
+
+    from wx20222_bigdata_spark.catalog import load_table
+
+    l = spark.table(f"lineitem_obkt{suffix}")
+    o = spark.table(f"orders_obkt{suffix}")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%e%"))
+    s = load_table(spark, sf_dir, "supplier")
+    sn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(18,2)")  # noqa: E731
+    profit_term = dec("l_extendedprice") * (F.lit(1) - dec("l_discount")) - dec(
+        "l_quantity"
+    ) * (F.col("p_retailprice") * 0.6).cast("decimal(18,2)")
+    return (
+        l.join(o, o.o_orderkey == l.l_orderkey)
+        .join(p, p.p_partkey == l.l_partkey)
+        .join(s, s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(sn), F.col("sn_key") == s.s_nationkey)
+        .groupBy(
+            "supp_nation",
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(F.sum(profit_term).cast("double").alias("profit"))
+    )
