@@ -265,7 +265,13 @@ def e2f_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     mutually near-identical, so a word-set Jaccard join returns O(n²)
     true pairs no matter the threshold — 17k pairs for 510 docs measured
     at word level vs ~corpus-linear with shingles. Growth is pinned by
-    tests/test_candidate_growth.py."""
+    tests/test_candidate_growth.py.
+
+    Memory note (r8 sf1 sweep): Spark-ML's approxSimilarityJoin
+    materializes its hash tables on-heap and OOMed a 1 GiB driver at
+    sf1 (50k docs + mutants) — run this comparison tier with a
+    scale-sized heap; the production dedup tiers (e2g/e2m) have no such
+    sensitivity."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     from wx20222_bigdata_spark.operators.dedup import (
