@@ -86,6 +86,22 @@ def test_no_forced_broadcast_of_sf_scaled_table(spark):
     assert not offenders, offenders
 
 
+def test_vocab_stats_window_form_has_no_equi_join(spark):
+    """r8 e16/e19 final form: vocabulary statistics (document frequency /
+    per-token instance count) are computed OVER A tok WINDOW of the
+    distinct (doc, token) table — no vocab table is materialized, joined,
+    or broadcast (the pre-r8 broadcast hint was an OOM at web-scale
+    vocab; the interim join form paid an avoidable exchange). Pin: the
+    physical plan contains NO equi-join operator at all — the only joins
+    allowed are the documented one-row BroadcastNestedLoopJoin crosses
+    (corpus size / corpus total / tercile bounds)."""
+    for name in ["e16_tfidf_keywords", "e19_unigram_logprob"]:
+        plan = formatted_plan(_q(name)(spark, SF_ORACLE))
+        for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+            assert op not in plan, f"{name}: unexpected {op} — vocab join is back"
+        assert "hashpartitioning(tok" in plan, f"{name}: lost the tok window exchange"
+
+
 def test_topk_is_take_ordered(spark):
     df = _q("o4_top_k_orders")(spark, SF_ORACLE)
     assert has_take_ordered(df), formatted_plan(df)[:2000]
