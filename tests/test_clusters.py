@@ -90,3 +90,45 @@ def test_e9c_verified_closure_laws(spark):
     # canonical flag is consistent with min-id convention
     for r in ver:
         assert r.is_canonical == (r.doc_id == r.cluster_id)
+
+
+def test_o13_cluster_aware_split_laws(spark):
+    """o13 (leakage-safe split): every doc in the corpus gets exactly one
+    row; no cluster straddles splits (THE property the seat exists for);
+    seeded mutants inherit their source's split; singleton docs match the
+    o10-style md5 bucket of their own id."""
+    from wx20222_bigdata_spark.operators.clusters import (
+        e9c_verified_clusters,
+        o13_cluster_aware_split,
+    )
+
+    rows = o13_cluster_aware_split(spark, SF).collect()
+    n_docs = (
+        spark.read.parquet(f"{SF}/documents.parquet").count()
+    )
+    n_mutants = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") % 50 == 0)
+        .count()
+    )
+    assert len(rows) == n_docs + n_mutants  # full corpus, one row per doc
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    # no cluster straddles splits
+    by_cluster: dict[int, set] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # mutants inherit the source's split (they share a verified cluster)
+    split_of = {r.doc_id: r.split for r in rows}
+    mutant_ids = [r.doc_id for r in rows if r.doc_id >= 100000]
+    assert mutant_ids
+    for m in mutant_ids:
+        assert split_of[m] == split_of[m - 100000]
+    # clustered docs carry the e9c component id; all other docs are
+    # singletons keyed by their own id
+    comp = {
+        r.doc_id: r.cluster_id
+        for r in e9c_verified_clusters(spark, SF).collect()
+    }
+    for r in rows:
+        assert r.cluster_id == comp.get(r.doc_id, r.doc_id)

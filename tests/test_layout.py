@@ -89,3 +89,31 @@ def test_zorder_prunes_more_row_groups(zed, tmp_path):
     # every row group spans the full domain and matches every box. The
     # z-sorted layout must read strictly less than half of that.
     assert z_hits < 0.5 * lin_hits, (z_hits, lin_hits)
+
+
+def test_s11_schema_evolution_merges_generations(spark):
+    """s11: the merged read reconciles both shard generations — pre-1998
+    rows surface with NULL priority (grouped under the sentinel), the
+    totals reconcile exactly against the unsplit table, and the sentinel
+    group is non-empty (the evolution actually happened on disk)."""
+    from pyspark.sql import functions as F
+
+    from wx20222_bigdata_spark.operators.layout import s11_schema_evolution
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.priority: r for r in s11_schema_evolution(spark, sf).collect()}
+    assert "<pre-evolution>" in rows
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    n_pre = orders.filter(F.col("o_orderdate") < cutoff).count()
+    assert rows["<pre-evolution>"].n_orders == n_pre
+    assert sum(r.n_orders for r in rows.values()) == orders.count()
+    total = float(
+        orders.agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        ).first()[0]
+    )
+    assert abs(sum(r.total_price for r in rows.values()) - total) < 1e-6
+    # post-evolution groups are the real priority values, none NULL
+    post = [p for p in rows if p != "<pre-evolution>"]
+    assert post and all(p is not None for p in post)

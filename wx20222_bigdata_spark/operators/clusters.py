@@ -350,3 +350,95 @@ def e9c_verified_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_size").cast("bigint").alias("cluster_size"),
         (F.col("node") == F.col("label")).alias("is_canonical"),
     )
+
+
+@query(
+    "o13_cluster_aware_split",
+    oracle=f"""
+WITH RECURSIVE {LSH_BANDS_DUCK_CTES},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket_key = b.bucket_key AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(DISTINCT a.band) >= 2
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(node, root) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (
+  SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node
+),
+assigned AS (
+  SELECT c.doc_id, COALESCE(k.cluster_id, c.doc_id) AS cluster_id
+  FROM corpus c LEFT JOIN comp k USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, cluster_id,
+         CAST(concat('0x', substring(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+  FROM assigned
+)
+""",
+)
+def o13_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: hash the near-dup CLUSTER id,
+    not the document id. o10's per-document md5 split is reprocessing-
+    stable, but near-duplicate documents hash independently — a doc and
+    its mutant can land in train and test, leaking (near-)test content
+    into training (the train/test-overlap failure measured by Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"). The production rule: every member of a connected near-dup
+    cluster inherits the cluster representative's split, so no cluster
+    ever straddles a split boundary.
+
+    Composition, all prior-verified pieces: e2b's banded LSH candidates
+    → e9c's verified (≥2-shared-band) edges → connected components →
+    LEFT JOIN back onto the full corpus (docs in no pair are singleton
+    clusters keyed by their own id) → o10's md5-prefix 90/5/5 bucket on
+    the cluster key. Scale shape: the component labelling is the
+    bounded-iteration e9 plan; the join back is a hash join on doc_id
+    where the comp side holds only docs that appear in some candidate
+    pair (≪ corpus at real dup rates); the split itself is a pure
+    projection. Split proportions stay ~90/5/5 because cluster ids
+    inherit the uniform md5 bucket distribution — each CLUSTER (not
+    each doc) is the Bernoulli unit, the price of leakage safety."""
+    corpus = _corpus_with_mutants_spark(spark, sf_dir)
+    bands = minhash_band_keys(corpus)
+    edges = (
+        lsh_candidate_pairs(bands)
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("band").alias("n_shared_bands"))
+        .filter(F.col("n_shared_bands") >= 2)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    comp = connected_components(edges)
+    assigned = (
+        corpus.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    from wx20222_bigdata_spark.functions.hashing import spark_md5_hash
+
+    bucket = F.expr(f"{spark_md5_hash('CAST(cluster_id AS STRING)')} % 100")
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

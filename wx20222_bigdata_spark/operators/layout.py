@@ -143,3 +143,82 @@ def s6_compaction_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         " n_row_groups bigint, files_within_2x_target boolean,"
         " roundtrip_exact boolean, multi_row_group boolean",
     )
+
+
+@query(
+    "s11_schema_evolution",
+    oracle="""
+WITH merged AS (
+  SELECT o_orderkey,
+         o_totalprice,
+         CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+              THEN o_orderpriority ELSE NULL END AS o_orderpriority
+  FROM orders
+)
+SELECT COALESCE(o_orderpriority, '<pre-evolution>') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM merged
+GROUP BY 1
+""",
+)
+def s11_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S6 family, schema-drift case: read a dataset whose shards were
+    written by TWO pipeline generations — gen-1 files predate the
+    ``o_orderpriority`` column, gen-2 files carry it. At 100 TB a lake
+    is never one schema: ingest code evolves mid-corpus and a reader
+    that assumes the newest schema silently drops the old shards (or
+    crashes). The Spark answer is ``mergeSchema=true``: parquet footers
+    are reconciled per-file, absent columns surface as NULL, and the
+    query treats generation membership as data.
+
+    The seat writes both generations to real parquet (REAL files — the
+    evolution happens in footers on disk, not in a union expression),
+    reads the directory pair back merged, and aggregates per priority
+    with pre-evolution rows grouped under a sentinel. The aggregate is
+    materialized (eager localCheckpoint) before the scratch dir is
+    removed. Oracle: the same generation rule expressed directly over
+    ``orders`` — COUNT and DECIMAL(18,2) sums are order-independent, so
+    the file layout cannot leak into the checked values.
+
+    Scale notes: mergeSchema's footer reconciliation is a driver-side
+    listing cost — on a real lake, pay it once and pin the merged schema
+    in a catalog (or read with an explicit schema), rather than
+    re-merging per query; the NULL back-fill itself is free (no data
+    rewrite). The aggregate is two-phase (map-side partial) on a
+    low-cardinality key."""
+    import os
+    import shutil
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    gen1 = orders.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_totalprice"
+    )
+    gen2 = orders.filter(F.col("o_orderdate") >= cutoff).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    scratch = tempfile.mkdtemp(prefix="s11_evolve_")
+    try:
+        p1 = os.path.join(scratch, "gen1")
+        p2 = os.path.join(scratch, "gen2")
+        gen1.write.parquet(p1)
+        gen2.write.parquet(p2)
+        merged = spark.read.option("mergeSchema", "true").parquet(p1, p2)
+        out = merged.groupBy(
+            F.coalesce("o_orderpriority", F.lit("<pre-evolution>")).alias(
+                "priority"
+            )
+        ).agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        from wx20222_bigdata_spark.plans.caching import materialize
+
+        out = materialize(out)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return out

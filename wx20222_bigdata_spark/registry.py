@@ -47,13 +47,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # CORRECTNESS row yet — plus anything new/changed this round — get checked
 # before already-driver-verified ones. See NOTES_r2.md.
 _FRONT: list[str] = [
-    # Round-8 rotation (r7 verdict item 3): first the ten seats REWRITTEN
-    # this round (the q9-rule broadcast sweep: forced F.broadcast() of
-    # SF-scaled part/supplier/customer removed, AQE-governed now — fresh
-    # driver rows required even though logic is unchanged), then the
-    # ENTIRE remaining r03-stale cohort (last driver row r03; q14 is in
-    # both groups and leads the sweep block), then 18 of the r04
-    # cohort's seats to lift the staleness floor.
+    # Round-8 rotation (r7 verdict item 3): the two seats ADDED this
+    # round first (o13 leakage-safe split, s11 schema evolution — never
+    # driver-checked), then the ten seats REWRITTEN this round (the
+    # q9-rule broadcast sweep: forced F.broadcast() of SF-scaled
+    # part/supplier/customer removed, AQE-governed now — fresh driver
+    # rows required even though logic is unchanged), then the ENTIRE
+    # remaining r03-stale cohort (last driver row r03; q14 is in both
+    # groups and leads the sweep block), then 16 of the r04 cohort's
+    # seats to lift the staleness floor (s9d/s9e yield their slots to
+    # the new seats — both drive-sim pre-verified green this round).
+    # --- NEW seats this round (no driver row yet) ---
+    "o13_cluster_aware_split",
+    "s11_schema_evolution",
     # --- q9-rule broadcast sweep (rewritten r8) ---
     "q14_promo_effect",
     "q16_supplier_part_counts",
@@ -106,8 +112,6 @@ _FRONT: list[str] = [
     "s9_tumbling_window",
     "s9b_sliding_window",
     "s9c_session_windows",
-    "s9d_windowed_dedup",
-    "s9e_interval_join",
 ]
 
 
