@@ -62,6 +62,19 @@ ARROW_QUERIES = {
     "etl_prepare_features",
 }
 
+#: Queries that execute work EAGERLY at call time (driver-loop iteration
+#: with per-round localCheckpoint, eager sketch-table materialization):
+#: for these the timer must start BEFORE the query call or the measured
+#: cost is only the final checkpoint scan (the flaw found in the r8
+#: eager-seat curve audit — SCALE.md "Eager-seat curve correction";
+#: e9c's pre-correction pin of 0.109 s was really a ~10x larger
+#: algorithm). Budgets for these were re-pinned under the corrected
+#: timing (bench_budgets.json `_repin_r8`).
+EAGER_QUERIES = {
+    "e9c_verified_clusters",
+    "e35_hyperplane_semdedup",
+}
+
 #: Headline suite: one representative per operator family (SURVEY.md §2,
 #: incl. the E6–E8 LLM-pipeline family added in round 2).
 HEADLINE = [
@@ -234,8 +247,14 @@ def main() -> None:
         # would understate real execution cost).
         samples = []
         for _ in range(N_RUNS):
-            df = queries[name](spark, sf_dir)
-            t0 = time.perf_counter()
+            if name in EAGER_QUERIES:
+                # call-time-eager seat: the algorithm runs inside the
+                # query call — time call + write together
+                t0 = time.perf_counter()
+                df = queries[name](spark, sf_dir)
+            else:
+                df = queries[name](spark, sf_dir)
+                t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)

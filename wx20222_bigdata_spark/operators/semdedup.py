@@ -24,6 +24,8 @@ clusters; the threshold comes from the recall curve, not from taste.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd  # module-level: pandas_udf type-hint resolution
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -271,6 +273,16 @@ def e35_hyperplane_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     )
+    return _hp_prune_from_sig(sig)
+
+
+def _hp_prune_from_sig(sig: DataFrame) -> DataFrame:
+    """Shared e35/e35b tail: band explode → banded self-join → per-vector
+    max lower-id cosine → keep flag. ``sig`` must carry (vec_id,
+    embedding, nrm, band0..band{HP_BANDS-1}); the cosine is computed from
+    ``embedding`` directly, so the two tiers' OUTPUT values are identical
+    whenever their sign bits agree (the signature only selects which
+    pairs are compared)."""
     bands = sig.select(
         "vec_id",
         "embedding",
@@ -317,3 +329,97 @@ def e35_hyperplane_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mc, 6).alias("max_lower_cosine"),
         (mc < F.lit(TAU_HP)).alias("is_kept"),
     )
+
+
+@query(
+    "e35b_hyperplane_semdedup_production",
+    oracle=f"""
+WITH corpus AS ({_CORPUS_DUCK_EMB}),
+sig AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum([embedding[i] * embedding[i] for i in range(1, {DIM + 1})])) AS nrm,
+         {', '.join(f'CAST({_hp_band_duck(b)} AS INT) AS band{b}' for b in range(HP_BANDS))}
+  FROM corpus
+),
+bands AS (
+  {' UNION ALL '.join(f'SELECT vec_id, embedding, nrm, {b} AS band, band{b} AS bkey FROM sig' for b in range(HP_BANDS))}
+),
+pairs AS (
+  SELECT a.vec_id AS ia,
+         list_sum([a.embedding[i] * b.embedding[i] for i in range(1, {DIM + 1})])
+           / (a.nrm * b.nrm) AS cosine
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                            AND b.vec_id < a.vec_id
+),
+lower_max AS (SELECT ia, MAX(cosine) AS mc FROM pairs GROUP BY ia)
+SELECT s.vec_id,
+       ROUND(COALESCE(l.mc, -1.0), 6) AS max_lower_cosine,
+       COALESCE(l.mc, -1.0) < {TAU_HP} AS is_kept
+FROM sig s LEFT JOIN lower_max l ON l.ia = s.vec_id
+""",
+)
+def e35b_hyperplane_semdedup_production(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E35's production signature tier: the 64 hyperplane dots as ONE
+    Arrow-batched numpy matmul (``E @ Wᵀ`` + bit-pack) instead of ~4k
+    flat SQL arithmetic nodes per row. Same banding, same pair join,
+    same cosine/keep tail (shared ``_hp_prune_from_sig``) — only the
+    sign-bit computation moves to the vectorized kernel, the same
+    split the text LSH family uses (e2b oracle hash vs e2g xxhash64).
+
+    Why it exists, with numbers: the giant-expression signature pass is
+    codegen-hostile — Spark's generated method for ~4k-node projections
+    exceeds the JIT compile budget and runs as interpreted bytecode,
+    measured 3.5 s at sf0.1 and 52/36 s at sf1/sf10 (fresh-call eager
+    timing, SCALING_CURVE), i.e. milliseconds of math costing tens of
+    seconds. The numpy kernel does the identical double-precision
+    arithmetic at BLAS speed.
+
+    Float caveat, stated honestly: numpy's matmul accumulates in a
+    different order than the SQL form's left-to-right chain, so a sign
+    bit could differ when |dot| is within accumulated rounding (~1e-13)
+    of zero — integer weights and O(1) data values put that odds around
+    1e-9 for the whole fixture. The oracle is shared with e35 (so the
+    seat is fully hash-checked), and tests/test_semdedup_tiers.py pins
+    band-key equality tier-vs-tier so any future drift fails loudly in
+    pytest before a driver round sees it."""
+    from pyspark.sql.functions import pandas_udf
+
+    from wx20222_bigdata_spark.plans.caching import materialize
+
+    w_t = np.array(_HP_W, dtype=np.float64).T  # DIM x HP_PLANES
+
+    @pandas_udf("array<int>")
+    def _hp_sig(embs: pd.Series) -> pd.Series:
+        if embs.empty:
+            return pd.Series([], dtype=object)
+        e = np.stack(embs.to_numpy())  # m x DIM float64
+        signs = (e @ w_t) > 0  # m x HP_PLANES
+        pow2 = 1 << np.arange(HP_BITS, dtype=np.int64)
+        keys = np.stack(
+            [
+                (signs[:, b * HP_BITS : (b + 1) * HP_BITS] @ pow2).astype(
+                    np.int32
+                )
+                for b in range(HP_BANDS)
+            ],
+            axis=1,
+        )
+        return pd.Series(list(keys))
+
+    corpus = _emb_corpus_with_mutants(spark, sf_dir)
+    sig = materialize(
+        corpus.select(
+            "vec_id",
+            "embedding",
+            norm("embedding").alias("nrm"),
+            _hp_sig("embedding").alias("bk"),
+        ).select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            *[F.col("bk")[b].alias(f"band{b}") for b in range(HP_BANDS)],
+        )
+    )
+    return _hp_prune_from_sig(sig)

@@ -47,19 +47,25 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # CORRECTNESS row yet — plus anything new/changed this round — get checked
 # before already-driver-verified ones. See NOTES_r2.md.
 _FRONT: list[str] = [
-    # Round-8 rotation (r7 verdict item 3): the two seats ADDED this
-    # round first (o13 leakage-safe split, s11 schema evolution — never
-    # driver-checked), then the ten seats REWRITTEN this round (the
-    # q9-rule broadcast sweep: forced F.broadcast() of SF-scaled
+    # Round-8 rotation (r7 verdict item 3): the seats ADDED this round
+    # first (o13 leakage-safe split, s11 schema evolution, e35b numpy
+    # signature tier — never driver-checked; plus e35, refactored for
+    # the shared prune tail), then the ten seats REWRITTEN this round
+    # (the q9-rule broadcast sweep: forced F.broadcast() of SF-scaled
     # part/supplier/customer removed, AQE-governed now — fresh driver
     # rows required even though logic is unchanged), then the ENTIRE
     # remaining r03-stale cohort (last driver row r03; q14 is in both
-    # groups and leads the sweep block), then 16 of the r04 cohort's
-    # seats to lift the staleness floor (s9d/s9e yield their slots to
-    # the new seats — both drive-sim pre-verified green this round).
+    # groups and leads the sweep block), then 14 of the r04 cohort's
+    # seats to lift the staleness floor (s9b/s9c/s9d/s9e yield their
+    # slots to the new/changed seats — all four drive-sim pre-verified
+    # green this round).
     # --- NEW seats this round (no driver row yet) ---
     "o13_cluster_aware_split",
     "s11_schema_evolution",
+    "e35b_hyperplane_semdedup_production",
+    # e35 itself was refactored late-r8 (shared _hp_prune_from_sig tail
+    # + eager-timing correction) — fresh driver row wanted
+    "e35_hyperplane_semdedup",
     # --- q9-rule broadcast sweep (rewritten r8) ---
     "q14_promo_effect",
     "q16_supplier_part_counts",
@@ -110,8 +116,6 @@ _FRONT: list[str] = [
     "s1_json_roundtrip",
     "s4_csv_line_parse",
     "s9_tumbling_window",
-    "s9b_sliding_window",
-    "s9c_session_windows",
 ]
 
 
