@@ -368,13 +368,14 @@ def e35b_hyperplane_semdedup_production(
     sign-bit computation moves to the vectorized kernel, the same
     split the text LSH family uses (e2b oracle hash vs e2g xxhash64).
 
-    Why it exists, with numbers: the giant-expression signature pass is
-    codegen-hostile — Spark's generated method for ~4k-node projections
-    exceeds the JIT compile budget and runs as interpreted bytecode,
-    measured 3.5 s at sf0.1 and 52/36 s at sf1/sf10 (fresh-call eager
-    timing, SCALING_CURVE), i.e. milliseconds of math costing tens of
-    seconds. The numpy kernel does the identical double-precision
-    arithmetic at BLAS speed.
+    Why it exists, with numbers: the giant-expression signature pass
+    is codegen-hostile — whole-stage code generation DECLINES the
+    ~4k-node projection (the executed plan has no WholeStageCodegen
+    span at all; verified), so the expression tree evaluates
+    interpreted per row: 3.5 s at sf0.1 and 52/36 s at sf1/sf10
+    (fresh-call eager timing, SCALING_CURVE), i.e. milliseconds of math
+    costing tens of seconds. The numpy kernel does the identical
+    double-precision arithmetic at BLAS speed.
 
     Float caveat, stated honestly: numpy's matmul accumulates in a
     different order than the SQL form's left-to-right chain, so a sign
