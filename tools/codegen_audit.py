@@ -46,6 +46,28 @@ _EXEMPT_PREFIXES = (
 
 
 def _audit_plan(plan: str) -> dict:
+    # AQE prints "== Final Plan ==" followed by "== Initial Plan ==";
+    # the initial section has no codegen markers and must not be
+    # audited (it false-flags every operator as interpreted).
+    if "== Initial Plan ==" in plan:
+        plan = plan.split("== Initial Plan ==", 1)[0]
+    # AQE empty-relation propagation replaces an empty result's subtree
+    # with EmptyRelation + a LogicalQueryStage printout of the LOGICAL
+    # plan — those lines are not physical operators (nothing executes)
+    # and must not be audited.
+    if "EmptyRelation" in plan:
+        out_lines = []
+        skip_depth = None
+        for line in plan.splitlines():
+            indent = len(line) - len(line.lstrip(" :+-"))
+            if skip_depth is not None and indent > skip_depth:
+                continue
+            skip_depth = None
+            if "LogicalQueryStage" in line or "EmptyRelation" in line:
+                skip_depth = indent
+                continue
+            out_lines.append(line)
+        plan = "\n".join(out_lines)
     wsc = plan.count("*(")  # codegen'd operators print with a *(id) prefix
     spans = len(set(re.findall(r"\*\((\d+)\)", plan)))
     flagged = []
@@ -60,7 +82,23 @@ def _audit_plan(plan: str) -> dict:
         if any(name.startswith(e) for e in (
             "Project", "Filter", "HashAggregate"
         )):
-            flagged.append(stripped[:90])
+            # classify the KNOWN non-codegen-able classes so the report
+            # separates "by-design" from "unexplained" (an e35-class
+            # cliff would show up as unexplained flat arithmetic)
+            if "lambdafunction" in stripped:
+                cause = "hof-lambda"  # HOFs exclude the op from WSC
+            elif "pythonUDF" in stripped:
+                cause = "python-udf-ref"
+            elif any(f in stripped for f in (
+                "pivotfirst", "percentile", "approx_count_distinct",
+                "hll", "collect_list", "collect_set", "first(", "last(",
+            )):
+                cause = "imperative-aggregate"
+            elif "from_json" in stripped or "to_json" in stripped:
+                cause = "json-codec"  # JsonToStructs is CodegenFallback
+            else:
+                cause = "UNEXPLAINED"
+            flagged.append({"cause": cause, "op": stripped[:160]})
     return {"wsc_ops": wsc, "wsc_spans": spans, "interpreted_ops": flagged}
 
 
@@ -91,7 +129,11 @@ def main() -> None:
     for name, fn in queries.items():
         try:
             df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            # IMPORTANT: finalize THIS DataFrame's QueryExecution — a
+            # noop write runs through a separate QE, leaving this plan
+            # un-finalized (AQE isFinalPlan=false, no codegen markers
+            # → every operator false-flags as interpreted).
+            df.tail(1)
             plan = df._jdf.queryExecution().executedPlan().toString()
             row = _audit_plan(plan)
             row["err"] = None
@@ -99,13 +141,19 @@ def main() -> None:
             row = {"wsc_ops": None, "wsc_spans": None,
                    "interpreted_ops": [], "err": f"{type(e).__name__}: {e}"[:200]}
         report[name] = row
-        if row["interpreted_ops"]:
+        unexplained = [
+            o for o in row["interpreted_ops"] if o["cause"] == "UNEXPLAINED"
+        ]
+        if unexplained:
             n_flagged += 1
-            print(f"FLAG {name}: {len(row['interpreted_ops'])} interpreted op(s)"
-                  f" — first: {row['interpreted_ops'][0]}", flush=True)
+            print(f"FLAG {name}: {len(unexplained)} UNEXPLAINED interpreted"
+                  f" op(s) — first: {unexplained[0]['op'][:110]}", flush=True)
     json.dump(report, open(out_file, "w"), indent=1, sort_keys=True)
-    print(f"\n{len(report)} seats audited, {n_flagged} with interpreted "
-          f"Project/Filter/HashAggregate outside codegen → {out_file}")
+    n_any = sum(1 for r in report.values() if r.get("interpreted_ops"))
+    print(f"\n{len(report)} seats audited; {n_any} with interpreted ops "
+          f"(known classes: hof-lambda / imperative-aggregate / "
+          f"python-udf-ref), {n_flagged} with UNEXPLAINED interpreted "
+          f"Project/Filter/HashAggregate → {out_file}")
 
 
 if __name__ == "__main__":
