@@ -76,6 +76,8 @@ SHOWN = [
     # --- round-8 additions (broadcast sweep + shared partitioning) ---
     ("q16_supplier_part_counts", "swept seat (r8): part + filtered-supplier joins AQE-governed — no forced broadcast of an SF-scaled table; anti join before the distinct expansion"),
     ("e19_unigram_logprob", "window-form vocab stats (r8): per-token count = sum(k) over a tok window of the pairs table — no frequency table materialized, joined, or broadcast; one tok exchange total"),
+    ("e35b_hyperplane_semdedup_production", "numpy signature tier (r8): sign bits via one ArrowEvalPython matmul (the flat-SQL form's ~4k-node projection is codegen-declined and interprets); shared banded-join prune tail — plan shows the post-checkpoint join"),
+    ("o13_cluster_aware_split", "leakage-safe split (r8): comp labels left-joined onto the corpus, md5 split projection — plan shows the post-closure join (CC rounds run eagerly, audited via eager_seat_curve)"),
 ]
 
 
