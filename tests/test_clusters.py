@@ -132,3 +132,36 @@ def test_o13_cluster_aware_split_laws(spark):
     }
     for r in rows:
         assert r.cluster_id == comp.get(r.doc_id, r.doc_id)
+
+
+def test_o13b_production_split_laws(spark):
+    """o13b (production tier, rows-only seat): the compensating laws —
+    full coverage, no cluster straddles splits, mutants inherit their
+    source's split under the xxhash64+capped pair tier too."""
+    from wx20222_bigdata_spark.operators.clusters import (
+        o13b_cluster_split_production,
+    )
+
+    rows = o13b_cluster_split_production(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    n_mutants = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") % 50 == 0)
+        .count()
+    )
+    assert len(rows) == n_docs + n_mutants
+    assert len({r.doc_id for r in rows}) == len(rows)
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    by_cluster: dict[int, set] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    split_of = {r.doc_id: r.split for r in rows}
+    cluster_of = {r.doc_id: r.cluster_id for r in rows}
+    mutant_ids = [r.doc_id for r in rows if r.doc_id >= 100000]
+    assert mutant_ids
+    for m in mutant_ids:
+        # the production hash must still cluster the mutant with its
+        # source (e2g's recall law, end to end) — hence same split
+        assert cluster_of[m] == cluster_of[m - 100000]
+        assert split_of[m] == split_of[m - 100000]

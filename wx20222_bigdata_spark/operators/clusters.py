@@ -423,6 +423,13 @@ def o13_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
     comp = connected_components(edges)
+    return _split_by_cluster(corpus, comp)
+
+
+def _split_by_cluster(corpus: DataFrame, comp: DataFrame) -> DataFrame:
+    """Shared o13/o13b tail: LEFT JOIN component labels onto the corpus
+    (docs in no pair are singleton clusters keyed by their own id), then
+    o10's md5-prefix 90/5/5 bucket on the cluster key."""
     assigned = (
         corpus.select("doc_id")
         .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
@@ -442,3 +449,41 @@ def o13_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@query("o13b_cluster_split_production")
+def o13b_cluster_split_production(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """o13's PRODUCTION tier — the measured version of its docstring's
+    scale prose: candidate pairs come from the xxhash64 production hash
+    (e2g's tier, ~3x cheaper per shingle than the cross-engine oracle
+    fold) with PROD_MAX_BUCKET_SIZE frequent-bucket pruning applied
+    BEFORE the self-join (the guard that keeps one degenerate
+    boilerplate bucket from emitting B^2/2 pairs on a single reducer),
+    then the same verified (>=2-shared-band) edges -> connected
+    components -> md5-by-cluster split tail as o13.
+
+    Rows-only by design (no xxhash64 in DuckDB — the e2g precedent);
+    the compensating laws in tests/test_clusters.py pin the properties
+    that matter: full-corpus coverage, one row per doc, NO cluster
+    straddling a split boundary, and seeded mutants inheriting their
+    source's split (the production hash recovers the same planted
+    near-dup structure — e2g's recall law, re-asserted here end to
+    end). Where the tiers can differ, by design: a pruned degenerate
+    bucket may drop an edge the oracle tier kept, splitting a chance
+    chain — acceptable at scale (such buckets carry no discriminating
+    signal), and exactly why the cap is production-only."""
+    from wx20222_bigdata_spark.operators.dedup import PROD_MAX_BUCKET_SIZE
+
+    corpus = _corpus_with_mutants_spark(spark, sf_dir)
+    bands = minhash_band_keys(corpus, production_hash=True)
+    edges = (
+        lsh_candidate_pairs(bands, max_bucket_size=PROD_MAX_BUCKET_SIZE)
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("band").alias("n_shared_bands"))
+        .filter(F.col("n_shared_bands") >= 2)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    comp = connected_components(edges)
+    return _split_by_cluster(corpus, comp)

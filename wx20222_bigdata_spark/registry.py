@@ -55,12 +55,13 @@ _FRONT: list[str] = [
     # part/supplier/customer removed, AQE-governed now — fresh driver
     # rows required even though logic is unchanged), then the ENTIRE
     # remaining r03-stale cohort (last driver row r03; q14 is in both
-    # groups and leads the sweep block), then 14 of the r04 cohort's
-    # seats to lift the staleness floor (s9b/s9c/s9d/s9e yield their
-    # slots to the new/changed seats — all four drive-sim pre-verified
+    # groups and leads the sweep block), then 13 of the r04 cohort's
+    # seats to lift the staleness floor (s9/s9b/s9c/s9d/s9e yield their
+    # slots to the new/changed seats — all five drive-sim pre-verified
     # green this round).
     # --- NEW seats this round (no driver row yet) ---
     "o13_cluster_aware_split",
+    "o13b_cluster_split_production",
     "s11_schema_evolution",
     "e35b_hyperplane_semdedup_production",
     # e35 itself was refactored late-r8 (shared _hp_prune_from_sig tail
@@ -115,7 +116,6 @@ _FRONT: list[str] = [
     "q8_market_share",
     "s1_json_roundtrip",
     "s4_csv_line_parse",
-    "s9_tumbling_window",
 ]
 
 
