@@ -73,6 +73,7 @@ ARROW_QUERIES = {
 EAGER_QUERIES = {
     "e9c_verified_clusters",
     "e35_hyperplane_semdedup",
+    "e35b_hyperplane_semdedup_production",
 }
 
 #: Headline suite: one representative per operator family (SURVEY.md §2,
@@ -122,6 +123,8 @@ HEADLINE = [
     # round-7 additions (oracle-upgraded seats now perf-gated too)
     "e27_bpe_apply",              # pinned-merge-table BPE encode
     "f13_mlm_corruption",         # salted-hash MLM 80/10/10 corruption
+    # round-8 addition: the numpy signature tier next to its oracle twin
+    "e35b_hyperplane_semdedup_production",
     "e9c_verified_clusters",      # >=2-band verified connected components
     # round-8 additions (broadcast-sweep + shared-partitioning seats)
     "q16_supplier_part_counts",   # swept seat: AQE-governed part/supplier joins
