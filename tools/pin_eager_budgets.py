@@ -85,18 +85,21 @@ def main() -> None:
     for name in seats:
         pins[name] = round(statistics.median(per_session[name]), 3)
         budgets[name] = pins[name]
-    budgets["_repin_r8"] = (
-        "e9c/e35 re-pinned under the r8 eager-timing fix (bench.py "
-        "EAGER_QUERIES: timer starts before the query call, so CC "
-        "iterations / eager sketch materialization are inside the "
-        "measurement — the old pins timed only the final checkpoint "
-        "scan). Session medians: "
+    note = (
+        "Pinned under eager timing (bench.py EAGER_QUERIES: timer starts "
+        "before the query call). Session medians: "
         + "; ".join(
             f"{n} {'/'.join(f'{v:.3f}' for v in per_session[n])}"
             for n in seats
         )
-        + f"; calib window {min(calibs):.3f}-{max(calibs):.3f}."
+        + f"; calib window {min(calibs):.3f}-{max(calibs):.3f} (first "
+        "sample is cold-JVM — the probe runs before the warmup call)."
     )
+    # APPEND to any existing note — an overwrite silently discards the
+    # previous pins' session medians (happened once in r8; restored by
+    # hand).
+    prior = budgets.get("_repin_r8")
+    budgets["_repin_r8"] = f"{prior} || {note}" if prior else note
     json.dump(budgets, open(budgets_path, "w"), indent=1, sort_keys=True)
     print("pinned:", pins)
     print("calib window:", min(calibs), "-", max(calibs))
