@@ -27,3 +27,38 @@ def test_e12_apportionment_invariants(spark):
     # selection respects the declared quota and rank contract
     for r in rows:
         assert 1 <= r["pick_rank"] <= r["quota"]
+
+
+def test_e12b_sqrt_flattening_law(spark):
+    """Temperature quota follows √n, not n: a 10000:100:1 availability
+    skew (raw head share 99%) apportions 100:10:1 (head share 90%) —
+    chosen so units [100, 10, 1] sum to exactly the budget 111 and the
+    apportionment is remainder-free, making the law integer-exact."""
+    from wx20222_bigdata_spark.operators.mixing import sqrt_temperature_quota
+
+    avail = spark.createDataFrame(
+        [("head", 10000), ("mid", 100), ("tail", 1)], "source string, n long"
+    )
+    q = {
+        r["source"]: r["quota"]
+        for r in sqrt_temperature_quota(avail, 111).collect()
+    }
+    assert q == {"head": 100, "mid": 10, "tail": 1}
+
+
+def test_e12b_budget_and_cap_invariants(spark):
+    from wx20222_bigdata_spark.operators.mixing import (
+        B2,
+        e12b_temperature_mixture,
+    )
+
+    rows = e12b_temperature_mixture(spark, SF).collect()
+    # availability never binds at sf0.01 (25 docs/source, quota ≤ 8) —
+    # the budget is met exactly
+    assert len(rows) == B2
+    for r in rows:
+        assert 1 <= r["pick_rank"] <= r["quota"]
+    # tail sources are never starved: every source with n ≥ 1 gets ≥ 1
+    # (floor(sqrt)≥1 floor guarantees a nonzero unit)
+    per_source = Counter(r["source"] for r in rows)
+    assert len(per_source) == 20

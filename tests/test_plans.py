@@ -225,6 +225,8 @@ def test_no_unpartitioned_window_in_declared_set(spark):
         # source-cardinality-bounded apportionment table (one row per
         # source) — the global window ranks ~20 aggregate rows, not data
         "e12_mixture_sampling",
+        # same bounded apportionment table, √n temperature units
+        "e12b_temperature_mixture",
         # rank-number windows run AFTER TakeOrderedAndProject bounds
         # each modality list to RRF_DEPTH rows (never the scored set)
         "rrf1_hybrid_retrieval",

@@ -1,0 +1,87 @@
+"""Span laws for e36 exact-substring trim (operators/substring.py).
+
+Cross-engine exactness on the fixture corpus is covered by
+test_oracle_parity; these pin the POSITIONAL semantics on hand-built
+corpora where the right answer is computable by eye: a seeded verbatim
+run covers exactly its own positions, overlapping duplicated windows
+merge into one span, within-doc repetition counts (Lee et al. count
+occurrences, not documents), and sub-K docs emit nothing.
+"""
+
+from __future__ import annotations
+
+from wx20222_bigdata_spark.operators.substring import K, span_trim
+
+# 24 unique filler tokens — never part of a duplicated gram.
+_FILL = [f"u{i}" for i in range(24)]
+_RUN = "r1 r2 r3 r4 r5 r6 r7 r8"  # 8-token shared run
+
+
+def _trim(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = span_trim(df).toPandas().set_index("doc_id")
+    return out
+
+
+def test_seeded_run_covers_exactly_its_positions(spark):
+    # run at positions 5..12 of doc 0 and 9..16 of doc 1, unique elsewhere:
+    # only the 8-5+1 = 4 windows fully inside the run are duplicated, so
+    # coverage is exactly the 8 run tokens, one contiguous span.
+    a = " ".join(_FILL[:4]) + " " + _RUN + " " + " ".join(_FILL[4:8])
+    b = " ".join(_FILL[8:16]) + " " + _RUN + " " + " ".join(_FILL[16:20])
+    out = _trim(spark, [(0, a), (1, b)])
+    for d in (0, 1):
+        assert out.loc[d, "n_dup_tokens"] == 8
+        assert out.loc[d, "n_spans"] == 1
+    assert out.loc[0, "n_tokens"] == 16
+    assert round(out.loc[0, "dup_fraction"], 6) == 0.5
+
+
+def test_within_doc_repetition_counts(spark):
+    # the same K-gram twice inside ONE doc is a duplicated substring
+    # (occurrence count, not document frequency): both occurrences'
+    # positions are covered, two separate spans across the unique pivot.
+    g = " ".join(f"g{i}" for i in range(K))
+    doc = g + " " + _FILL[0] + " " + g
+    out = _trim(spark, [(0, doc), (1, " ".join(_FILL[1:9]))])
+    assert out.loc[0, "n_dup_tokens"] == 2 * K
+    assert out.loc[0, "n_spans"] == 2
+    assert out.loc[1, "n_dup_tokens"] == 0
+
+
+def test_overlapping_windows_merge_into_one_span(spark):
+    # doc 1 repeats doc 0's first K+1 tokens: two duplicated K-grams
+    # overlap in K-1 positions and must merge to ONE span of K+1 tokens.
+    head = " ".join(f"h{i}" for i in range(K + 1))
+    out = _trim(
+        spark,
+        [(0, head + " " + " ".join(_FILL[:4])),
+         (1, head + " " + " ".join(_FILL[4:8]))],
+    )
+    for d in (0, 1):
+        assert out.loc[d, "n_dup_tokens"] == K + 1
+        assert out.loc[d, "n_spans"] == 1
+
+
+def test_identical_docs_fully_covered(spark):
+    text = " ".join(_FILL[:10])
+    out = _trim(spark, [(0, text), (1, text)])
+    for d in (0, 1):
+        assert out.loc[d, "n_dup_tokens"] == 10
+        assert out.loc[d, "n_spans"] == 1
+        assert out.loc[d, "dup_fraction"] == 1.0
+
+
+def test_sub_k_and_blank_docs(spark):
+    out = _trim(
+        spark,
+        [(0, " ".join(_FILL[:K - 1])),  # K-1 tokens: no gram possible
+         (1, "   "),                     # whitespace only: zero tokens
+         (2, " ".join(_FILL[:8]))],
+    )
+    assert out.loc[0, "n_tokens"] == K - 1
+    assert out.loc[0, "n_dup_tokens"] == 0
+    assert out.loc[0, "dup_fraction"] == 0.0
+    assert out.loc[1, "n_tokens"] == 0
+    import math
+    assert math.isnan(out.loc[1, "dup_fraction"]) or out.loc[1, "dup_fraction"] is None

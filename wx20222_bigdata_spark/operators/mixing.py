@@ -130,3 +130,128 @@ def e12_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quota",
         )
     )
+
+
+# --- e12b: temperature-flattened mixture --------------------------------
+B2 = 151  #: e12b budget (prime, like e12's — nonzero remainders everywhere)
+
+
+@query(
+    "e12b_temperature_mixture",
+    oracle=f"""
+WITH avail AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+u AS (
+  SELECT source, n,
+         GREATEST(CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT), 1) AS units
+  FROM avail
+),
+w AS (SELECT *, SUM(units) OVER () AS tu FROM u),
+qq AS (
+  SELECT source, n,
+         ({B2} * units) // tu AS base,
+         ({B2} * units) % tu AS rem
+  FROM w
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr,
+         SUM(base) OVER () AS total_base
+  FROM qq
+),
+quota AS (
+  SELECT source,
+         CAST(LEAST(base + CASE WHEN rr <= {B2} - total_base
+                                THEN 1 ELSE 0 END, n) AS BIGINT) AS quota
+  FROM ranked
+),
+sel AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {{pick}}, doc_id
+         ) AS pick_rank
+  FROM documents
+)
+SELECT doc_id, s.source, pick_rank, quota
+FROM sel s JOIN quota USING (source)
+WHERE pick_rank <= quota
+""".format(pick=duck_md5_hash("CAST(doc_id AS VARCHAR)")),
+)
+def e12b_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12b temperature-flattened mixture — e12's apportionment with
+    weights ∝ n_k^(1/2) instead of fixed priority units: the α=0.5
+    "temperature" rebalancing every multilingual / multi-domain
+    pretraining recipe applies (Conneau & Lample 2019 §3.1; the
+    p_i^α / Σ p_j^α upsampling of low-resource sources) so head domains
+    stop drowning out tail domains without letting any tail dominate.
+
+    Determinism across engines without float weights: the weight unit is
+    ``floor(sqrt(n_k))`` — IEEE-754 sqrt is correctly rounded, so Spark
+    and DuckDB compute the identical double for any BIGINT count, and
+    the floor makes the apportionment all-integer from there (the same
+    largest-remainder machinery as e12, with the unit total now a
+    data-dependent window sum over the bounded per-source table).
+
+    Scale shape: identical to e12 — the apportionment table is one row
+    per source (bounded; its windows are exempt-class), broadcast to the
+    corpus; the pick is the md5-ordered row_number per source."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    avail = docs.groupBy("source").agg(F.count("*").alias("n"))
+    quota = sqrt_temperature_quota(avail, B2)
+    sel = docs.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.expr(spark_md5_hash("CAST(doc_id AS STRING)")), "doc_id"
+            )
+        )
+        .alias("pick_rank"),
+    )
+    return (
+        sel.join(F.broadcast(quota), "source")
+        .filter(F.col("pick_rank") <= F.col("quota"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("pick_rank").cast("bigint").alias("pick_rank"),
+            "quota",
+        )
+    )
+
+
+def sqrt_temperature_quota(avail: DataFrame, budget: int) -> DataFrame:
+    """Largest-remainder apportionment of ``budget`` over ``(source, n)``
+    with weight units ``max(floor(sqrt(n)), 1)`` — e12b's core, split out
+    so the flattening law (quota ratios follow √n ratios on a skewed
+    availability table) is testable on hand-built frames."""
+    u = avail.select(
+        "source",
+        "n",
+        F.greatest(
+            F.expr("CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT)"), F.lit(1)
+        ).alias("units"),
+    )
+    # bounded: one row per source (exempt single-partition windows).
+    w = u.select("*", F.sum("units").over(Window.partitionBy()).alias("tu"))
+    qq = w.select(
+        "source",
+        "n",
+        F.expr(f"({budget} * units) div tu").alias("base"),
+        F.expr(f"({budget} * units) % tu").alias("rem"),
+    )
+    ranked = qq.select(
+        "*",
+        F.row_number().over(Window.orderBy(F.desc("rem"), "source")).alias("rr"),
+        F.sum("base").over(Window.partitionBy()).alias("total_base"),
+    )
+    return ranked.select(
+        "source",
+        F.least(
+            F.col("base")
+            + F.when(F.col("rr") <= budget - F.col("total_base"), 1).otherwise(0),
+            F.col("n"),
+        )
+        .cast("bigint")
+        .alias("quota"),
+    )

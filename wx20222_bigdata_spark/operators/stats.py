@@ -684,3 +684,97 @@ def m5_changefeed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("payload").cast("double").alias("price"),
         )
     )
+
+
+# --- m6: right-to-be-forgotten deletion propagation ---------------------
+#: m6 deterministic corpus augmentation + deletion rule. Every COPY_MOD-th
+#: document gets a verbatim copy (doc_id + COPY_OFFSET) — the seeded-
+#: duplicate idiom of decontam.py — so survivor groups with >1 member
+#: exist even on an all-unique fixture; the deletion list is every
+#: DELETE_MOD-th doc_id of the AUGMENTED corpus. COPY_OFFSET % DELETE_MOD
+#: == 1, so an original and its copy are never both deleted — the
+#: "fallback winner" case is always observable.
+M6_COPY_MOD = 13
+M6_DELETE_MOD = 7
+M6_COPY_OFFSET = 1_000_000
+
+
+@query(
+    "m6_deletion_propagation",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {M6_COPY_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % {M6_COPY_MOD} = 0
+),
+g AS (
+  SELECT md5(text) AS content_key, doc_id,
+         (doc_id % {M6_DELETE_MOD} = 0) AS deleted
+  FROM corpus
+)
+SELECT content_key,
+       MIN(doc_id) AS old_keep_id,
+       MIN(CASE WHEN NOT deleted THEN doc_id END) AS new_keep_id,
+       COUNT(*) AS n_copies_before,
+       CAST(SUM(CASE WHEN deleted THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_copies_after,
+       (MIN(doc_id) <> COALESCE(
+          MIN(CASE WHEN NOT deleted THEN doc_id END), -1)) AS winner_changed
+FROM g
+GROUP BY content_key
+""",
+)
+def m6_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 deletion propagation — the right-to-be-forgotten pass over a
+    deduplicated corpus: applying a deletion list to the RAW corpus must
+    also repair every DERIVED table, and the exact-dedup survivor set
+    (e1b) is the canonical derived table. For each content group: the
+    winner before deletion (min doc_id, e1b's keep policy), the winner
+    AFTER (min over surviving members — a deleted winner falls back to
+    the next copy; NULL when the whole group is deleted), copy counts
+    before/after, and whether the canonical document changed (a changed
+    winner means downstream artifacts keyed on keep_id must be
+    recomputed — the propagation signal a GDPR pipeline acts on).
+
+    The fixture corpus is all-unique, so multi-member groups are seeded
+    deterministically (every {M6_COPY_MOD}th doc gets a verbatim copy at
+    doc_id + {M6_COPY_OFFSET}); all four group outcomes occur: untouched
+    singleton, fully-deleted singleton (new_keep_id NULL), pair with
+    surviving winner, pair whose winner is deleted (fallback).
+
+    Plan: the augmentation is a union of two scans of the same parquet
+    (no shuffle); the whole repair is ONE hash exchange on the content
+    key with every aggregate map-side combinable — at 100 TB this is a
+    linear pass, and the deletion list would arrive as a broadcast-able
+    keyset instead of a modulus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionAll(
+        docs.filter(F.col("doc_id") % M6_COPY_MOD == 0).select(
+            (F.col("doc_id") + M6_COPY_OFFSET).alias("doc_id"), "text"
+        )
+    )
+    g = corpus.select(
+        F.md5("text").alias("content_key"),
+        "doc_id",
+        (F.col("doc_id") % M6_DELETE_MOD == 0).alias("deleted"),
+    )
+    agg = g.groupBy("content_key").agg(
+        F.min("doc_id").alias("old_keep_id"),
+        F.min(F.when(~F.col("deleted"), F.col("doc_id"))).alias("new_keep_id"),
+        F.count("*").alias("n_copies_before"),
+        F.sum(F.when(F.col("deleted"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_copies_after"),
+    )
+    return agg.select(
+        "content_key",
+        "old_keep_id",
+        "new_keep_id",
+        "n_copies_before",
+        "n_copies_after",
+        (
+            F.col("old_keep_id")
+            != F.coalesce(F.col("new_keep_id"), F.lit(-1))
+        ).alias("winner_changed"),
+    )
