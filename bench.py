@@ -129,6 +129,8 @@ HEADLINE = [
     # round-8 additions (broadcast-sweep + shared-partitioning seats)
     "q16_supplier_part_counts",   # swept seat: AQE-governed part/supplier joins
     "e19_unigram_logprob",        # shared-partitioning vocab join (no broadcast)
+    # round-8 continuation: exact-substring span trim (Lee et al. pass)
+    "e36_substring_span_trim",    # one-exchange k-gram occurrence window
 ]
 
 
