@@ -162,6 +162,8 @@ def test_no_unintended_cartesian_or_nested_loop(spark):
         # one-row (tt, tr, V) smoothing totals broadcast into the
         # DSIR log-ratio weight table (e19's documented pattern)
         "e31_dsir_importance",
+        # one-row global max-day broadcast (decay reference day)
+        "t10_decay_weighted_value",
     }
     for name, fn in all_queries().items():
         df = fn(spark, SF_ORACLE)
@@ -227,6 +229,8 @@ def test_no_unpartitioned_window_in_declared_set(spark):
         "e12_mixture_sampling",
         # same bounded apportionment table, √n temperature units
         "e12b_temperature_mixture",
+        # one-row global max-day aggregate (decay reference day)
+        "t10_decay_weighted_value",
         # rank-number windows run AFTER TakeOrderedAndProject bounds
         # each modality list to RRF_DEPTH rows (never the scored set)
         "rrf1_hybrid_retrieval",

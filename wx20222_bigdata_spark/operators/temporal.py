@@ -498,3 +498,94 @@ def t5b_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", F.col("n").cast("bigint").alias("n"))
         .filter(F.col("n") > 0)
     )
+
+
+# --- t10: half-life decay-weighted engagement ----------------------------
+T10_HORIZON = 14  #: days; weight 0.5^age, age > horizon excluded
+
+#: exact dyadic decimal literals 0.5^a for a = 0..HORIZON — 5^a zero-padded
+#: to a decimal places is exactly 0.5^a, so the weight table is
+#: integer-derived and bit-identical on any engine that parses decimal
+#: literals (no float pow anywhere).
+_T10_W = {0: "1"} | {
+    a: "0." + f"{5 ** a:0{a}d}" for a in range(1, T10_HORIZON + 1)
+}
+_T10_CASE = (
+    "CASE age "
+    + " ".join(
+        f"WHEN {a} THEN CAST('{w}' AS DECIMAL(16,14))" for a, w in _T10_W.items()
+    )
+    + " END"
+)
+
+
+@query(
+    "t10_decay_weighted_value",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_type, value,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx
+  FROM events
+),
+ref AS (SELECT MAX(day_idx) AS ref_day FROM e),
+aged AS (
+  SELECT user_id, event_type,
+         CAST(value AS DECIMAL(18,6)) AS v,
+         ref_day - day_idx AS age
+  FROM e, ref
+  WHERE ref_day - day_idx <= {T10_HORIZON}
+)
+SELECT user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events_recent,
+       CAST(ROUND(SUM(v * ({_T10_CASE})), 6) AS DOUBLE) AS decayed_value,
+       CAST(ROUND(SUM(v), 6) AS DOUBLE) AS raw_value
+FROM aged
+GROUP BY user_id, event_type
+""",
+)
+def t10_decay_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 half-life decay-weighted engagement — per (user, event_type),
+    the sum of event values weighted by 0.5^age_days against the
+    corpus's most recent day, over a {T10_HORIZON}-day horizon: the
+    standard recency weighting of feed ranking / training-data freshness
+    scoring, with the decay curve chosen so determinism is free.
+
+    Cross-engine exactness without float powers: 0.5^a is the decimal
+    literal 5^a shifted a places (0.5, 0.25, 0.125, …) — a bounded CASE
+    table of exact DECIMAL(16,14) constants, multiplied into
+    DECIMAL(18,6)-cast values and summed as decimals (order-independent,
+    no float accumulation), cast to double and rounded only at the very
+    end. Age is pure integer UTC epoch-day arithmetic (t7 idiom).
+
+    Plan: one narrow scan; the reference day is a one-row global MAX
+    broadcast back via cross join (bounded — the documented one-row-
+    aggregate pattern); one hash exchange for the (user, type) aggregate
+    with map-side partial decimal sums. Linear at any corpus size; the
+    horizon filter prunes ancient history before the shuffle."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 86400").alias("day_idx"),
+    )
+    ref = e.agg(F.max("day_idx").alias("ref_day"))
+    aged = (
+        e.crossJoin(F.broadcast(ref))
+        .withColumn("age", F.col("ref_day") - F.col("day_idx"))
+        .filter(F.col("age") <= T10_HORIZON)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("value").cast("decimal(18,6)").alias("v"),
+            "age",
+        )
+    )
+    return aged.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("n_events_recent"),
+        # round in DECIMAL space (half-up, exact — a dyadic sum can tie at
+        # the 7th decimal and double-rounding loses it), THEN cast
+        F.round(F.sum(F.col("v") * F.expr(_T10_CASE)), 6)
+        .cast("double")
+        .alias("decayed_value"),
+        F.round(F.sum("v"), 6).cast("double").alias("raw_value"),
+    )

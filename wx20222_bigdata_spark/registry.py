@@ -61,12 +61,13 @@ _FRONT: list[str] = [
     # green this round).
     # --- NEW seats this round (no driver row yet) ---
     # late continuation additions: e36 exact-substring span trim,
-    # m6 deletion propagation, e12b temperature mixture (q6/q7/q8 yield
-    # their slots — r04-green and drive-sim pre-verified twice this
-    # round)
+    # m6 deletion propagation, e12b temperature mixture, t10 decay-
+    # weighted engagement (q4/q6/q7/q8 yield their slots — r04-green
+    # and drive-sim pre-verified twice this round)
     "e36_substring_span_trim",
     "m6_deletion_propagation",
     "e12b_temperature_mixture",
+    "t10_decay_weighted_value",
     "o13_cluster_aware_split",
     "o13b_cluster_split_production",
     "s11_schema_evolution",
@@ -117,7 +118,6 @@ _FRONT: list[str] = [
     "q18_large_volume_customers",
     "q22_global_sales_opportunity",
     "q3_shipping_priority",
-    "q4_priority_check",
     "s1_json_roundtrip",
     "s4_csv_line_parse",
 ]
