@@ -229,6 +229,8 @@ def test_no_unpartitioned_window_in_declared_set(spark):
         "e12_mixture_sampling",
         # same bounded apportionment table, √n temperature units
         "e12b_temperature_mixture",
+        # same bounded apportionment table, corpus-count budget + epochs
+        "o15_epoch_repeat_schedule",
         # one-row global max-day aggregate (decay reference day)
         "t10_decay_weighted_value",
         # rank-number windows run AFTER TakeOrderedAndProject bounds

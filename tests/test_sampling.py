@@ -81,3 +81,22 @@ def test_stratified_split_high_cardinality_guard(spark):
     # bounded domain still works under the same cap
     train, hold = stratified_split(docs, "lang", 0.9, 42, key_col="doc_id", max_labels=50)
     assert train.count() + hold.count() == docs.count()
+
+
+def test_o15_epoch_schedule_laws(spark):
+    """Data-constrained repeat schedule: the budget identity is exact
+    (Σ n_repeats == 2·|corpus| + 401 — uncapped largest remainder), and
+    within a source repeats differ by AT MOST one epoch (full epochs for
+    all, one extra for the hash-ranked remainder)."""
+    from wx20222_bigdata_spark.operators.sampling import (
+        o15_epoch_repeat_schedule,
+    )
+
+    pdf = o15_epoch_repeat_schedule(spark, "/root/testdata/sf0.01").toPandas()
+    assert pdf.n_repeats.sum() == 2 * len(pdf) + 401
+    spread = pdf.groupby("source").n_repeats.agg(["min", "max"])
+    assert ((spread["max"] - spread["min"]) <= 1).all()
+    # priority monotonicity: total epochs follow the unit table
+    per_src = pdf.groupby("source").n_repeats.sum()
+    assert per_src["src19"] == per_src.max()
+    assert per_src["src0"] == per_src.min()

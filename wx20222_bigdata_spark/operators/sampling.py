@@ -342,3 +342,117 @@ def o12_consistent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("first_sampled"),
     )
+
+
+# --- o15: multi-epoch repeat schedule (data-constrained training) --------
+O15_UNITS_TOTAL = 210  #: Σ (k+1) over src0..src19 — e12's fixed unit table
+
+
+@query(
+    "o15_epoch_repeat_schedule",
+    oracle=f"""
+WITH avail AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+tot AS (SELECT SUM(n) AS corpus FROM avail),
+budgeted AS (
+  SELECT source, n, 2 * corpus + 401 AS b,
+         CAST(substring(source, 4) AS INT) + 1 AS units
+  FROM avail, tot
+),
+qq AS (
+  SELECT source, n,
+         (b * units) // {O15_UNITS_TOTAL} AS base,
+         (b * units) % {O15_UNITS_TOTAL} AS rem, b
+  FROM budgeted
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr,
+         SUM(base) OVER () AS total_base
+  FROM qq
+),
+quota AS (
+  SELECT source, n,
+         base + CASE WHEN rr <= b - total_base THEN 1 ELSE 0 END AS quota
+  FROM ranked
+),
+sel AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS pick_rank
+  FROM documents
+)
+SELECT s.doc_id, s.source,
+       CAST(q.quota // q.n
+            + CASE WHEN s.pick_rank <= q.quota % q.n THEN 1 ELSE 0 END
+         AS BIGINT) AS n_repeats
+FROM sel s JOIN quota q USING (source)
+""",
+)
+def o15_epoch_repeat_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O15 multi-epoch repeat schedule — the data-constrained regime
+    (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    Models"): the training budget EXCEEDS the corpus (here 2·|corpus| +
+    401 docs, apportioned across sources by e12's fixed priority
+    units), so per-source quotas exceed availability and every document
+    gets a repeat count instead of an in/out bit — ``quota div n`` full
+    epochs for everyone, plus one extra epoch for the ``quota mod n``
+    docs ranked first in the deterministic md5 pick order (the same
+    unbiased tie-break as e12/o2). Σ n_repeats == budget exactly — the
+    largest-remainder table is uncapped by construction.
+
+    Scale shape: the apportionment table is one bounded row per source
+    (exempt windows); the per-doc work is one md5 rank window per source
+    partition and a broadcast quota join — identical cost to e12 at any
+    corpus size. The whole-corpus count rides the same bounded
+    aggregate (one row), never a data shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    avail = docs.groupBy("source").agg(F.count("*").alias("n"))
+    # bounded one-row-per-source table: window sums are exempt-class
+    budgeted = avail.select(
+        "source",
+        "n",
+        (2 * F.sum("n").over(Window.partitionBy()) + 401).alias("b"),
+        (F.expr("CAST(substring(source, 4) AS INT)") + 1).alias("units"),
+    )
+    qq = budgeted.select(
+        "source",
+        "n",
+        "b",
+        F.expr(f"(b * units) div {O15_UNITS_TOTAL}").alias("base"),
+        F.expr(f"(b * units) % {O15_UNITS_TOTAL}").alias("rem"),
+    )
+    ranked = qq.select(
+        "*",
+        F.row_number().over(Window.orderBy(F.desc("rem"), "source")).alias("rr"),
+        F.sum("base").over(Window.partitionBy()).alias("total_base"),
+    )
+    quota = ranked.select(
+        "source",
+        "n",
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("b") - F.col("total_base"), 1).otherwise(0)
+        ).alias("quota"),
+    )
+    sel = docs.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.expr("md5(CAST(doc_id AS STRING))"), "doc_id"
+            )
+        )
+        .alias("pick_rank"),
+    )
+    return sel.join(F.broadcast(quota), "source").select(
+        "doc_id",
+        "source",
+        (
+            F.expr("quota div n")
+            + F.when(F.col("pick_rank") <= F.col("quota") % F.col("n"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_repeats"),
+    )
