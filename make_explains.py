@@ -78,6 +78,9 @@ SHOWN = [
     ("e19_unigram_logprob", "window-form vocab stats (r8): per-token count = sum(k) over a tok window of the pairs table — no frequency table materialized, joined, or broadcast; one tok exchange total"),
     ("e35b_hyperplane_semdedup_production", "numpy signature tier (r8): sign bits via one ArrowEvalPython matmul (the flat-SQL form's ~4k-node projection is codegen-declined and interprets); shared banded-join prune tail — plan shows the post-checkpoint join"),
     ("o13_cluster_aware_split", "leakage-safe split (r8): comp labels left-joined onto the corpus, md5 split projection — plan shows the post-closure join (CC rounds run eagerly, audited via eager_seat_curve)"),
+    ("e36_substring_span_trim", "ExactSubstr span trim (r8 cont.): duplicate test is one count-over-partition window on the gram key (no df table, no join); coverage explode sits ABOVE the cnt>=2 filter — bounded by duplicated occurrences"),
+    ("t10_decay_weighted_value", "half-life decay (r8 cont.): one-row max-day broadcast, decimal weight CASE inside whole-stage codegen, map-side partial decimal sums"),
+    ("o15_epoch_repeat_schedule", "multi-epoch schedule (r8 cont.): bounded apportionment table broadcast; per-source md5 rank window — e12's cost shape with quotas allowed to exceed availability"),
 ]
 
 
