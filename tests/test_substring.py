@@ -85,3 +85,40 @@ def test_sub_k_and_blank_docs(spark):
     assert out.loc[1, "n_tokens"] == 0
     import math
     assert math.isnan(out.loc[1, "dup_fraction"]) or out.loc[1, "dup_fraction"] is None
+
+
+def test_e37_containment_catches_what_jaccard_misses(spark):
+    """Every seeded snippet (first C_SNIP_LEN tokens of every
+    C_SNIP_MOD-th doc) must be recovered as a containment pair with its
+    source at containment 1.0 — while the SAME pair's Jaccard sits below
+    the dedup threshold (the asymmetric metric's whole point). Sources
+    shorter than the snippet cut produce verbatim copies; those may (and
+    do) also pair, still at containment 1.0."""
+    import pandas as pd
+
+    from wx20222_bigdata_spark.operators.substring import (
+        C_SNIP_MOD,
+        C_SNIP_OFFSET,
+        C_THRESHOLD,
+        K,
+        e37_containment_pairs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    pdf = e37_containment_pairs(spark, sf).toPandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    # snippets with >= K tokens produce grams; sources are fixture docs
+    seeded = [
+        int(d) for d in docs.doc_id if d % C_SNIP_MOD == 0
+        and len([w for w in docs.set_index("doc_id").loc[d, "text"].lower().split() if w]) >= K
+    ]
+    got_pairs = {(r.id_a, r.id_b) for r in pdf.itertuples()}
+    for d in seeded:
+        assert (d, d + C_SNIP_OFFSET) in got_pairs, f"snippet of {d} missed"
+    snip = pdf[pdf.id_b >= C_SNIP_OFFSET]
+    assert (snip.containment == 1.0).all()
+    # Jaccard on the long-source snippet pairs is BELOW the threshold
+    long_src = snip[snip.n_a > 2 * snip.n_b]
+    assert len(long_src) > 0
+    jac = long_src.n_shared / (long_src.n_a + long_src.n_b - long_src.n_shared)
+    assert (jac < C_THRESHOLD).all()

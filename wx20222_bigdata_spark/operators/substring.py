@@ -147,3 +147,142 @@ def span_trim(docs: DataFrame) -> DataFrame:
             ),
         ).alias("dup_fraction"),
     )
+
+
+# --- e37: asymmetric containment (subsumption) pairs ---------------------
+C_SNIP_MOD = 40      #: every 40th doc yields a snippet mutant
+C_SNIP_LEN = 20      #: snippet = first 20 tokens
+C_SNIP_OFFSET = 200_000
+C_DF_CAP = 50        #: drop grams indexed by more docs (boilerplate guard)
+C_THRESHOLD = 0.8    #: report pairs with containment >= this
+
+
+@query(
+    "e37_containment_pairs",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {C_SNIP_OFFSET} AS doc_id,
+         array_to_string(
+           list_filter(string_split(lower(text), ' '),
+                       x -> length(x) > 0)[1:{C_SNIP_LEN}], ' ') AS text
+  FROM documents WHERE doc_id % {C_SNIP_MOD} = 0
+),
+words AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+  FROM corpus
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[j:j + {K - 1}], ' ') AS g
+  FROM words, LATERAL (SELECT unnest(range(1, len(ws) - {K - 2})) AS j)
+  WHERE len(ws) >= {K}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+rare AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM grams
+  ) WHERE df BETWEEN 2 AND {C_DF_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_shared,
+       CAST(sa.n_grams AS BIGINT) AS n_a,
+       CAST(sb.n_grams AS BIGINT) AS n_b,
+       ROUND(n_shared * 1.0 / LEAST(sa.n_grams, sb.n_grams), 6)
+         AS containment
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_shared * 1.0 / LEAST(sa.n_grams, sb.n_grams) >= {C_THRESHOLD}
+""",
+)
+def e37_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E37 asymmetric containment pairs — subsumption detection, the
+    near-dup case symmetric Jaccard structurally misses: a short
+    document contained in a long one (a quoted excerpt, a snippet page,
+    a chunk re-crawled alone) has tiny Jaccard (|A∩B|/|A∪B| is diluted
+    by the long side) but containment |A∩B|/min(|A|,|B|) ≈ 1. Broder's
+    (1997) resemblance-vs-containment distinction; production corpora
+    (RefinedWeb, FineWeb) run both. The fixture corpus is augmented
+    with snippet mutants — the first {C_SNIP_LEN} tokens of every
+    {C_SNIP_MOD}th doc — whose containment is 1.0 by construction while
+    their Jaccard is far below any dedup threshold.
+
+    Candidate generation is an inverted-index self-join on DISTINCT
+    word {K}-gram shingles, restricted to grams with 2 ≤ df ≤
+    {C_DF_CAP}: df<2 grams produce no pair, df>{C_DF_CAP} grams are
+    boilerplate whose pair fan-out is quadratic in df (the LSH
+    frequent-bucket cap idiom, dedup.py:PROD_MAX_BUCKET_SIZE). At
+    100 TB the equivalent production tier is prefix filtering (index
+    only each doc's (1−t)·|A|+1 globally-rarest shingles) over
+    md5-hashed gram keys; the literal-text key keeps this oracle
+    readable.
+
+    Plan: one gram explode + distinct, one window on the gram key for
+    df (the e36/e16/e19 one-exchange form), a capped self-equi-join on
+    the gram, one pair aggregate, two bounded size joins (AQE-governed;
+    sizes is per-doc, SF-scaled, never hinted)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    snippets = docs.filter(F.col("doc_id") % C_SNIP_MOD == 0).select(
+        (F.col("doc_id") + C_SNIP_OFFSET).alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', slice(filter(split(lower(text), ' '),"
+            f" x -> length(x) > 0), 1, {C_SNIP_LEN}))"
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(snippets)
+    words = corpus.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), x -> length(x) > 0)").alias("ws"),
+    )
+    grams = (
+        words.filter(F.expr(f"size(ws) >= {K}"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {K - 1}),"
+                    f" j -> concat_ws(' ', slice(ws, j, {K})))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    rare = grams.withColumn(
+        "df", F.count("*").over(Window.partitionBy("g"))
+    ).filter((F.col("df") >= 2) & (F.col("df") <= C_DF_CAP))
+    a = rare.select(F.col("doc_id").alias("id_a"), "g")
+    b = rare.select(F.col("doc_id").alias("id_b"), "g")
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("n_b"))
+    out = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_shared") / F.least("n_a", "n_b"), 6),
+        )
+        .filter(
+            F.col("n_shared") / F.least("n_a", "n_b") >= C_THRESHOLD
+        )
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        "n_shared",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        "containment",
+    )

@@ -62,14 +62,16 @@ _FRONT: list[str] = [
     # --- NEW seats this round (no driver row yet) ---
     # late continuation additions: e36 exact-substring span trim,
     # m6 deletion propagation, e12b temperature mixture, t10 decay-
-    # weighted engagement, o15 epoch-repeat schedule (q3/q4/q6/q7/q8
-    # yield their slots — r04-green and drive-sim pre-verified twice
-    # this round; q3 stays perf-gated in the bench HEADLINE)
+    # weighted engagement, o15 epoch-repeat schedule, e37 containment
+    # pairs (q3/q4/q6/q7/q8/q22 yield their slots — r04-green and
+    # drive-sim pre-verified twice this round; q3 stays perf-gated in
+    # the bench HEADLINE)
     "e36_substring_span_trim",
     "m6_deletion_propagation",
     "e12b_temperature_mixture",
     "t10_decay_weighted_value",
     "o15_epoch_repeat_schedule",
+    "e37_containment_pairs",
     "o13_cluster_aware_split",
     "o13b_cluster_split_production",
     "s11_schema_evolution",
@@ -118,7 +120,6 @@ _FRONT: list[str] = [
     "f21_variant_json",
     "i4_bfs_levels",
     "q18_large_volume_customers",
-    "q22_global_sales_opportunity",
     "s1_json_roundtrip",
     "s4_csv_line_parse",
 ]
