@@ -75,3 +75,18 @@ def test_e33_window_df_partition_invariant(spark, monkeypatch):
     )
     scattered = _rows(t.e33_ngram_novelty(spark, SF))
     assert plain == scattered
+
+
+def test_e36_span_windows_partition_invariant(spark, monkeypatch):
+    # e36 chains TWO order-sensitive windows (count-over-gram, then
+    # lag-over-positions within doc); both must be insensitive to input
+    # layout — the lag window's orderBy("pos") is the guard.
+    import wx20222_bigdata_spark.operators.substring as sub
+
+    plain = _rows(sub.e36_substring_span_trim(spark, SF))
+    orig = sub.load_table
+    monkeypatch.setattr(
+        sub, "load_table", lambda s, sf, n: orig(s, sf, n).repartition(7)
+    )
+    scattered = _rows(sub.e36_substring_span_trim(spark, SF))
+    assert plain == scattered
