@@ -122,3 +122,30 @@ def test_e37_containment_catches_what_jaccard_misses(spark):
     assert len(long_src) > 0
     jac = long_src.n_shared / (long_src.n_a + long_src.n_b - long_src.n_shared)
     assert (jac < C_THRESHOLD).all()
+
+
+def test_e36b_production_tier_equals_oracle_tier(spark):
+    """The md5-prefix gram key must not change a single span: e36b ==
+    e36 row-for-row (a 60-bit collision could only OVER-mark — none at
+    fixture scale)."""
+    import pandas as pd
+
+    from wx20222_bigdata_spark.operators.substring import (
+        e36_substring_span_trim,
+        e36b_span_trim_production,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    a = (
+        e36_substring_span_trim(spark, sf)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        e36b_span_trim_production(spark, sf)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from wx20222_bigdata_spark.catalog import load_table
+from wx20222_bigdata_spark.functions.hashing import duck_md5_hash, spark_md5_hash
 from wx20222_bigdata_spark.registry import query
 
 K = 5  #: token-window width; Lee et al. use 50 BPE tokens — 5 fits fixture docs
@@ -285,4 +286,114 @@ def e37_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_a").cast("bigint").alias("n_a"),
         F.col("n_b").cast("bigint").alias("n_b"),
         "containment",
+    )
+
+
+@query(
+    "e36b_span_trim_production",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, j,
+         {duck_md5_hash("array_to_string(ws[j:j + " + str(K - 1) + "], ' ')")} AS gh
+  FROM words, LATERAL (SELECT unnest(range(1, len(ws) - {K - 2})) AS j)
+  WHERE len(ws) >= {K}
+),
+dup AS (
+  SELECT doc_id, j FROM (
+    SELECT doc_id, j, COUNT(*) OVER (PARTITION BY gh) AS cnt FROM occ
+  ) WHERE cnt >= 2
+),
+cov AS (
+  SELECT DISTINCT doc_id, j + d AS pos
+  FROM dup, LATERAL (SELECT unnest(range(0, {K})) AS d)
+),
+runs AS (
+  SELECT doc_id,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = pos - 1
+              THEN 0 ELSE 1 END AS run_start
+  FROM cov
+),
+cagg AS (
+  SELECT doc_id, COUNT(*) AS n_dup_tokens, SUM(run_start) AS n_spans
+  FROM runs GROUP BY doc_id
+),
+base AS (SELECT doc_id, len(ws) AS n_tokens FROM words)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+       CAST(COALESCE(c.n_spans, 0) AS BIGINT) AS n_spans,
+       CASE WHEN b.n_tokens > 0
+            THEN ROUND(COALESCE(c.n_dup_tokens, 0) * 1.0 / b.n_tokens, 6)
+       END AS dup_fraction
+FROM base b LEFT JOIN cagg c USING (doc_id)
+""",
+)
+def e36b_span_trim_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E36b — e36's docstring scale claim as a measured path: the gram
+    key is the 60-bit md5-prefix BIGINT (functions/hashing.py) instead
+    of the literal {K}-token text, so the one big exchange ships 8-byte
+    keys instead of ~30-byte strings. Unlike the xxhash64 production
+    tiers (e2g/e2m, rows-only), the md5 prefix is cross-engine — this
+    tier keeps a full DuckDB oracle AND a tier-equality law against e36
+    (identical output barring a 60-bit collision; none exist at fixture
+    scale, and a collision only ever OVER-marks a span — conservative
+    in a trim pass). Same plan shape as e36; measured exchange-byte
+    delta recorded in SCALE.md."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), x -> length(x) > 0)").alias("ws"),
+    )
+    occ = (
+        words.filter(F.expr(f"size(ws) >= {K}"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {K - 1}),"
+                    f" j -> struct(j AS j, concat_ws(' ', slice(ws, j, {K})) AS g))"
+                )
+            ).alias("o"),
+        )
+        .select(
+            "doc_id",
+            "o.j",
+            F.expr(spark_md5_hash("o.g")).alias("gh"),
+        )
+    )
+    dup = occ.withColumn(
+        "cnt", F.count("*").over(Window.partitionBy("gh"))
+    ).filter(F.col("cnt") >= 2)
+    cov = dup.select(
+        "doc_id", F.explode(F.expr(f"sequence(j, j + {K - 1})")).alias("pos")
+    ).distinct()
+    runs = cov.withColumn(
+        "run_start",
+        F.when(
+            F.lag("pos").over(Window.partitionBy("doc_id").orderBy("pos"))
+            == F.col("pos") - 1,
+            0,
+        ).otherwise(1),
+    )
+    cagg = runs.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_tokens"),
+        F.sum("run_start").alias("n_spans"),
+    )
+    base = words.select("doc_id", F.size("ws").alias("n_tokens"))
+    return base.join(cagg, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.coalesce("n_dup_tokens", F.lit(0)).cast("bigint").alias("n_dup_tokens"),
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.coalesce("n_dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+            ),
+        ).alias("dup_fraction"),
     )
