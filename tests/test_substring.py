@@ -149,3 +149,44 @@ def test_e36b_production_tier_equals_oracle_tier(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_e36_matches_pure_python_reference_on_random_corpora(spark):
+    """Seeded-random cross-check: five corpora of word-salad docs from a
+    tiny alphabet (so duplicated K-grams are common), span_trim vs an
+    independent pure-Python implementation (dict of gram occurrence
+    counts → covered-position sets → run counting)."""
+    import random
+
+    from wx20222_bigdata_spark.operators.substring import K, span_trim
+
+    rng = random.Random(20260816)
+    for case in range(5):
+        docs = []
+        for d in range(30):
+            n = rng.randint(0, 25)
+            docs.append((d, " ".join(rng.choice("ab cd ef gh ij".split())
+                                     for _ in range(n))))
+        # python reference
+        toks = {d: [w for w in t.split() if w] for d, t in docs}
+        counts: dict[tuple, int] = {}
+        for d, ws in toks.items():
+            for j in range(len(ws) - K + 1):
+                g = tuple(ws[j:j + K])
+                counts[g] = counts.get(g, 0) + 1
+        want = {}
+        for d, ws in toks.items():
+            cov = set()
+            for j in range(len(ws) - K + 1):
+                if counts[tuple(ws[j:j + K])] >= 2:
+                    cov.update(range(j, j + K))
+            spans = sum(1 for p in cov if p - 1 not in cov)
+            want[d] = (len(ws), len(cov), spans)
+        got = span_trim(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).toPandas().set_index("doc_id")
+        for d in toks:
+            row = got.loc[d]
+            assert (
+                row.n_tokens, row.n_dup_tokens, row.n_spans
+            ) == want[d], (case, d, want[d], tuple(row[:3]))
