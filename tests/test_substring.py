@@ -190,3 +190,31 @@ def test_e36_matches_pure_python_reference_on_random_corpora(spark):
             assert (
                 row.n_tokens, row.n_dup_tokens, row.n_spans
             ) == want[d], (case, d, want[d], tuple(row[:3]))
+
+
+def test_e37b_prefix_tier_is_lossless(spark):
+    """Prefix filtering must be LOSSLESS for the threshold: e37b ==
+    e37 pair-for-pair (the n_rare − ⌈t·n_grams⌉ + 1 prefix bound is the
+    guarantee; this is the law that breaks if the bound is ever
+    off-by-one)."""
+    import pandas as pd
+
+    from wx20222_bigdata_spark.operators.substring import (
+        e37_containment_pairs,
+        e37b_containment_prefix_production,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    a = (
+        e37_containment_pairs(spark, sf)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    b = (
+        e37b_containment_prefix_production(spark, sf)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)

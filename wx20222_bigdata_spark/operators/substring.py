@@ -397,3 +397,167 @@ def e36b_span_trim_production(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("dup_fraction"),
     )
+
+
+@query(
+    "e37b_containment_prefix_production",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {C_SNIP_OFFSET} AS doc_id,
+         array_to_string(
+           list_filter(string_split(lower(text), ' '),
+                       x -> length(x) > 0)[1:{C_SNIP_LEN}], ' ') AS text
+  FROM documents WHERE doc_id % {C_SNIP_MOD} = 0
+),
+words AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+  FROM corpus
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[j:j + {K - 1}], ' ') AS g
+  FROM words, LATERAL (SELECT unnest(range(1, len(ws) - {K - 2})) AS j)
+  WHERE len(ws) >= {K}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+rare AS (
+  SELECT doc_id, g, df FROM (
+    SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM grams
+  ) WHERE df BETWEEN 2 AND {C_DF_CAP}
+),
+ranked AS (
+  SELECT r.doc_id, r.g,
+         ROW_NUMBER() OVER (PARTITION BY r.doc_id ORDER BY r.df, r.g) AS rk,
+         COUNT(*) OVER (PARTITION BY r.doc_id) AS n_rare,
+         s.n_grams
+  FROM rare r JOIN sizes s USING (doc_id)
+),
+prefix AS (
+  SELECT doc_id, g FROM ranked
+  WHERE rk <= n_rare - CAST(ceil({C_THRESHOLD} * n_grams) AS BIGINT) + 1
+),
+cand AS (
+  SELECT DISTINCT LEAST(p.doc_id, r.doc_id) AS id_a,
+                  GREATEST(p.doc_id, r.doc_id) AS id_b
+  FROM prefix p JOIN rare r ON p.g = r.g AND p.doc_id <> r.doc_id
+),
+ra AS (SELECT doc_id, list_sort(list(g)) AS gs FROM rare GROUP BY doc_id),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(ga.gs, gb.gs)) AS n_shared,
+         CAST(sa.n_grams AS BIGINT) AS n_a,
+         CAST(sb.n_grams AS BIGINT) AS n_b
+  FROM cand c
+  JOIN ra ga ON ga.doc_id = c.id_a
+  JOIN ra gb ON gb.doc_id = c.id_b
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared, n_a, n_b,
+       ROUND(n_shared * 1.0 / LEAST(n_a, n_b), 6) AS containment
+FROM verified
+WHERE n_shared * 1.0 / LEAST(n_a, n_b) >= {C_THRESHOLD}
+""",
+)
+def e37b_containment_prefix_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E37b — e37's docstring scale claim as a measured path: PREFIX
+    FILTERING (Chaudhuri et al. SSJoin '06 / Bayardo et al. WWW'07).
+    Only each document's rarest ``n_rare − ⌈t·n_grams⌉ + 1`` shingles
+    are indexed for pair generation: if doc d is the smaller side of a
+    qualifying pair then n_shared ≥ t·n_grams(d), and any subset of
+    d's rare grams larger than n_rare − t·n_grams(d) must intersect the
+    shared set — so joining every doc's prefix against the full rare
+    index is LOSSLESS for the threshold (no false negatives by
+    construction; pinned by the tier-equality law vs e37 in
+    tests/test_substring.py). Candidates are then verified exactly via
+    per-doc sorted rare-gram arrays and array_intersect.
+
+    Docs whose rare-gram count is below ⌈t·n_grams⌉ index NOTHING (they
+    cannot be the smaller side of a qualifying pair) — at fixture scale
+    the prefix index is a fraction of the full rare index and the
+    candidate pair set shrinks accordingly (measured in SCALE.md).
+    Same rarest-first ordering both engines (df asc, gram text
+    tiebreak); plan: the df window + one rank window, the prefix⋈rare
+    equi-join, then AQE-governed verify joins (gram arrays are per-doc
+    bounded)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    snippets = docs.filter(F.col("doc_id") % C_SNIP_MOD == 0).select(
+        (F.col("doc_id") + C_SNIP_OFFSET).alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', slice(filter(split(lower(text), ' '),"
+            f" x -> length(x) > 0), 1, {C_SNIP_LEN}))"
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(snippets)
+    words = corpus.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), x -> length(x) > 0)").alias("ws"),
+    )
+    grams = (
+        words.filter(F.expr(f"size(ws) >= {K}"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {K - 1}),"
+                    f" j -> concat_ws(' ', slice(ws, j, {K})))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    rare = grams.withColumn(
+        "df", F.count("*").over(Window.partitionBy("g"))
+    ).filter((F.col("df") >= 2) & (F.col("df") <= C_DF_CAP))
+    ranked = rare.join(sizes, "doc_id").select(
+        "doc_id",
+        "g",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy("df", "g"))
+        .alias("rk"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n_rare"),
+        "n_grams",
+    )
+    prefix = ranked.filter(
+        F.col("rk")
+        <= F.col("n_rare")
+        - F.expr(f"CAST(ceil({C_THRESHOLD} * n_grams) AS BIGINT)")
+        + 1
+    ).select("doc_id", "g")
+    cand = (
+        prefix.join(
+            rare.select(F.col("doc_id").alias("rid"), "g"), "g"
+        )
+        .filter(F.col("doc_id") != F.col("rid"))
+        .select(
+            F.least("doc_id", "rid").alias("id_a"),
+            F.greatest("doc_id", "rid").alias("id_b"),
+        )
+        .distinct()
+    )
+    ra = rare.groupBy("doc_id").agg(F.array_sort(F.collect_list("g")).alias("gs"))
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("n_b"))
+    verified = (
+        cand.join(ra.select(F.col("doc_id").alias("id_a"), F.col("gs").alias("ga")), "id_a")
+        .join(ra.select(F.col("doc_id").alias("id_b"), F.col("gs").alias("gb")), "id_b")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_shared", F.size(F.array_intersect("ga", "gb")).cast("bigint"))
+        .withColumn(
+            "containment",
+            F.round(F.col("n_shared") / F.least("n_a", "n_b"), 6),
+        )
+        .filter(F.col("n_shared") / F.least("n_a", "n_b") >= C_THRESHOLD)
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        "n_shared",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        "containment",
+    )
