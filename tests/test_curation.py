@@ -41,3 +41,38 @@ def test_curation_consistent_with_components(spark):
     for r in funnel.itertuples():
         assert r.n_raw == raw_by_src[r.source]
         assert r.n_kept <= uniq_by_src[r.source]
+
+
+def test_e7d_funnel_stage_accounting(spark):
+    """Each stage's corpus-wide drop equals its seeded signal: quality
+    drops exactly the 5-token stubs, exact drops exactly the verbatim
+    copies, span drops exactly the ×3 self-repeats (within-doc
+    repetition survives every doc-level dedup stage — the span gate is
+    the only stage that can catch it); containment drops at least the
+    snippets. Counts monotone per source."""
+    import pandas as pd
+
+    from wx20222_bigdata_spark.operators.curation import (
+        E7D_COPY_MOD,
+        E7D_REPEAT_MOD,
+        E7D_SNIP_MOD,
+        E7D_STUB_MOD,
+        e7d_dedup_funnel,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    pdf = e7d_dedup_funnel(spark, sf).toPandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"])
+    n_stubs = int((docs.doc_id % E7D_STUB_MOD == 0).sum())
+    n_copies = int((docs.doc_id % E7D_COPY_MOD == 0).sum())
+    n_snips = int((docs.doc_id % E7D_SNIP_MOD == 0).sum())
+    n_reps = int((docs.doc_id % E7D_REPEAT_MOD == 0).sum())
+    t = pdf[["n_raw", "n_quality", "n_exact", "n_containment", "n_final"]].sum()
+    assert t.n_raw - t.n_quality == n_stubs
+    assert t.n_quality - t.n_exact == n_copies
+    assert t.n_containment - t.n_final == n_reps
+    assert t.n_exact - t.n_containment >= n_snips
+    for _, r in pdf.iterrows():
+        assert (
+            r.n_raw >= r.n_quality >= r.n_exact >= r.n_containment >= r.n_final
+        ), r

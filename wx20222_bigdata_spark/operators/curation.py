@@ -331,3 +331,248 @@ def e30_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_tokens",
         "n_in_length_band",
     )
+
+
+# --- e7d: dedup-family funnel (continuation seats composed) ---------------
+#: e7d staging: copies seed the exact stage, snippets seed the containment
+#: stage (m6 / e37 idioms); thresholds chosen so every stage drops rows on
+#: the fixture corpus.
+E7D_COPY_MOD = 13
+E7D_COPY_OFFSET = 1_000_000
+E7D_SNIP_MOD = 40
+E7D_SNIP_LEN = 20
+E7D_SNIP_OFFSET = 200_000
+E7D_MIN_TOKENS = 10
+E7D_SPAN_MAX = 0.6   #: drop docs with >= this duplicated-span fraction
+E7D_STUB_MOD = 35    #: 5-token stubs — dropped by the quality gate
+E7D_STUB_LEN = 5
+E7D_STUB_OFFSET = 300_000
+E7D_REPEAT_MOD = 45  #: first-10-tokens ×3 self-repeats — dropped by the span gate
+E7D_REPEAT_LEN = 10
+E7D_REPEAT_OFFSET = 400_000
+
+
+@query(
+    "e7d_dedup_funnel",
+    oracle=f"""
+WITH raw AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + {E7D_COPY_OFFSET} AS doc_id, source, text
+  FROM documents WHERE doc_id % {E7D_COPY_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {E7D_SNIP_OFFSET} AS doc_id, source,
+         array_to_string(
+           list_filter(string_split(lower(text), ' '),
+                       x -> length(x) > 0)[1:{E7D_SNIP_LEN}], ' ') AS text
+  FROM documents WHERE doc_id % {E7D_SNIP_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {E7D_STUB_OFFSET} AS doc_id, source,
+         array_to_string(
+           list_filter(string_split(lower(text), ' '),
+                       x -> length(x) > 0)[1:{E7D_STUB_LEN}], ' ') AS text
+  FROM documents WHERE doc_id % {E7D_STUB_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {E7D_REPEAT_OFFSET} AS doc_id, source,
+         array_to_string(
+           list_concat(list_concat(
+             list_filter(string_split(lower(text), ' '),
+                         x -> length(x) > 0)[1:{E7D_REPEAT_LEN}],
+             list_filter(string_split(lower(text), ' '),
+                         x -> length(x) > 0)[1:{E7D_REPEAT_LEN}]),
+             list_filter(string_split(lower(text), ' '),
+                         x -> length(x) > 0)[1:{E7D_REPEAT_LEN}]), ' ') AS text
+  FROM documents WHERE doc_id % {E7D_REPEAT_MOD} = 0
+),
+tok AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+  FROM raw
+),
+q1 AS (SELECT * FROM tok WHERE len(ws) >= {E7D_MIN_TOKENS}),
+e1s AS (
+  SELECT * FROM q1
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[j:j + 4], ' ') AS g
+  FROM e1s, LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS j)
+  WHERE len(ws) >= 5
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+rare AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM grams
+  ) WHERE df BETWEEN 2 AND 50
+),
+cpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+cq AS (
+  SELECT id_a, id_b, sa.n_grams AS na, sb.n_grams AS nb
+  FROM cpairs
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_shared * 1.0 / LEAST(sa.n_grams, sb.n_grams) >= 0.8
+),
+drops AS (
+  SELECT DISTINCT CASE WHEN na < nb THEN id_a
+                       WHEN nb < na THEN id_b
+                       ELSE GREATEST(id_a, id_b) END AS doc_id
+  FROM cq
+),
+c1 AS (SELECT * FROM e1s WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+occ2 AS (
+  SELECT doc_id, j, array_to_string(ws[j:j + 4], ' ') AS g
+  FROM c1, LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS j)
+  WHERE len(ws) >= 5
+),
+dup2 AS (
+  SELECT doc_id, j FROM (
+    SELECT doc_id, j, COUNT(*) OVER (PARTITION BY g) AS cnt FROM occ2
+  ) WHERE cnt >= 2
+),
+cov2 AS (
+  SELECT DISTINCT doc_id, j + d AS pos
+  FROM dup2, LATERAL (SELECT unnest(range(0, 5)) AS d)
+),
+covagg AS (SELECT doc_id, COUNT(*) AS ndup FROM cov2 GROUP BY doc_id),
+final AS (
+  SELECT c1.doc_id, c1.source
+  FROM c1 LEFT JOIN covagg USING (doc_id)
+  WHERE ROUND(COALESCE(covagg.ndup, 0) * 1.0 / len(c1.ws), 6) < {E7D_SPAN_MAX}
+),
+tagged AS (
+  SELECT source, 0 AS st FROM raw
+  UNION ALL SELECT source, 1 FROM q1
+  UNION ALL SELECT source, 2 FROM e1s
+  UNION ALL SELECT source, 3 FROM c1
+  UNION ALL SELECT source, 4 FROM final
+)
+SELECT source,
+       CAST(COUNT(*) FILTER (st = 0) AS BIGINT) AS n_raw,
+       CAST(COUNT(*) FILTER (st = 1) AS BIGINT) AS n_quality,
+       CAST(COUNT(*) FILTER (st = 2) AS BIGINT) AS n_exact,
+       CAST(COUNT(*) FILTER (st = 3) AS BIGINT) AS n_containment,
+       CAST(COUNT(*) FILTER (st = 4) AS BIGINT) AS n_final
+FROM tagged GROUP BY source
+""",
+)
+def e7d_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7d dedup-family funnel — the continuation seats composed into
+    one declarative curation chain with per-source stage accounting
+    (the e7c funnel-accounting idiom applied to the dedup family):
+
+      raw (documents ∪ verbatim copies ∪ snippet excerpts ∪
+          5-token stubs ∪ ×3 self-repeated prefixes)
+        → quality gate (≥ {E7D_MIN_TOKENS} tokens)
+        → exact dedup (e1b keep-min policy — drops the copies)
+        → containment dedup (e37: drop the SMALLER side of any ≥0.8
+          containment pair; tie drops the larger doc_id — catches the
+          snippets AND the fixture's natural subsumption families)
+        → span gate (e36: drop docs whose duplicated-span coverage is
+          still ≥ {E7D_SPAN_MAX} after the doc-level stages — residual
+          template/boilerplate text).
+
+    Output: per source, the surviving count after every stage — the
+    loss-accounting table a curation run reports. All-integer →
+    bit-exact cross-engine.
+
+    Plan: the stages pipeline WITHOUT materializing between them
+    (Catalyst sees the whole funnel); stage physics are documented at
+    the home operators (e1b one keyed window; e37 df-capped
+    inverted-index join; e36 one gram-key window). The staged corpus
+    reuses m6's copy seeding and e37's snippet seeding, plus 5-token
+    stubs (quality-gate signal) and ×3 self-repeated prefixes (span-gate
+    signal: within-doc repetition survives every DOC-level dedup stage —
+    exactly what the positional span gate exists to catch), so every
+    stage's drop is observable on the all-unique fixture."""
+    from wx20222_bigdata_spark.operators.substring import (
+        containment_on,
+        span_trim,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    copies = docs.filter(F.col("doc_id") % E7D_COPY_MOD == 0).select(
+        (F.col("doc_id") + E7D_COPY_OFFSET).alias("doc_id"), "source", "text"
+    )
+    snippets = docs.filter(F.col("doc_id") % E7D_SNIP_MOD == 0).select(
+        (F.col("doc_id") + E7D_SNIP_OFFSET).alias("doc_id"),
+        "source",
+        F.expr(
+            "concat_ws(' ', slice(filter(split(lower(text), ' '),"
+            f" x -> length(x) > 0), 1, {E7D_SNIP_LEN}))"
+        ).alias("text"),
+    )
+    stubs = docs.filter(F.col("doc_id") % E7D_STUB_MOD == 0).select(
+        (F.col("doc_id") + E7D_STUB_OFFSET).alias("doc_id"),
+        "source",
+        F.expr(
+            "concat_ws(' ', slice(filter(split(lower(text), ' '),"
+            f" x -> length(x) > 0), 1, {E7D_STUB_LEN}))"
+        ).alias("text"),
+    )
+    repeats = docs.filter(F.col("doc_id") % E7D_REPEAT_MOD == 0).select(
+        (F.col("doc_id") + E7D_REPEAT_OFFSET).alias("doc_id"),
+        "source",
+        F.expr(
+            "concat_ws(' ', flatten(array_repeat("
+            "slice(filter(split(lower(text), ' '), x -> length(x) > 0),"
+            f" 1, {E7D_REPEAT_LEN}), 3)))"
+        ).alias("text"),
+    )
+    raw = (
+        docs.unionByName(copies)
+        .unionByName(snippets)
+        .unionByName(stubs)
+        .unionByName(repeats)
+    )
+    q1 = raw.filter(
+        F.expr("size(filter(split(lower(text), ' '), x -> length(x) > 0))")
+        >= E7D_MIN_TOKENS
+    )
+    e1s = (
+        q1.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    pairs = containment_on(e1s.select("doc_id", "text"))
+    drops = pairs.select(
+        F.when(F.col("n_a") < F.col("n_b"), F.col("id_a"))
+        .when(F.col("n_b") < F.col("n_a"), F.col("id_b"))
+        .otherwise(F.greatest("id_a", "id_b"))
+        .alias("doc_id")
+    ).distinct()
+    c1 = e1s.join(drops, "doc_id", "left_anti")
+    spans = span_trim(c1.select("doc_id", "text")).select(
+        "doc_id", "dup_fraction"
+    )
+    final = c1.join(spans, "doc_id").filter(
+        F.col("dup_fraction") < E7D_SPAN_MAX
+    )
+    tagged = (
+        raw.select("source", F.lit(0).alias("st"))
+        .unionByName(q1.select("source", F.lit(1).alias("st")))
+        .unionByName(e1s.select("source", F.lit(2).alias("st")))
+        .unionByName(c1.select("source", F.lit(3).alias("st")))
+        .unionByName(final.select("source", F.lit(4).alias("st")))
+    )
+    return tagged.groupBy("source").agg(
+        *[
+            F.count(F.when(F.col("st") == i, 1))
+            .cast("bigint")
+            .alias(name)
+            for i, name in enumerate(
+                ["n_raw", "n_quality", "n_exact", "n_containment", "n_final"]
+            )
+        ]
+    )

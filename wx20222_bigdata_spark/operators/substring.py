@@ -237,6 +237,13 @@ def e37_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     corpus = docs.unionByName(snippets)
+    return containment_on(corpus)
+
+
+def containment_on(corpus: DataFrame) -> DataFrame:
+    """e37's core over an arbitrary ``(doc_id, text)`` frame — split out
+    so the curation funnel (e7d) and the containment laws can run it on
+    staged/hand-built corpora."""
     words = corpus.select(
         "doc_id",
         F.expr("filter(split(lower(text), ' '), x -> length(x) > 0)").alias("ws"),

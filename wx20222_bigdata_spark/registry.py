@@ -63,10 +63,11 @@ _FRONT: list[str] = [
     # late continuation additions: e36 exact-substring span trim,
     # m6 deletion propagation, e12b temperature mixture, t10 decay-
     # weighted engagement, o15 epoch-repeat schedule, e37 containment
-    # pairs, e36b md5-key span-trim tier, e37b prefix-filter tier
-    # (q3/q4/q6/q7/q8/q22/q18/i4 yield their slots — r04-green and
-    # drive-sim pre-verified twice this round; q3 stays perf-gated in
-    # the bench HEADLINE, q18 in the bucketed-twin plan tests)
+    # pairs, e36b md5-key span-trim tier, e37b prefix-filter tier,
+    # e7d dedup-family funnel (q3/q4/q6/q7/q8/q22/q18/i4/f21 yield
+    # their slots — r04-green and drive-sim pre-verified twice this
+    # round; q3 stays perf-gated in the bench HEADLINE, q18 in the
+    # bucketed-twin plan tests)
     "e36_substring_span_trim",
     "m6_deletion_propagation",
     "e12b_temperature_mixture",
@@ -75,6 +76,7 @@ _FRONT: list[str] = [
     "e37_containment_pairs",
     "e36b_span_trim_production",
     "e37b_containment_prefix_production",
+    "e7d_dedup_funnel",
     "o13_cluster_aware_split",
     "o13b_cluster_split_production",
     "s11_schema_evolution",
@@ -120,7 +122,6 @@ _FRONT: list[str] = [
     # --- r04 cohort (next-stalest block) ---
     "e32_paragraph_dedup",
     "f20_robust_scale",
-    "f21_variant_json",
     "s1_json_roundtrip",
     "s4_csv_line_parse",
 ]
