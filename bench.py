@@ -74,6 +74,7 @@ EAGER_QUERIES = {
     "e9c_verified_clusters",
     "e35_hyperplane_semdedup",
     "e35b_hyperplane_semdedup_production",
+    "e7d_dedup_funnel",  # r9: fused gram frame is an eager localCheckpoint
 }
 
 #: Headline suite: one representative per operator family (SURVEY.md §2,

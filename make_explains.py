@@ -81,7 +81,7 @@ SHOWN = [
     ("e36_substring_span_trim", "ExactSubstr span trim (r8 cont.): duplicate test is one count-over-partition window on the gram key (no df table, no join); coverage explode sits ABOVE the cnt>=2 filter — bounded by duplicated occurrences"),
     ("t10_decay_weighted_value", "half-life decay (r8 cont.): one-row max-day broadcast, decimal weight CASE inside whole-stage codegen, map-side partial decimal sums"),
     ("o15_epoch_repeat_schedule", "multi-epoch schedule (r8 cont.): bounded apportionment table broadcast; per-source md5 rank window — e12's cost shape with quotas allowed to exceed availability"),
-    ("e7d_dedup_funnel", "dedup-family funnel (r8 cont. capstone): quality/exact/containment/span stages pipelined in ONE plan — no materialization between stages; each stage's exchange documented at its home operator"),
+    ("e7d_dedup_funnel", "dedup-family funnel (r9 fused): ONE tokenize pass + ONE checkpointed (doc_id,j,g) gram frame feeds BOTH the containment index (distinct view) and the span coverage (positional view); one-pass max-stage accounting replaces the 5-way tagged union"),
 ]
 
 

@@ -68,10 +68,16 @@ def test_e7d_funnel_stage_accounting(spark):
     n_snips = int((docs.doc_id % E7D_SNIP_MOD == 0).sum())
     n_reps = int((docs.doc_id % E7D_REPEAT_MOD == 0).sum())
     t = pdf[["n_raw", "n_quality", "n_exact", "n_containment", "n_final"]].sum()
-    assert t.n_raw - t.n_quality == n_stubs
-    assert t.n_quality - t.n_exact == n_copies
-    assert t.n_containment - t.n_final == n_reps
+    # >= not ==: each seeded signal is a LOWER bound on its stage's drop.
+    # Natural fixture docs can also trip a gate at other SFs (e.g. a
+    # source doc with <= E7D_SNIP_LEN tokens makes its snippet a verbatim
+    # copy, shifting that drop to the exact stage) — r8 ADVICE.
+    assert t.n_raw - t.n_quality >= n_stubs
+    assert t.n_quality - t.n_exact >= n_copies
+    assert t.n_containment - t.n_final >= n_reps
     assert t.n_exact - t.n_containment >= n_snips
+    # and the funnel's total drop is at least the sum of all seeds
+    assert t.n_raw - t.n_final >= n_stubs + n_copies + n_reps + n_snips
     for _, r in pdf.iterrows():
         assert (
             r.n_raw >= r.n_quality >= r.n_exact >= r.n_containment >= r.n_final

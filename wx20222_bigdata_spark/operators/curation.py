@@ -480,19 +480,35 @@ def e7d_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     loss-accounting table a curation run reports. All-integer →
     bit-exact cross-engine.
 
-    Plan: the stages pipeline WITHOUT materializing between them
-    (Catalyst sees the whole funnel); stage physics are documented at
-    the home operators (e1b one keyed window; e37 df-capped
-    inverted-index join; e36 one gram-key window). The staged corpus
-    reuses m6's copy seeding and e37's snippet seeding, plus 5-token
-    stubs (quality-gate signal) and ×3 self-repeated prefixes (span-gate
-    signal: within-doc repetition survives every DOC-level dedup stage —
-    exactly what the positional span gate exists to catch), so every
-    stage's drop is observable on the all-unique fixture."""
-    from wx20222_bigdata_spark.operators.substring import (
-        containment_on,
-        span_trim,
-    )
+    Plan (fused, r9): the corpus is tokenized ONCE and the survivor
+    K-gram occurrences ``(doc_id, j, g)`` are materialized ONCE (eager
+    localCheckpoint), then BOTH dedup gates derive from that single
+    frame — the containment inverted index from its ``distinct`` by
+    (doc_id, g) and the span coverage from its positional form. The r8
+    shape called the stage helpers (``containment_on`` then
+    ``span_trim``) back-to-back, so Catalyst tokenized and
+    gram-exploded the survivor corpus twice — ~2× the dominant work at
+    exactly the scale the funnel exists for (sf10: 165.6 s composed vs
+    ~56 s for the two stages standalone — SCALING_CURVE r8). Stage
+    accounting is likewise one pass: per-doc max-stage-reached (stages
+    are nested subsets, so n_stageK = count(st >= K)) instead of a
+    five-way tagged union that re-executed the quality/exact lineage
+    up to 4× (r8 ADVICE). Three bounded materializations: the narrow
+    per-doc stage frame + survivor token arrays, the gram-occurrence
+    frame (the dominant one — K × survivor tokens), and the
+    containment drop set (tiny, but its pair join is one of the two
+    heaviest stages — never recompute it). localCheckpoint is
+    executor-local; on a real cluster with executor churn the same
+    plan runs with ``persist(MEMORY_AND_DISK)`` + a reliable
+    checkpoint dir. Stage physics otherwise unchanged: e1b one keyed
+    window; e37 df-capped inverted-index join; e36 one gram-key
+    window. The staged corpus reuses m6's copy seeding and e37's
+    snippet seeding, plus 5-token stubs (quality-gate signal) and ×3
+    self-repeated prefixes (span-gate signal: within-doc repetition
+    survives every DOC-level dedup stage — exactly what the positional
+    span gate exists to catch), so every stage's drop is observable on
+    the all-unique fixture."""
+    from wx20222_bigdata_spark.operators.substring import C_DF_CAP, C_THRESHOLD, K
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
@@ -531,48 +547,140 @@ def e7d_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stubs)
         .unionByName(repeats)
     )
-    q1 = raw.filter(
-        F.expr("size(filter(split(lower(text), ' '), x -> length(x) > 0))")
-        >= E7D_MIN_TOKENS
-    )
-    e1s = (
-        q1.withColumn(
+    # ONE tokenize pass + ONE md5-text window over the whole staged
+    # corpus. The exact-dedup window runs among quality survivors in the
+    # oracle; ordering quality rows first inside each text group makes
+    # "rn == 1 AND pass_q" pick exactly the min-doc_id quality row (a
+    # group with no quality row has no winner either way). Non-winner
+    # rows drop their token array (`ws` nulled) so the checkpoint stores
+    # the survivor corpus once, narrow rows for everything else.
+    tok = (
+        raw.select(
+            "doc_id",
+            "source",
+            "text",
+            F.expr(
+                "filter(split(lower(text), ' '), x -> length(x) > 0)"
+            ).alias("ws"),
+        )
+        .withColumn("n_tokens", F.size("ws"))
+        .withColumn("pass_q", F.col("n_tokens") >= E7D_MIN_TOKENS)
+        .withColumn(
             "rn",
             F.row_number().over(
-                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+                Window.partitionBy(F.md5("text")).orderBy(
+                    F.col("pass_q").desc(), "doc_id"
+                )
             ),
         )
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        .withColumn("is_winner", F.col("pass_q") & (F.col("rn") == 1))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "pass_q",
+            "is_winner",
+            F.when(F.col("is_winner"), F.col("ws")).alias("ws"),
+        )
+        .localCheckpoint(eager=True)
     )
-    pairs = containment_on(e1s.select("doc_id", "text"))
-    drops = pairs.select(
-        F.when(F.col("n_a") < F.col("n_b"), F.col("id_a"))
-        .when(F.col("n_b") < F.col("n_a"), F.col("id_b"))
-        .otherwise(F.greatest("id_a", "id_b"))
-        .alias("doc_id")
+    # The single positional gram frame — both dedup gates feed from it.
+    occ = (
+        tok.filter(F.col("is_winner") & (F.col("n_tokens") >= K))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {K - 1}),"
+                    f" j -> struct(j AS j, concat_ws(' ', slice(ws, j, {K})) AS g))"
+                )
+            ).alias("o"),
+        )
+        .select("doc_id", "o.j", "o.g")
+        .localCheckpoint(eager=True)
+    )
+    # Containment gate (e37 core) from the distinct-gram view of occ.
+    grams = occ.select("doc_id", "g").distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    rare = grams.withColumn(
+        "df", F.count("*").over(Window.partitionBy("g"))
+    ).filter((F.col("df") >= 2) & (F.col("df") <= C_DF_CAP))
+    cpairs = (
+        rare.select(F.col("doc_id").alias("id_a"), "g")
+        .join(rare.select(F.col("doc_id").alias("id_b"), "g"), "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    cq = (
+        cpairs.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("n_b")),
+            "id_b",
+        )
+        .filter(F.col("n_shared") / F.least("n_a", "n_b") >= C_THRESHOLD)
+    )
+    drops = (
+        cq.select(
+            F.when(F.col("n_a") < F.col("n_b"), F.col("id_a"))
+            .when(F.col("n_b") < F.col("n_a"), F.col("id_b"))
+            .otherwise(F.greatest("id_a", "id_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Span gate (e36 core) from the positional view of occ, restricted
+    # to containment survivors BEFORE the duplicate-count window (the
+    # oracle counts occurrences within c1 only).
+    occ_c1 = occ.join(drops, "doc_id", "left_anti")
+    dup = occ_c1.withColumn(
+        "cnt", F.count("*").over(Window.partitionBy("g"))
+    ).filter(F.col("cnt") >= 2)
+    cov = dup.select(
+        "doc_id", F.explode(F.expr(f"sequence(j, j + {K - 1})")).alias("pos")
     ).distinct()
-    c1 = e1s.join(drops, "doc_id", "left_anti")
-    spans = span_trim(c1.select("doc_id", "text")).select(
-        "doc_id", "dup_fraction"
-    )
-    final = c1.join(spans, "doc_id").filter(
-        F.col("dup_fraction") < E7D_SPAN_MAX
-    )
-    tagged = (
-        raw.select("source", F.lit(0).alias("st"))
-        .unionByName(q1.select("source", F.lit(1).alias("st")))
-        .unionByName(e1s.select("source", F.lit(2).alias("st")))
-        .unionByName(c1.select("source", F.lit(3).alias("st")))
-        .unionByName(final.select("source", F.lit(4).alias("st")))
-    )
-    return tagged.groupBy("source").agg(
-        *[
-            F.count(F.when(F.col("st") == i, 1))
-            .cast("bigint")
-            .alias(name)
-            for i, name in enumerate(
-                ["n_raw", "n_quality", "n_exact", "n_containment", "n_final"]
+    covagg = cov.groupBy("doc_id").agg(F.count("*").alias("ndup"))
+    # One-pass stage accounting: stages are nested subsets, so per-doc
+    # max-stage-reached + count(st >= k) reproduces the tagged-union
+    # counts without re-executing upstream lineage per stage.
+    winners = (
+        tok.filter("is_winner")
+        .select("doc_id", "source", "n_tokens")
+        .join(drops.withColumn("dropped", F.lit(True)), "doc_id", "left")
+        .join(covagg, "doc_id", "left")
+        .withColumn(
+            "st",
+            F.when(F.col("dropped"), F.lit(2))
+            .when(
+                F.round(
+                    F.coalesce("ndup", F.lit(0)) / F.col("n_tokens"), 6
+                )
+                >= E7D_SPAN_MAX,
+                F.lit(3),
             )
-        ]
+            .otherwise(F.lit(4)),
+        )
+        .select("source", "st")
+    )
+    losers = tok.filter(~F.col("is_winner")).select(
+        "source",
+        F.when(F.col("pass_q"), F.lit(1)).otherwise(F.lit(0)).alias("st"),
+    )
+    return (
+        winners.unionByName(losers)
+        .groupBy("source")
+        .agg(
+            *[
+                F.count(F.when(F.col("st") >= i, 1))
+                .cast("bigint")
+                .alias(name)
+                for i, name in enumerate(
+                    ["n_raw", "n_quality", "n_exact", "n_containment", "n_final"]
+                )
+            ]
+        )
     )

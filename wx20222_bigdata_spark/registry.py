@@ -47,83 +47,67 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # CORRECTNESS row yet — plus anything new/changed this round — get checked
 # before already-driver-verified ones. See NOTES_r2.md.
 _FRONT: list[str] = [
-    # Round-8 rotation (r7 verdict item 3): the seats ADDED this round
-    # first (o13 leakage-safe split, s11 schema evolution, e35b numpy
-    # signature tier — never driver-checked; plus e35, refactored for
-    # the shared prune tail), then the ten seats REWRITTEN this round
-    # (the q9-rule broadcast sweep: forced F.broadcast() of SF-scaled
-    # part/supplier/customer removed, AQE-governed now — fresh driver
-    # rows required even though logic is unchanged), then the ENTIRE
-    # remaining r03-stale cohort (last driver row r03; q14 is in both
-    # groups and leads the sweep block), then 13 of the r04 cohort's
-    # seats to lift the staleness floor (s9/s9b/s9c/s9d/s9e yield their
-    # slots to the new/changed seats — all five drive-sim pre-verified
-    # green this round).
-    # --- NEW seats this round (no driver row yet) ---
-    # late continuation additions: e36 exact-substring span trim,
-    # m6 deletion propagation, e12b temperature mixture, t10 decay-
-    # weighted engagement, o15 epoch-repeat schedule, e37 containment
-    # pairs, e36b md5-key span-trim tier, e37b prefix-filter tier,
-    # e7d dedup-family funnel (q3/q4/q6/q7/q8/q22/q18/i4/f21 yield
-    # their slots — r04-green and drive-sim pre-verified twice this
-    # round; q3 stays perf-gated in the bench HEADLINE, q18 in the
-    # bucketed-twin plan tests)
-    "e36_substring_span_trim",
-    "m6_deletion_propagation",
-    "e12b_temperature_mixture",
-    "t10_decay_weighted_value",
-    "o15_epoch_repeat_schedule",
-    "e37_containment_pairs",
-    "e36b_span_trim_production",
-    "e37b_containment_prefix_production",
+    # Round-9 rotation (r8 verdict item 2): seats ADDED or REWRITTEN
+    # this round first (e7d rewritten — fused single-gram-pass plan +
+    # one-pass stage accounting; e35 rewritten — chunked codegen
+    # signature; new r9 seats lead), then the ENTIRE r04-stale cohort
+    # (31 seats whose latest driver row is r04 — all drive-sim
+    # pre-verified green in r8, driver rows still wanted), then the
+    # oldest r05 seats to fill the 50-seat window. After this round the
+    # staleness floor rises to r05.
+    # --- NEW / REWRITTEN this round ---
     "e7d_dedup_funnel",
-    "o13_cluster_aware_split",
-    "o13b_cluster_split_production",
-    "s11_schema_evolution",
-    "e35b_hyperplane_semdedup_production",
-    # e35 itself was refactored late-r8 (shared _hp_prune_from_sig tail
-    # + eager-timing correction) — fresh driver row wanted
     "e35_hyperplane_semdedup",
-    # --- q9-rule broadcast sweep (rewritten r8) ---
-    "q14_promo_effect",
-    "q16_supplier_part_counts",
-    "q19_discounted_revenue",
-    "q15_top_supplier",
-    "q21_sole_supplier_orders",
-    "q11_important_stock",
-    "dq1_constraint_report",
-    "q17_small_quantity_revenue",
-    "q20_part_promotion_suppliers",
-    "q2_min_cost_supplier",
-    # --- r03-stale cohort (builder pre-verified all 23 in r7;
-    #     judge re-verified 10 — driver rows still wanted) ---
-    "a10_swa_snapshot_avg",
-    "f16_datetime_json",
-    "f_conditional_fns",
-    "f_null_semantics",
-    "f_string_surface",
-    "j1b_scalable_zip_index",
-    "j5_outer_join_family",
-    "m1_upsert_merge",
-    "m2_scd2_history",
-    "o10_hash_split",
-    "o6_ntile_kfold",
-    "p1_flatten_concat",
-    "p2_derive_drop",
-    "p3_dict_encode",
-    "p4_dict_decode",
-    "p5_prefix_projection",
-    "p7_substring_predicates",
-    "p8_conditional_gates",
-    "prof1_table_profile",
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    # --- r04 cohort (next-stalest block) ---
-    "e32_paragraph_dedup",
-    "f20_robust_scale",
-    "s1_json_roundtrip",
-    "s4_csv_line_parse",
+    # --- r04-stale cohort (complete) ---
+    "f21_variant_json",
+    "i4_bfs_levels",
+    "q18_large_volume_customers",
+    "q22_global_sales_opportunity",
+    "q3_shipping_priority",
+    "q4_priority_check",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "s9_tumbling_window",
+    "s9b_sliding_window",
+    "s9c_session_windows",
+    "s9d_windowed_dedup",
+    "s9e_interval_join",
+    "skew_salted_agg",
+    "sql_frontdoor_topn_customers",
+    "t1_asof_join",
+    "t2_range_join",
+    "t3_time_rollup",
+    "t4_cube",
+    "t5_pivot",
+    "t6_funnel_conversion",
+    "t7_cohort_retention",
+    "w1_row_number_gap",
+    "w2_step_schedule",
+    "w3_running_total",
+    "w5_rolling_active_users",
+    "w6_top_n_per_group",
+    "w_sliding_avg",
+    "x5_count_min_estimate",
+    "x6_map_in_arrow",
+    # --- oldest r05 seats (fill to 50) ---
+    "flagship_two_level_metrics",
+    "e2b_minhash_lsh_pairs",
+    "e1_exact_dedup",
+    "e1b_dedup_survivors",
+    "a1_per_class_f1",
+    "a3_rollup_class_counts",
+    "a4_pricing_summary",
+    "a5_masked_mean_pool",
+    "a6_last4_mean",
+    "a7_ensemble_argmax",
+    "a8_argmax",
+    "a11_distinct",
+    "e2_ngram_jaccard",
+    "e2c_simhash",
+    "e2e_cosine_neardup",
+    "e2h_levenshtein_fuzzy",
+    "e2j_char_shingle_lsh_pairs",
 ]
 
 
