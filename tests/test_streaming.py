@@ -973,3 +973,95 @@ def test_stateful_ema_exact_equality_with_a9_across_batches(spark, tmp_path):
         w = want.loc[r["user_id"]]
         assert int(r["n_events"]) == int(w["n_events"])
         assert round(float(r["ema"]), 6) == float(w["ema"]), r["user_id"]
+
+
+def test_salted_sessions_stream_matches_batch_exact(spark, events_dir, tmp_path):
+    """s9g stream==batch law (r8 verdict item 5): stage-1 sub-sessions
+    computed by a REAL streaming run (file source, availableNow, append
+    mode — only watermark-finalized sub-sessions emit) + the batch
+    stage-2 merge must reproduce the direct batch s9c sessionization
+    EXACTLY, with TOTAL coverage: a far-future sentinel event (dropped
+    from the comparison) pushes the final watermark past every real
+    session, so even the globally-last open session finalizes — append
+    mode alone leaves it open (watermark stops AT max event time)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from wx20222_bigdata_spark.streaming.jobs import (
+        merge_sub_sessions,
+        read_events_stream,
+        salted_sub_sessions,
+        session_window_counts,
+    )
+
+    flushed = str(tmp_path / "events_flushed")
+    ev = spark.read.parquet(events_dir)
+    sentinel_ts = ev.agg(F.max("ts")).first()[0] + dt.timedelta(days=10)
+    sentinel = spark.createDataFrame(
+        [(int(-1), sentinel_ts, int(-999), "flush", 0.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    ev.unionByName(sentinel).coalesce(2).write.parquet(flushed)
+
+    sub_stream = salted_sub_sessions(
+        read_events_stream(spark, flushed), watermark="0 seconds"
+    )
+    sub = _run(spark, sub_stream, "t_salted_subs", mode="append").filter(
+        F.col("user_id") != -999
+    )
+    got = (
+        merge_sub_sessions(sub)
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        session_window_counts(spark.read.parquet(events_dir))
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    batch["value_sum"] = batch["value_sum"].astype(float)
+    assert len(got) == len(batch) > 0
+    pd.testing.assert_frame_equal(
+        got[["user_id", "session_start", "n_events"]],
+        batch[["user_id", "session_start", "n_events"]],
+    )
+    assert (abs(got["value_sum"] - batch["value_sum"]) < 1e-9).all()
+
+
+def test_salted_sessions_salt_boundary_split_rejoins(spark):
+    """A session straddling a salt-bucket boundary is split in stage 1
+    and MUST be stitched back in stage 2 — the hand-built corpus puts
+    two events gap/2 apart on either side of a 6h boundary (one
+    session), plus a pair >gap apart inside one bucket (two sessions)."""
+    import datetime as dt
+
+    from wx20222_bigdata_spark.streaming.jobs import (
+        SALT_BUCKET_SECONDS,
+        merge_sub_sessions,
+        salted_sub_sessions,
+    )
+
+    b = dt.datetime(2024, 1, 1, 6, 0, 0)  # a 6h-bucket boundary
+    rows = [
+        # one session across the boundary (10 min apart)
+        (1, b - dt.timedelta(minutes=5), 100, "c", 1.0),
+        (2, b + dt.timedelta(minutes=5), 100, "c", 2.0),
+        # two sessions inside one bucket (40 min > 30 min gap)
+        (3, b + dt.timedelta(hours=1), 200, "c", 3.0),
+        (4, b + dt.timedelta(hours=1, minutes=40), 200, "c", 4.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    sub = salted_sub_sessions(ev, watermark=None)
+    # stage 1 really split the boundary session
+    assert sub.filter(F.col("user_id") == 100).count() == 2
+    got = {
+        (r.user_id, r.n_events, r.value_sum)
+        for r in merge_sub_sessions(sub).collect()
+    }
+    assert got == {(100, 2, 3.0), (200, 1, 3.0), (200, 1, 4.0)}
+    assert SALT_BUCKET_SECONDS % 3600 == 0

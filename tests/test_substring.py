@@ -218,3 +218,50 @@ def test_e37b_prefix_tier_is_lossless(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_tier_selection_rule_matches_measured_winners():
+    """The auto-tier rule must pick the MEASURED faster tier at every
+    anchor scale (SCALE.md 'tier-selection rule' — local[32]/48g
+    numbers; anchors are documents.parquet compressed bytes)."""
+    from wx20222_bigdata_spark.operators.substring import (
+        choose_containment_tier,
+        choose_span_tier,
+    )
+
+    MiB = 1 << 20
+    # e36: text key won (or tied within noise) at sf0.1/sf1/sf10; md5 won ×1000
+    assert choose_span_tier(int(0.57 * MiB)) == "text"
+    assert choose_span_tier(int(5.9 * MiB)) == "text"
+    assert choose_span_tier(57 * MiB) == "text"
+    assert choose_span_tier(560 * MiB) == "md5"
+    # e37: full index won sf0.1/sf1; prefix won sf10 and ×1000
+    assert choose_containment_tier(int(0.57 * MiB)) == "full"
+    assert choose_containment_tier(int(5.9 * MiB)) == "full"
+    assert choose_containment_tier(57 * MiB) == "prefix"
+    assert choose_containment_tier(560 * MiB) == "prefix"
+
+
+def test_auto_seats_row_equal_to_canonical_tier(spark):
+    """The auto seats must be row-identical to the canonical tier on the
+    fixture (where the rule picks text/full) — with the oracle reused
+    unchanged, this is the property that makes e36c/e37c checkable
+    whichever tier the rule picks at other scales."""
+    from wx20222_bigdata_spark.operators.substring import (
+        corpus_parquet_bytes,
+        e36_substring_span_trim,
+        e36c_span_trim_auto,
+        e37_containment_pairs,
+        e37c_containment_auto,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    assert corpus_parquet_bytes(sf) < (18 << 20)  # fixture sits below both boundaries
+    for auto, canon in [
+        (e36c_span_trim_auto, e36_substring_span_trim),
+        (e37c_containment_auto, e37_containment_pairs),
+    ]:
+        a = auto(spark, sf)
+        c = canon(spark, sf)
+        assert a.exceptAll(c).count() == 0
+        assert c.exceptAll(a).count() == 0

@@ -150,12 +150,26 @@ def main() -> None:
             "append",
         ),
         "stateful_ema": (lambda s: jobs.stateful_ema(s), "update"),
+        # r9: the salted two-level session stage-1 — state keys are
+        # (user, 6h-time-salt), so a hot user's updates spread across
+        # salt buckets instead of hammering one state row/partition.
+        "salted_sub_sessions": (
+            lambda s: jobs.salted_sub_sessions(s),
+            "append",
+        ),
     }
     if skew:
-        # the skew audit targets the two user_id-keyed jobs (the window
-        # jobs key on time, not user — a hot user doesn't skew them)
+        # the skew audit targets the user_id-keyed jobs (the window
+        # jobs key on time, not user — a hot user doesn't skew them);
+        # salted_sub_sessions is the mitigation under test: compare its
+        # p95/p50 and throughput against session_window_counts
         cases = {
-            k: cases[k] for k in ("session_window_counts", "stateful_ema")
+            k: cases[k]
+            for k in (
+                "session_window_counts",
+                "stateful_ema",
+                "salted_sub_sessions",
+            )
         }
 
     results: dict[str, dict] = {}

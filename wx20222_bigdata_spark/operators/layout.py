@@ -222,3 +222,71 @@ def s11_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return out
+
+
+S5_PRED_MOD = 7   #: every 7th doc emits a prediction row
+S5_CAT_MOD = 17   #: synthetic category id domain
+
+
+@query(
+    "s5_prediction_sink_roundtrip",
+    oracle=f"""
+SELECT CONCAT('v', CAST(doc_id AS VARCHAR)) AS vid,
+       CAST(doc_id % {S5_CAT_MOD} AS VARCHAR) AS category_id,
+       TRUE AS manifest_ok
+FROM documents WHERE doc_id % {S5_PRED_MOD} = 0
+""",
+)
+def s5_prediction_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+S7 sink round-trip, oracle-checked (r8 verdict item 8 — these
+    were the last §2 rows covered only by pytest): build a deterministic
+    prediction frame from ``documents``, write it through the S5 CSV
+    sink (``sources/csv_io.write_predictions_csv`` — the reference's
+    ``vid,category_id`` headerless format, inference.py:50-53), write
+    the S7 JSON run manifest (``sources/sinks.write_json_manifest``,
+    main.py:288-289) recording the row count, then READ BOTH BACK: the
+    output rows come from the re-parsed CSV (so any quoting/format
+    defect breaks the value hash) and ``manifest_ok`` asserts the
+    manifest's recorded count equals the re-read count (so a manifest
+    defect flips a hashed column). The DuckDB oracle derives the same
+    rows straight from ``documents`` — a format-faithful sink is exactly
+    "round trip is the identity".
+
+    Eager by construction (the scratch dir must outlive the plan): the
+    re-read frame is materialized (eager localCheckpoint) before the
+    scratch dir is removed, the same discipline as s6/s11. Output is
+    bounded (1/{S5_PRED_MOD} of documents) and all-string → bit-exact."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from wx20222_bigdata_spark.plans.caching import materialize
+    from wx20222_bigdata_spark.sources.csv_io import (
+        read_predictions_csv,
+        write_predictions_csv,
+    )
+    from wx20222_bigdata_spark.sources.sinks import write_json_manifest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    preds = docs.filter(F.col("doc_id") % S5_PRED_MOD == 0).select(
+        F.concat(F.lit("v"), F.col("doc_id").cast("string")).alias("vid"),
+        (F.col("doc_id") % S5_CAT_MOD).cast("string").alias("category_id"),
+    )
+    scratch = tempfile.mkdtemp(prefix="s5_roundtrip_")
+    try:
+        csv_dir = os.path.join(scratch, "predictions")
+        write_predictions_csv(preds, csv_dir)
+        n_written = preds.count()
+        mpath = os.path.join(scratch, "manifest.json")
+        write_json_manifest({"rows": n_written, "format": "csv"}, mpath)
+        back = read_predictions_csv(spark, csv_dir)
+        back = materialize(back)
+        with open(mpath) as f:
+            manifest = json.load(f)
+        ok = bool(manifest["rows"] == back.count())
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return back.select(
+        "vid", "category_id", F.lit(ok).alias("manifest_ok")
+    )

@@ -92,9 +92,9 @@ def s9b_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "s9c_session_windows",
-    oracle="""
+#: Shared by s9c (direct session_window) and s9g (salted two-level) —
+#: both must equal the classic lag-gap-cumsum sessionization exactly.
+_SESSION_ORACLE = """
 WITH seq AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -119,8 +119,10 @@ SELECT user_id,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
 FROM sessions
 GROUP BY user_id, session_id
-""",
-)
+"""
+
+
+@query("s9c_session_windows", oracle=_SESSION_ORACLE)
 def s9c_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-minute gap) in batch — ``session_window()``
     merges events closer than the gap; the oracle derives identical
@@ -147,6 +149,32 @@ def s9c_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
+
+
+@query("s9g_salted_sessions", oracle=_SESSION_ORACLE)
+def s9g_salted_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9g salted (two-level) session windows — the hot-key mitigation
+    for sessionization (r8 verdict item 5), batch twin. Stage 1
+    sessionizes per (user_id, 6-hour time salt) so a skewed user's
+    state work spreads across salt buckets; stage 2 stitches the
+    sub-session summaries back into exact sessions (inclusive-gap merge
+    via lag→cumsum over O(sessions) rows). Registered against the SAME
+    oracle as s9c: the salted decomposition must be EXACTLY equal to
+    direct ``session_window`` output — sessions, counts, and decimal
+    sums bit-for-bit — which is the strongest statement of the
+    pattern's correctness (see streaming/jobs.py
+    ``salted_sub_sessions``/``merge_sub_sessions`` for why a time salt,
+    not a hash salt, makes exact reassembly possible). The streaming
+    form runs stage 1 as the stateful op (audited under a 50%-hot key
+    in STATE_STORE_AUDIT.json) and stage 2 as the batch compaction over
+    closed sub-sessions; stream==batch law in tests/test_streaming.py."""
+    from wx20222_bigdata_spark.streaming.jobs import (
+        merge_sub_sessions,
+        salted_sub_sessions,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return merge_sub_sessions(salted_sub_sessions(ev, watermark=None))
 
 
 @query(

@@ -38,9 +38,7 @@ from wx20222_bigdata_spark.registry import query
 K = 5  #: token-window width; Lee et al. use 50 BPE tokens — 5 fits fixture docs
 
 
-@query(
-    "e36_substring_span_trim",
-    oracle=f"""
+_E36_ORACLE = f"""
 WITH words AS (
   SELECT doc_id,
          list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
@@ -79,8 +77,10 @@ SELECT b.doc_id,
             THEN ROUND(COALESCE(c.n_dup_tokens, 0) * 1.0 / b.n_tokens, 6)
        END AS dup_fraction
 FROM base b LEFT JOIN cagg c USING (doc_id)
-""",
-)
+"""
+
+
+@query("e36_substring_span_trim", oracle=_E36_ORACLE)
 def e36_substring_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E36 exact-substring span trim — per document: total token count,
     how many token positions are covered by a word K-gram (K=5) that
@@ -158,9 +158,7 @@ C_DF_CAP = 50        #: drop grams indexed by more docs (boilerplate guard)
 C_THRESHOLD = 0.8    #: report pairs with containment >= this
 
 
-@query(
-    "e37_containment_pairs",
-    oracle=f"""
+_E37_ORACLE = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -200,8 +198,10 @@ FROM pairs
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE n_shared * 1.0 / LEAST(sa.n_grams, sb.n_grams) >= {C_THRESHOLD}
-""",
-)
+"""
+
+
+@query("e37_containment_pairs", oracle=_E37_ORACLE)
 def e37_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E37 asymmetric containment pairs — subsumption detection, the
     near-dup case symmetric Jaccard structurally misses: a short
@@ -568,3 +568,93 @@ def e37b_containment_prefix_production(spark: SparkSession, sf_dir: str) -> Data
         F.col("n_b").cast("bigint").alias("n_b"),
         "containment",
     )
+
+
+# --- r9 tier-selection rule (r8 verdict item 3) --------------------------
+#
+# Both production tiers have MEASURED config-dependent crossovers
+# (SCALE.md "tier-selection rule"): the right tier is a function of
+# corpus scale, so the decision is encoded here as data, not taste.
+# The proxy is the compressed size of the documents parquet — it tracks
+# token volume (and therefore gram-occurrence exchange volume) linearly
+# on every measured corpus.
+#
+# Measured anchors (local[32]/48g, interleaved; SCALE.md §e36b/§e37b +
+# SF100_PROBE):
+#   e36 text key vs e36b md5-int key —
+#     0.57 MiB (sf0.1):  text 1.30 s  / md5 1.13 s   (noise-level)
+#     5.9  MiB (sf1):    text 2.73 s  / md5 2.52 s   (noise-level)
+#     57   MiB (sf10):   text 29.6 s  / md5 33.3 s   (text wins: md5+conv
+#                        CPU grows linearly, sort advantage shrinks)
+#     560  MiB (×1000):  text 448.7 s / md5 378.9 s  (md5 wins 16%: the
+#                        exchange dominates and 8-byte keys cut bytes 15%)
+#   → boundary pinned at the geometric midpoint of the two sf10/×1000
+#     anchors (~180 MiB); below it the tiers are within ~13% either way,
+#     so the boundary's exact placement is low-stakes by construction.
+#   e37 full rare-index vs e37b prefix filter —
+#     5.9  MiB (sf1):    full 3.81 s  / prefix 8.53 s  (full wins: the
+#                        rank window overhead dwarfs the pair cut)
+#     57   MiB (sf10):   full 26.8 s  / prefix 25.3 s  (crossover)
+#     560  MiB (×1000):  full 905.3 s / prefix 276.0 s (prefix 3.3×: the
+#                        5× smaller index feeds every downstream stage)
+#   → boundary pinned at the geometric midpoint of sf1/sf10 (~18 MiB).
+#
+# On a NETWORK-BOUND cluster (the 100 TB deployment) the exchange-byte
+# reduction is the robust effect and both boundaries move LEFT — these
+# constants encode the measured single-box behavior, the conservative
+# default.
+
+E36_MD5_KEY_MIN_BYTES = 180 << 20  #: documents ≥ this → md5-int gram key
+E37_PREFIX_MIN_BYTES = 18 << 20    #: documents ≥ this → prefix filtering
+
+
+def corpus_parquet_bytes(sf_dir: str, table: str = "documents") -> int:
+    """Compressed on-disk bytes of a table — file or directory layout."""
+    import os
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(p):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(p)
+            for f in files
+        )
+    return os.path.getsize(p)
+
+
+def choose_span_tier(corpus_bytes: int) -> str:
+    """``'text'`` (e36) or ``'md5'`` (e36b) per the measured rule above."""
+    return "md5" if corpus_bytes >= E36_MD5_KEY_MIN_BYTES else "text"
+
+
+def choose_containment_tier(corpus_bytes: int) -> str:
+    """``'full'`` (e37) or ``'prefix'`` (e37b) per the measured rule."""
+    return "prefix" if corpus_bytes >= E37_PREFIX_MIN_BYTES else "full"
+
+
+@query("e36c_span_trim_auto", oracle=_E36_ORACLE)
+def e36c_span_trim_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E36c — the tier decision as code: picks e36 (text gram key) or
+    e36b (md5-int gram key) from the measured corpus-size rule
+    (:func:`choose_span_tier`), so a caller gets the faster measured
+    plan at any scale without knowing the tiers exist. Oracled with
+    e36's oracle UNCHANGED: the tiers are row-identical by the
+    tier-equality law, so the auto seat is oracle-checkable regardless
+    of which plan it picks (tests assert the rule's choice at every
+    measured anchor AND row-equality on the fixture)."""
+    tier = choose_span_tier(corpus_parquet_bytes(sf_dir))
+    if tier == "md5":
+        return e36b_span_trim_production(spark, sf_dir)
+    return e36_substring_span_trim(spark, sf_dir)
+
+
+@query("e37c_containment_auto", oracle=_E37_ORACLE)
+def e37c_containment_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E37c — e37/e37b tier decision as code (see e36c; rule:
+    :func:`choose_containment_tier`). Prefix filtering is lossless for
+    the threshold, so both tiers emit identical pairs and e37's oracle
+    checks the auto seat whichever plan it picks."""
+    tier = choose_containment_tier(corpus_parquet_bytes(sf_dir))
+    if tier == "prefix":
+        return e37b_containment_prefix_production(spark, sf_dir)
+    return e37_containment_pairs(spark, sf_dir)

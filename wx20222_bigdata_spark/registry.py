@@ -56,8 +56,13 @@ _FRONT: list[str] = [
     # oldest r05 seats to fill the 50-seat window. After this round the
     # staleness floor rises to r05.
     # --- NEW / REWRITTEN this round ---
+    "s5_prediction_sink_roundtrip",
+    "s9g_salted_sessions",
+    "e36c_span_trim_auto",
+    "e37c_containment_auto",
     "e7d_dedup_funnel",
     "e35_hyperplane_semdedup",
+    "e17_semantic_dedup",
     # --- r04-stale cohort (complete) ---
     "f21_variant_json",
     "i4_bfs_levels",
@@ -103,11 +108,6 @@ _FRONT: list[str] = [
     "a7_ensemble_argmax",
     "a8_argmax",
     "a11_distinct",
-    "e2_ngram_jaccard",
-    "e2c_simhash",
-    "e2e_cosine_neardup",
-    "e2h_levenshtein_fuzzy",
-    "e2j_char_shingle_lsh_pairs",
 ]
 
 
