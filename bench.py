@@ -132,6 +132,8 @@ HEADLINE = [
     "e19_unigram_logprob",        # shared-partitioning vocab join (no broadcast)
     # round-8 continuation: exact-substring span trim (Lee et al. pass)
     "e36_substring_span_trim",    # one-exchange k-gram occurrence window
+    # round-9 addition: the fused dedup-family funnel (capstone seat)
+    "e7d_dedup_funnel",           # one gram pass feeds containment + span gates
 ]
 
 

@@ -82,6 +82,11 @@ SHOWN = [
     ("t10_decay_weighted_value", "half-life decay (r8 cont.): one-row max-day broadcast, decimal weight CASE inside whole-stage codegen, map-side partial decimal sums"),
     ("o15_epoch_repeat_schedule", "multi-epoch schedule (r8 cont.): bounded apportionment table broadcast; per-source md5 rank window — e12's cost shape with quotas allowed to exceed availability"),
     ("e7d_dedup_funnel", "dedup-family funnel (r9 fused): ONE tokenize pass + ONE checkpointed (doc_id,j,g) gram frame feeds BOTH the containment index (distinct view) and the span coverage (positional view); one-pass max-stage accounting replaces the 5-way tagged union"),
+    # --- round-9 additions ---
+    ("e35_hyperplane_semdedup", "hyperplane signature (r9 codegen fix): 64 plane dots projected as an array column (each dot its own JIT-able generated method), sign/pack in a second projection CollapseProject can't re-inline; pair cosine a flat fixed-DIM chain — zero interpreted ops"),
+    ("s9g_salted_sessions", "salted two-level sessions (r9): stage-1 session_window per (user, 6h time salt) — hot-key state spread across salt buckets; stage-2 inclusive-gap lag/cumsum stitch over O(sessions) summary rows; equals s9c bit-for-bit"),
+    ("e36c_span_trim_auto", "auto tier (r9): dispatches e36 text-key vs e36b md5-int-key on measured corpus-size rule (180 MiB boundary); plan IS the chosen tier's plan — same oracle either way"),
+    ("s5_prediction_sink_roundtrip", "S5/S7 round-trip (r9): ordered CSV sink + JSON manifest written then re-read; returned plan scans the re-parsed CSV (eager materialize before scratch cleanup, s6/s11 discipline)"),
 ]
 
 

@@ -62,3 +62,25 @@ def test_e12b_budget_and_cap_invariants(spark):
     # (floor(sqrt)≥1 floor guarantees a nonzero unit)
     per_source = Counter(r["source"] for r in rows)
     assert len(per_source) == 20
+
+
+def test_e12b_binding_availability_drops_excess(spark):
+    """Availability-cap law (r8 ADVICE): when a source's availability
+    binds, its clamped excess is DROPPED, not redistributed — so
+    sum(quota) < budget by exactly the shortfall, every quota stays
+    ≤ n, and the non-binding sources keep their unclamped shares."""
+    from wx20222_bigdata_spark.operators.mixing import sqrt_temperature_quota
+
+    # units = max(floor(sqrt(n)),1): 10 / 2 / 1 → tu = 13. budget 60:
+    # a 600/13 → base 46 rem 2; b 120/13 → base 9 rem 3; c 60/13 →
+    # base 4 rem 8; one leftover seat goes to c (largest remainder) →
+    # unclamped 46/9/5. Availability binds for b (9>5) and c (5>3) →
+    # clamped 46/5/3; the 6 dropped seats are NOT redistributed to a.
+    avail = spark.createDataFrame(
+        [("a", 100), ("b", 5), ("c", 3)], "source string, n long"
+    )
+    got = {
+        r.source: r.quota for r in sqrt_temperature_quota(avail, 60).collect()
+    }
+    assert got == {"a": 46, "b": 5, "c": 3}
+    assert sum(got.values()) == 60 - (9 - 5) - (5 - 3)  # under-budget by dropped excess

@@ -224,7 +224,20 @@ def sqrt_temperature_quota(avail: DataFrame, budget: int) -> DataFrame:
     """Largest-remainder apportionment of ``budget`` over ``(source, n)``
     with weight units ``max(floor(sqrt(n)), 1)`` — e12b's core, split out
     so the flattening law (quota ratios follow √n ratios on a skewed
-    availability table) is testable on hand-built frames."""
+    availability table) is testable on hand-built frames.
+
+    Availability-cap semantics (r8 ADVICE): each quota is clamped to its
+    source's availability AFTER apportionment (``LEAST(base+extra, n)``),
+    and the excess a binding source cannot absorb is DROPPED, not
+    redistributed — so when any source binds, ``sum(quota) < budget``
+    (under-budget by exactly the clamped excess; law-pinned in
+    tests/test_mixing.py). This is deliberate: redistribution would be
+    iterative (clamping a source changes everyone else's share — the
+    water-filling fixpoint), data-dependent in depth, and would break
+    the single-pass all-integer plan; a caller that needs the full
+    budget re-runs with the bound sources excluded (one extra pass,
+    caller-controlled) — the standard two-call idiom for capped
+    apportionment."""
     u = avail.select(
         "source",
         "n",
