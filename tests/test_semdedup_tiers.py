@@ -68,3 +68,97 @@ def test_e35_tiers_outputs_identical(spark):
     assert a.count() == b.count() > 0
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_e35c_cap_inactive_equals_e35b_and_bucket_precondition(spark):
+    """e35c (capped representative join) must equal e35b EXACTLY wherever
+    no bucket exceeds HP_CAP — and the fixture must actually satisfy that
+    precondition (asserted, not assumed), so the equality is meaningful."""
+    from pyspark.sql import functions as F
+
+    from wx20222_bigdata_spark.operators.semdedup import (
+        HP_BANDS,
+        HP_CAP,
+        _hp_numpy_sig_frame,
+        e35b_hyperplane_semdedup_production,
+        e35c_hyperplane_semdedup_capped,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    sig = _hp_numpy_sig_frame(spark, sf)
+    bands = sig.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bkey"))
+                    for b in range(HP_BANDS)
+                ]
+            )
+        ).alias("bb")
+    ).select("bb.band", "bb.bkey")
+    max_bucket = (
+        bands.groupBy("band", "bkey").count().agg(F.max("count")).first()[0]
+    )
+    assert max_bucket <= HP_CAP, "fixture grew a hot bucket; law precondition broken"
+    b = e35b_hyperplane_semdedup_production(spark, sf)
+    c = e35c_hyperplane_semdedup_capped(spark, sf)
+    assert c.exceptAll(b).count() == 0
+    assert b.exceptAll(c).count() == 0
+
+
+def test_e35c_cap_binds_on_saturated_bucket(spark):
+    """On a hand-built duplication-saturated frame (one family of
+    identical vectors far larger than HP_CAP) the capped tier must (a)
+    generate only n×HP_CAP-bounded pairs per band — checked structurally
+    via the representative count — and (b) still prune every non-min
+    member (each sees representative #1 at cosine 1)."""
+    from pyspark.sql import functions as F
+
+    from wx20222_bigdata_spark.operators.semdedup import HP_CAP
+    from wx20222_bigdata_spark.operators import semdedup as sd
+
+    n = 3 * HP_CAP
+    base = [0.25] * 16 + [-0.5] * 16 + [1.0] * 16 + [0.125] * 16  # DIM=64
+    df = spark.createDataFrame(
+        [(i, base) for i in range(n)], "vec_id long, embedding array<double>"
+    )
+    # monkeypatch the corpus source through a temp view is overkill —
+    # drive the capped tail directly on a synthetic sig frame instead
+    import numpy as np
+
+    w_t = np.array(sd._HP_W, dtype=np.float64).T
+    signs = (np.array(base) @ w_t) > 0
+    pow2 = 1 << np.arange(sd.HP_BITS, dtype=np.int64)
+    keys = [
+        int(signs[b * sd.HP_BITS : (b + 1) * sd.HP_BITS] @ pow2)
+        for b in range(sd.HP_BANDS)
+    ]
+    sig = df.select(
+        "vec_id",
+        "embedding",
+        sd.norm("embedding").alias("nrm"),
+        *[F.lit(keys[b]).cast("int").alias(f"band{b}") for b in range(sd.HP_BANDS)],
+    )
+    from pyspark.sql.window import Window
+
+    bands = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bkey"))
+                    for b in range(sd.HP_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bkey")
+    reps = bands.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("band", "bkey").orderBy("vec_id"))
+    ).filter(F.col("rn") <= HP_CAP)
+    assert reps.count() == sd.HP_BANDS * HP_CAP  # cap binds: n=3*CAP members, CAP reps/band
+    out = sd._hp_prune_capped(sig).toPandas().set_index("vec_id")
+    # keep-min-id preserved: only vec 0 survives, everyone else sees
+    # representative #1 at cosine 1.0 and is pruned
+    assert bool(out.loc[0, "is_kept"]) is True
+    assert (~out.drop(index=0)["is_kept"]).all()
+    assert (out.drop(index=0)["max_lower_cosine"] == 1.0).all()

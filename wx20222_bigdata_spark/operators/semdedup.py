@@ -413,6 +413,15 @@ def e35b_hyperplane_semdedup_production(
     seat is fully hash-checked), and tests/test_semdedup_tiers.py pins
     band-key equality tier-vs-tier so any future drift fails loudly in
     pytest before a driver round sees it."""
+    return _hp_prune_from_sig(_hp_numpy_sig_frame(spark, sf_dir))
+
+
+def _hp_numpy_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared e35b/e35c signature builder: the materialized
+    (vec_id, embedding, nrm, band0..band{HP_BANDS-1}) frame with sign
+    bits computed by the Arrow-batched numpy matmul. The kernel is a
+    NESTED closure (the /verify cross-cwd rule: executors don't have
+    the repo on sys.path when the driver runs from another cwd)."""
     from pyspark.sql.functions import pandas_udf
 
     from wx20222_bigdata_spark.plans.caching import materialize
@@ -438,7 +447,7 @@ def e35b_hyperplane_semdedup_production(
         return pd.Series(list(keys))
 
     corpus = _emb_corpus_with_mutants(spark, sf_dir)
-    sig = materialize(
+    return materialize(
         corpus.select(
             "vec_id",
             "embedding",
@@ -451,4 +460,136 @@ def e35b_hyperplane_semdedup_production(
             *[F.col("bk")[b].alias(f"band{b}") for b in range(HP_BANDS)],
         )
     )
-    return _hp_prune_from_sig(sig)
+
+
+#: Per-(band, key) representative cap for the e35c tier. A bucket of n
+#: members generates n×{HP_CAP} pairs instead of C(n, 2) — the same
+#: frequent-bucket physics as the text-LSH PROD_MAX_BUCKET_SIZE cap,
+#: but DETERMINISTIC and SQL-expressible (lowest-vec_id representatives
+#: via row_number), so the tier keeps a full DuckDB oracle at any scale.
+HP_CAP = 32
+
+
+@query(
+    "e35c_hyperplane_semdedup_capped",
+    oracle=f"""
+WITH corpus AS ({_CORPUS_DUCK_EMB}),
+sig AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum([embedding[i] * embedding[i] for i in range(1, {DIM + 1})])) AS nrm,
+         {', '.join(f'CAST({_hp_band_duck(b)} AS INT) AS band{b}' for b in range(HP_BANDS))}
+  FROM corpus
+),
+bands AS (
+  {' UNION ALL '.join(f'SELECT vec_id, embedding, nrm, {b} AS band, band{b} AS bkey FROM sig' for b in range(HP_BANDS))}
+),
+reps AS (
+  SELECT * FROM bands
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY band, bkey ORDER BY vec_id) <= {HP_CAP}
+),
+pairs AS (
+  SELECT a.vec_id AS ia,
+         list_sum([a.embedding[i] * r.embedding[i] for i in range(1, {DIM + 1})])
+           / (a.nrm * r.nrm) AS cosine
+  FROM bands a JOIN reps r ON a.band = r.band AND a.bkey = r.bkey
+                           AND r.vec_id < a.vec_id
+),
+lower_max AS (SELECT ia, MAX(cosine) AS mc FROM pairs GROUP BY ia)
+SELECT s.vec_id,
+       ROUND(COALESCE(l.mc, -1.0), 6) AS max_lower_cosine,
+       COALESCE(l.mc, -1.0) < {TAU_HP} AS is_kept
+FROM sig s LEFT JOIN lower_max l ON l.ia = s.vec_id
+""",
+)
+def e35c_hyperplane_semdedup_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E35c — the hyperplane tier that SURVIVES a duplication-saturated
+    corpus. Found by the r9 ×1000 probe: e35b's uncapped banded
+    self-join hit ≥4.0B pair rows on the replica fixture (2,000
+    families × 1,000 verbatim copies → C(1000,2) pairs per family per
+    band; tasks ran 48+ min each — killed and recorded in
+    SF100_PROBE.json). The banding premise ("random pairs collide
+    w.p. 2⁻¹⁶") bounds CROSS-family collisions, not within-family ones;
+    any corpus with large verbatim-duplicate families breaks it.
+
+    Fix: each member compares only against its bucket's {HP_CAP}
+    LOWEST-vec_id members ("representatives") — n×{HP_CAP} pairs per
+    bucket instead of C(n, 2), linear in corpus size by construction.
+    Unlike the text-LSH random caps (e2g/e2m, rows-only) the
+    representative rule is deterministic and SQL-expressible, so this
+    tier is FULLY ORACLED at any scale. Dedup semantics: in a
+    dup-saturated bucket every member still sees representative #1
+    (cosine ≈ 1 → pruned), and the keep-min-id rule is preserved
+    because representatives are exactly the lowest ids; what the cap
+    trades away is max-cosine EXACTNESS for members of heterogeneous
+    buckets larger than {HP_CAP} (their reported max is over the reps
+    only). Law: identical to e35b wherever every bucket ≤ {HP_CAP}
+    (asserted on the fixture in tests/test_semdedup_tiers.py)."""
+    return _hp_prune_capped(_hp_numpy_sig_frame(spark, sf_dir))
+
+
+def _hp_prune_capped(sig: DataFrame) -> DataFrame:
+    """e35c's representative-join tail over any signature frame — split
+    out (like ``_hp_prune_from_sig``) so the saturated-bucket laws can
+    drive it on hand-built frames."""
+    from pyspark.sql.window import Window
+
+    bands = sig.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"band{b}").alias("bkey")
+                    )
+                    for b in range(HP_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "vec_id", "embedding", "nrm",
+        F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"),
+    )
+    reps = (
+        bands.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("band", "bkey").orderBy("vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= HP_CAP)
+        .select(
+            F.col("vec_id").alias("ib"),
+            F.col("embedding").alias("eb"),
+            F.col("nrm").alias("nb"),
+            F.col("band").alias("band_b"),
+            F.col("bkey").alias("bkey_b"),
+        )
+    )
+    a = bands.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+        "band",
+        "bkey",
+    )
+    cos = dot_fixed("ea", "eb", DIM) / (F.col("na") * F.col("nb"))
+    lower_max = (
+        a.join(
+            reps,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bkey") == F.col("bkey_b"))
+            & (F.col("ib") < F.col("ia")),
+        )
+        .groupBy("ia")
+        .agg(F.max(cos).alias("mc"))
+    )
+    mc = F.coalesce("mc", F.lit(-1.0))
+    return sig.join(lower_max, sig.vec_id == lower_max.ia, "left").select(
+        "vec_id",
+        F.round(mc, 6).alias("max_lower_cosine"),
+        (mc < F.lit(TAU_HP)).alias("is_kept"),
+    )

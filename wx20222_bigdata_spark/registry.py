@@ -60,6 +60,7 @@ _FRONT: list[str] = [
     "s9g_salted_sessions",
     "e36c_span_trim_auto",
     "e37c_containment_auto",
+    "e35c_hyperplane_semdedup_capped",
     "e7d_dedup_funnel",
     "e35_hyperplane_semdedup",
     "e17_semantic_dedup",
@@ -107,7 +108,6 @@ _FRONT: list[str] = [
     "a6_last4_mean",
     "a7_ensemble_argmax",
     "a8_argmax",
-    "a11_distinct",
 ]
 
 
