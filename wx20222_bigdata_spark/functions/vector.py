@@ -30,21 +30,6 @@ def cosine(a_col: str, b_col: str) -> Column:
     return dot(a_col, b_col) / (norm(a_col) * norm(b_col))
 
 
-def norm_fixed(col: str, dim: int) -> Column:
-    """L2 norm over a KNOWN fixed-width array as a flat chain — the
-    :func:`dot_fixed` rationale applied to :func:`norm` (same element
-    order as the fold, so bitwise-identical; same NULL-on-short-array
-    caller contract)."""
-    return F.sqrt(
-        F.expr(
-            " + ".join(
-                f"CAST({col}[{i}] AS DOUBLE) * CAST({col}[{i}] AS DOUBLE)"
-                for i in range(dim)
-            )
-        )
-    )
-
-
 def dot_fixed(a_col: str, b_col: str, dim: int) -> Column:
     """Σ a[i]·b[i] for KNOWN fixed-width arrays, as a flat
     left-associated chain instead of :func:`dot`'s HOF fold: lambda

@@ -280,18 +280,16 @@ FROM pairs
 )
 def f11_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F11 vector dot product / cosine (``torch.mm`` similarity logits,
-    ``pretrained_model.py:255-275``) between consecutive ids — flat
-    fixed-width chains (r9: the HOF fold evaluated interpreted; the
-    flat form codegens with identical element order)."""
+    ``pretrained_model.py:255-275``) between consecutive ids: ``zip_with``
+    product + ``aggregate`` fold, all codegen'd."""
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    from wx20222_bigdata_spark.functions.vector import dot_fixed, norm_fixed
+    from wx20222_bigdata_spark.functions.vector import cosine
 
-    cos = dot_fixed("ea", "eb", 64) / (norm_fixed("ea", 64) * norm_fixed("eb", 64))
     return (
         a.join(b, F.col("id_b") == F.col("id_a") + 1)
-        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .select("id_a", "id_b", F.round(cosine("ea", "eb"), 6).alias("cosine"))
     )
 
 

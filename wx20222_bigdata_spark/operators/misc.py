@@ -240,9 +240,9 @@ def e2e_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("lbl"),
         F.expr("vec_id div 25").alias("block"),
     )
-    from wx20222_bigdata_spark.functions.vector import dot_fixed, norm_fixed
+    from wx20222_bigdata_spark.functions.vector import cosine as _cos
 
-    cosine = dot_fixed("ea", "eb", 64) / (norm_fixed("ea", 64) * norm_fixed("eb", 64))
+    cosine = _cos("ea", "eb")
     return (
         a.join(b, ["lbl", "block"])
         .filter((F.col("id_b") > F.col("id_a")) & (F.col("id_b") <= F.col("id_a") + 25))

@@ -304,7 +304,8 @@ def rrf1_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     {RRF_DEPTH}x{RRF_DEPTH}-bounded full outer join — costless beside
     the modality scans; the vector side swaps to e3b/e3c ANN at corpus
     scale without touching the fusion."""
-    from wx20222_bigdata_spark.functions.vector import dot_fixed, norm_fixed
+    from wx20222_bigdata_spark.functions.vector import dot as _dot
+    from wx20222_bigdata_spark.functions.vector import norm as _norm
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -375,9 +376,7 @@ def rrf1_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("doc_id"),
             F.round(
-                dot_fixed("qe", "embedding", 64)
-                / (norm_fixed("qe", 64) * norm_fixed("embedding", 64)),
-                6
+                _dot("qe", "embedding") / (_norm("qe") * _norm("embedding")), 6
             ).alias("score"),
         )
     )

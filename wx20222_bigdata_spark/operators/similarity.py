@@ -45,29 +45,8 @@ N_PLANES = 8
 _PLANE = "((({j} * 64 + i) % 13) - 6)"
 
 
-from wx20222_bigdata_spark.functions.vector import dot_fixed as _dot_fixed
-from wx20222_bigdata_spark.functions.vector import norm_fixed as _norm_fixed
-
-EMB_DIM = 64  #: embeddings table width (catalog schema; oracles use range(1, 65))
-
-def _pair_cosine(dim: int | None = EMB_DIM) -> "F.Column":
-    """qe·ce / (|qe||ce|). With ``dim`` (the registered seats — always
-    the {EMB_DIM}-wide embeddings table): flat fixed-width chains, the
-    r9 codegen sweep (dot_fixed rationale — the HOF fold evaluated
-    interpreted per element in every ANN pair loop; the flat chain
-    whole-stage-codegens with identical element order, bitwise-equal
-    values). With ``dim=None`` (the reusable helpers, driven by tests
-    on arbitrary-width corpora): the HOF fold — under ANSI mode a flat
-    chain on a narrower array THROWS (INVALID_ARRAY_INDEX), found by
-    the 16-d random-projection recall test."""
-    if dim is None:
-        from wx20222_bigdata_spark.functions.vector import dot as _dot
-        from wx20222_bigdata_spark.functions.vector import norm as _norm
-
-        return _dot("qe", "ce") / (_norm("qe") * _norm("ce"))
-    return _dot_fixed("qe", "ce", dim) / (
-        _norm_fixed("qe", dim) * _norm_fixed("ce", dim)
-    )
+from wx20222_bigdata_spark.functions.vector import dot as _dot
+from wx20222_bigdata_spark.functions.vector import norm as _norm
 
 
 @query(
@@ -109,7 +88,7 @@ def e3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
-    cosine = _pair_cosine()
+    cosine = _dot("qe", "ce") / (_norm("qe") * _norm("ce"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("cand_id"))
@@ -201,7 +180,7 @@ def e3b_lsh_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = sig.select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"), "bucket"
     )
-    cosine = _pair_cosine()
+    cosine = _dot("qe", "ce") / (_norm("qe") * _norm("ce"))
     # The query side is N_QUERIES rows by construction: broadcast it so
     # the bucket join never shuffles the candidate corpus (at 100 TB the
     # corpus-side exchange would otherwise dominate the query). The plan
@@ -333,7 +312,7 @@ def e3c_ivf_probe_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("ce"),
         F.col("label").alias("list_id"),
     )
-    cosine = _pair_cosine()
+    cosine = _dot("qe", "ce") / (_norm("qe") * _norm("ce"))
     cand = (
         probes.join(c, "list_id")
         .filter(F.col("query_id") != F.col("cand_id"))
@@ -362,13 +341,13 @@ def e3c_ivf_probe_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def exact_topk(emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K, dim: int | None = None) -> DataFrame:
+def exact_topk(emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K) -> DataFrame:
     """Brute-force cosine top-k (query_id, cand_id, rnk) — ground truth."""
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
-    cosine = _pair_cosine(dim)
+    cosine = _dot("qe", "ce") / (_norm("qe") * _norm("ce"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("cand_id"))
@@ -407,7 +386,6 @@ def lsh_multitable_topk(
     k: int = TOP_K,
     n_tables: int = 12,
     n_planes: int = 4,
-    dim: int | None = None,  # None = arbitrary-width corpus (HOF cosine path)
 ) -> DataFrame:
     """Multi-table LSH ANN: candidates = union over L tables of same-bucket
     vectors, then exact cosine rank within candidates. Plan shape: one
@@ -426,7 +404,7 @@ def lsh_multitable_topk(
         .filter(F.col("query_id") != F.col("cand_id"))
         .dropDuplicates(["query_id", "cand_id"])
     )
-    cosine = _pair_cosine(dim)
+    cosine = _dot("qe", "ce") / (_norm("qe") * _norm("ce"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id").asc()
     )
@@ -439,11 +417,7 @@ def lsh_multitable_topk(
 
 
 def ivf_topk(
-    emb: DataFrame,
-    n_queries: int = N_QUERIES,
-    k: int = TOP_K,
-    n_probe: int = 2,
-    dim: int | None = None,
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K, n_probe: int = 2
 ) -> DataFrame:
     """IVF probe with tunable probe width (e3c generalized). On clustered
     corpora recall concentrates in the first probes; on isotropic data it
@@ -477,7 +451,7 @@ def ivf_topk(
         F.col("embedding").alias("ce"),
         F.col("label").alias("list_id"),
     )
-    cosine = _pair_cosine(dim)
+    cosine = _dot("qe", "ce") / (_norm("qe") * _norm("ce"))
     cand = (
         probes.join(c, "list_id")
         .filter(F.col("query_id") != F.col("cand_id"))
@@ -551,7 +525,6 @@ def ivf_kmeans_topk(
     n_lists: int = 10,
     n_probe: int = 2,
     n_iters: int = 3,
-    dim: int | None = None,
 ) -> DataFrame:
     """**Production ANN default**: IVF search over a coarse quantizer
     trained from the data (:func:`train_ivf_centroids`) — no reliance on
@@ -589,7 +562,7 @@ def ivf_kmeans_topk(
             "list_id",
         )
     )
-    cosine = _pair_cosine(dim)
+    cosine = _dot("qe", "ce") / (_norm("qe") * _norm("ce"))
     cand = (
         probes.join(lists, "list_id")
         .filter(F.col("query_id") != F.col("cand_id"))
