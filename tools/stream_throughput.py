@@ -91,6 +91,11 @@ def main() -> None:
             lambda s: jobs.stateful_running_totals_classic(s),
             "update",
         ),
+        # r9: session state keyed (user, time-salt) — the hot-key-safe tier
+        "salted_sub_sessions": (
+            lambda s: jobs.salted_sub_sessions(s),
+            "append",
+        ),
     }
     results: dict[str, dict] = {}
     for name, (make, mode) in cases.items():
