@@ -74,6 +74,7 @@ EAGER_QUERIES = {
     "e9c_verified_clusters",
     "e35_hyperplane_semdedup",
     "e35b_hyperplane_semdedup_production",
+    "e35d_semdedup_auto",  # r10: sampled saturation probe runs at call time
     "e7d_dedup_funnel",  # r9: fused gram frame is an eager localCheckpoint
 }
 
@@ -134,6 +135,8 @@ HEADLINE = [
     "e36_substring_span_trim",    # one-exchange k-gram occurrence window
     # round-9 addition: the fused dedup-family funnel (capstone seat)
     "e7d_dedup_funnel",           # one gram pass feeds containment + span gates
+    # round-10 addition: the semantic-dedup auto tier (probe + chosen tier)
+    "e35d_semdedup_auto",         # sampled saturation probe -> e35b/e35c
 ]
 
 

@@ -162,3 +162,67 @@ def test_e35c_cap_binds_on_saturated_bucket(spark):
     assert bool(out.loc[0, "is_kept"]) is True
     assert (~out.drop(index=0)["is_kept"]).all()
     assert (out.drop(index=0)["max_lower_cosine"] == 1.0).all()
+
+
+def test_choose_semdedup_tier_measured_anchors():
+    """The tier rule at the measured pair-count anchors (SCALE.md
+    'semantic-dedup tier rule'): every completed e35b scale point sits
+    below the budget, the ×1000 kill far above it."""
+    from wx20222_bigdata_spark.operators.semdedup import (
+        HP_PAIR_BUDGET,
+        choose_semdedup_tier,
+    )
+
+    assert choose_semdedup_tier(800) == "uncapped"          # sf0.01 fixture
+    assert choose_semdedup_tier(458_800) == "uncapped"      # sf1 estimate
+    assert choose_semdedup_tier(46_594_800) == "uncapped"   # sf10 estimate (12.3 s)
+    assert choose_semdedup_tier(4_647_344_800) == "capped"  # ×1000 estimate (killed)
+    assert choose_semdedup_tier(HP_PAIR_BUDGET) == "capped"  # boundary inclusive
+
+
+def test_probe_estimate_and_choice_on_fixture(spark):
+    """The sampled probe's estimate on the driver fixture is tiny and
+    the auto seat therefore takes the UNCAPPED (e35b) path — the regime
+    the shared e35 oracle verifies at sf0.01."""
+    from wx20222_bigdata_spark.operators.semdedup import (
+        choose_semdedup_tier,
+        estimate_semdedup_pairs,
+    )
+
+    est = estimate_semdedup_pairs(spark, SF)
+    assert est < 1_000_000, est
+    assert choose_semdedup_tier(est) == "uncapped"
+
+
+def test_probe_picks_capped_on_saturated_corpus(spark, tmp_path):
+    """A/B half two: on a duplication-saturated corpus (one family of
+    20,000 verbatim-identical vectors — the ×1000 replica fixture's
+    failure mode in miniature) the probe's estimate crosses the pair
+    budget and the auto seat chooses the capped tier. Sampled math:
+    ~1/20 of the family survives the md5 sample (~1,000 members), all
+    in ONE bucket per band → Σ C(c,2)·400 ≈ 4·C(1000,2)·400 ≈ 8×10⁸
+    ≥ HP_PAIR_BUDGET, with huge margin on both sides of the boundary."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wx20222_bigdata_spark.operators.semdedup import (
+        HP_PAIR_BUDGET,
+        choose_semdedup_tier,
+        estimate_semdedup_pairs,
+    )
+
+    n = 20_000
+    base = np.array([0.25] * 16 + [-0.5] * 16 + [1.0] * 16 + [0.125] * 16,
+                    dtype=np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([base] * n, pa.list_(pa.float32())),
+            "label": pa.array([0] * n, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    est = estimate_semdedup_pairs(spark, str(tmp_path))
+    assert est >= HP_PAIR_BUDGET, est
+    assert choose_semdedup_tier(est) == "capped"

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wx20222_bigdata_spark.catalog import load_table
+from wx20222_bigdata_spark.functions.hashing import spark_md5_hash
 from wx20222_bigdata_spark.functions.vector import dot_fixed, norm
 from wx20222_bigdata_spark.operators.kmeans import DIM, LLOYD2_CTES, lloyd2_assignment
 from wx20222_bigdata_spark.registry import query
@@ -220,9 +221,7 @@ def _emb_corpus_with_mutants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(mutants)
 
 
-@query(
-    "e35_hyperplane_semdedup",
-    oracle=f"""
+_E35_ORACLE = f"""
 WITH corpus AS ({_CORPUS_DUCK_EMB}),
 sig AS (
   SELECT vec_id, embedding,
@@ -245,8 +244,10 @@ SELECT s.vec_id,
        ROUND(COALESCE(l.mc, -1.0), 6) AS max_lower_cosine,
        COALESCE(l.mc, -1.0) < {TAU_HP} AS is_kept
 FROM sig s LEFT JOIN lower_max l ON l.ia = s.vec_id
-""",
-)
+"""
+
+
+@query("e35_hyperplane_semdedup", oracle=_E35_ORACLE)
 def e35_hyperplane_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E35 CENTROID-FREE semantic dedup: e17's prune decision without a
     trained quantizer — candidate pairs come from random-hyperplane sign
@@ -416,15 +417,13 @@ def e35b_hyperplane_semdedup_production(
     return _hp_prune_from_sig(_hp_numpy_sig_frame(spark, sf_dir))
 
 
-def _hp_numpy_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared e35b/e35c signature builder: the materialized
-    (vec_id, embedding, nrm, band0..band{HP_BANDS-1}) frame with sign
-    bits computed by the Arrow-batched numpy matmul. The kernel is a
-    NESTED closure (the /verify cross-cwd rule: executors don't have
-    the repo on sys.path when the driver runs from another cwd)."""
+def _hp_sig_udf():
+    """The Arrow-batched numpy band-signature kernel, shared by the
+    production signature frame (e35b/e35c) and the e35d saturation
+    probe. The kernel is a NESTED closure (the /verify cross-cwd rule:
+    executors don't have the repo on sys.path when the driver runs from
+    another cwd)."""
     from pyspark.sql.functions import pandas_udf
-
-    from wx20222_bigdata_spark.plans.caching import materialize
 
     w_t = np.array(_HP_W, dtype=np.float64).T  # DIM x HP_PLANES
 
@@ -446,6 +445,16 @@ def _hp_numpy_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return pd.Series(list(keys))
 
+    return _hp_sig
+
+
+def _hp_numpy_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared e35b/e35c signature builder: the materialized
+    (vec_id, embedding, nrm, band0..band{HP_BANDS-1}) frame with sign
+    bits computed by the Arrow-batched numpy matmul."""
+    from wx20222_bigdata_spark.plans.caching import materialize
+
+    _hp_sig = _hp_sig_udf()
     corpus = _emb_corpus_with_mutants(spark, sf_dir)
     return materialize(
         corpus.select(
@@ -593,3 +602,92 @@ def _hp_prune_capped(sig: DataFrame) -> DataFrame:
         F.round(mc, 6).alias("max_lower_cosine"),
         (mc < F.lit(TAU_HP)).alias("is_kept"),
     )
+
+
+# --- e35d: tier choice as code (the r9 verdict's last "What's wrong") ---
+
+#: Estimated banded-pair budget above which the capped tier (e35c) is
+#: chosen. Measured anchors on the replica fixtures (exact band-pair
+#: counts via the same numpy signature, SCALE.md "semantic-dedup tier
+#: rule"):
+#:   sf10  (100-copy saturation): 45.8 M pairs — e35b completes in 12.3 s
+#:   ×1000 (1000-copy saturation): 4.62 B pairs — e35b KILLED at 69 min
+#: Boundary pinned at the geometric midpoint ≈ 450 M: below it the
+#: uncapped join's pair volume is minutes of work at worst on one box
+#: (and embarrassingly parallel on a cluster); above it the pair
+#: explosion dominates every other stage and only the linear capped
+#: tier is safe.
+HP_PAIR_BUDGET = 450_000_000
+
+#: Deterministic probe sample rate: keep vec_ids whose 60-bit md5-prefix
+#: hash ≡ 0 (mod 20), i.e. a 5% sample that is reproducible across runs,
+#: engines, and partitionings (no RNG, no sampleBy seed drift).
+HP_PROBE_MOD = 20
+
+
+def estimate_semdedup_pairs(
+    spark: SparkSession, sf_dir: str, mod: int = HP_PROBE_MOD
+) -> int:
+    """Sampled estimate of the uncapped tier's banded-pair volume.
+
+    An unordered pair survives a rate-1/mod vec_id sample with
+    probability 1/mod², so ``Σ C(c, 2) · mod²`` over the sampled
+    (band, key) bucket counts is an UNBIASED estimator of the true
+    pair-join size — the quantity that killed e35b at ×1000. Measured
+    accuracy on the replica fixtures (true vs estimated): sf1 420 k /
+    459 k, sf10 45.77 M / 46.59 M, ×1000 4.615 B / 4.647 B — within 10%
+    everywhere a tier choice could be close.
+
+    Cost: one 5% scan + the numpy signature kernel + one shuffle of
+    sampled (band, key) rows to a count — O(n/mod) work, no pair join.
+    The md5 filter is applied BEFORE the signature UDF so the sample is
+    pruned at the scan, and the collect is a single scalar aggregate."""
+    corpus = _emb_corpus_with_mutants(spark, sf_dir)
+    sampled = corpus.filter(
+        F.expr(spark_md5_hash("CAST(vec_id AS STRING)", mod)) == 0
+    )
+    bands = sampled.select(
+        F.posexplode(_hp_sig_udf()("embedding")).alias("band", "bkey")
+    )
+    row = (
+        bands.groupBy("band", "bkey")
+        .count()
+        .agg(
+            F.sum(
+                (F.col("count") * (F.col("count") - F.lit(1))) / F.lit(2)
+            ).alias("sampled_pairs")
+        )
+        .first()
+    )
+    sampled_pairs = int(row["sampled_pairs"] or 0)
+    return sampled_pairs * mod * mod
+
+
+def choose_semdedup_tier(est_pairs: int) -> str:
+    """``'uncapped'`` (e35b) below the pair budget, ``'capped'`` (e35c)
+    at or above it."""
+    return "capped" if est_pairs >= HP_PAIR_BUDGET else "uncapped"
+
+
+@query("e35d_semdedup_auto", oracle=_E35_ORACLE)
+def e35d_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E35d — the e35b/e35c tier decision as code (the e36c/e37c
+    pattern, but the deciding variable is DATA-dependent, not
+    size-dependent): duplicate saturation — the property a user cannot
+    know in advance, and exactly what killed e35b's uncapped pair join
+    at ×1000 — is ESTIMATED by a deterministic 5% sampled probe of the
+    band signatures (:func:`estimate_semdedup_pairs`), and the measured
+    pair-budget boundary (:data:`HP_PAIR_BUDGET`) picks the tier.
+
+    Oracle: shares e35's full oracle. On any corpus below the budget the
+    choice is e35b, whose output is row-identical to e35 (tier-equality
+    law, tests/test_semdedup_tiers.py) — the driver fixture is in this
+    regime (probe ≈ 800 estimated pairs, asserted in tests). Above the
+    budget the seat returns e35c's capped semantics, covered by e35c's
+    own oracle plus the cap-inactive equality law; the A/B that the
+    probe picks 'capped' on the dup-saturated replica corpus is
+    asserted on a hand-built saturated corpus in the same test file."""
+    tier = choose_semdedup_tier(estimate_semdedup_pairs(spark, sf_dir))
+    if tier == "capped":
+        return e35c_hyperplane_semdedup_capped(spark, sf_dir)
+    return e35b_hyperplane_semdedup_production(spark, sf_dir)

@@ -91,9 +91,12 @@ def evaluate_submission(
     )
     l1 = macro_f1(joined, "lv1", "pred_lv1").withColumnRenamed("f1", "lv1_f1")
     l2 = macro_f1(joined, "lv2", "pred_lv2").withColumnRenamed("f1", "lv2_f1")
+    # one-row aggregates: explicit broadcast hint (the repo-wide benign
+    # crossJoin pattern — AQE would pick it anyway, but the hint keeps
+    # the plan independent of AQE settings)
     return (
-        acc.crossJoin(l1)
-        .crossJoin(l2)
+        acc.crossJoin(F.broadcast(l1))
+        .crossJoin(F.broadcast(l2))
         .select(
             F.round("lv1_acc", 6).alias("lv1_acc"),
             F.round("lv2_acc", 6).alias("lv2_acc"),

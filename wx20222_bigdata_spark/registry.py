@@ -47,67 +47,68 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # CORRECTNESS row yet — plus anything new/changed this round — get checked
 # before already-driver-verified ones. See NOTES_r2.md.
 _FRONT: list[str] = [
-    # Round-9 rotation (r8 verdict item 2): seats ADDED or REWRITTEN
-    # this round first (e7d rewritten — fused single-gram-pass plan +
-    # one-pass stage accounting; e35 rewritten — chunked codegen
-    # signature; new r9 seats lead), then the ENTIRE r04-stale cohort
-    # (31 seats whose latest driver row is r04 — all drive-sim
-    # pre-verified green in r8, driver rows still wanted), then the
-    # oldest r05 seats to fill the 50-seat window. After this round the
-    # staleness floor rises to r05.
-    # --- NEW / REWRITTEN this round ---
-    "s5_prediction_sink_roundtrip",
-    "s9g_salted_sessions",
-    "e36c_span_trim_auto",
-    "e37c_containment_auto",
-    "e35c_hyperplane_semdedup_capped",
-    "e7d_dedup_funnel",
-    "e35_hyperplane_semdedup",
-    "e17_semantic_dedup",
-    # --- r04-stale cohort (complete) ---
-    "f21_variant_json",
-    "i4_bfs_levels",
-    "q18_large_volume_customers",
-    "q22_global_sales_opportunity",
-    "q3_shipping_priority",
-    "q4_priority_check",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "s9_tumbling_window",
-    "s9b_sliding_window",
-    "s9c_session_windows",
-    "s9d_windowed_dedup",
-    "s9e_interval_join",
-    "skew_salted_agg",
-    "sql_frontdoor_topn_customers",
-    "t1_asof_join",
-    "t2_range_join",
-    "t3_time_rollup",
-    "t4_cube",
-    "t5_pivot",
-    "t6_funnel_conversion",
-    "t7_cohort_retention",
-    "w1_row_number_gap",
-    "w2_step_schedule",
-    "w3_running_total",
-    "w5_rolling_active_users",
-    "w6_top_n_per_group",
-    "w_sliding_avg",
-    "x5_count_min_estimate",
-    "x6_map_in_arrow",
-    # --- oldest r05 seats (fill to 50) ---
+    # Round-10 rotation (r9 verdict item 1): seats ADDED or CHANGED this
+    # round first (e35d new auto tier; s6 rewritten with a driver-visible
+    # shard-manifest oracle; flagship re-fronted after the explicit
+    # broadcast hints on its one-row crossJoins), then the ENTIRE
+    # 31-seat r05-stale cohort (drive-sim pre-verified green in r9 — 10
+    # of them independently re-verified by the judge — driver rows still
+    # wanted), then the oldest r06 seats in registration order to fill
+    # the 50-seat window. After this round the staleness floor rises to
+    # r06 (28 r06 seats remain for the r11 rotation).
+    # --- NEW / CHANGED this round ---
+    "e35d_semdedup_auto",
+    "s6_compaction_manifest",
     "flagship_two_level_metrics",
-    "e2b_minhash_lsh_pairs",
-    "e1_exact_dedup",
-    "e1b_dedup_survivors",
-    "a1_per_class_f1",
-    "a3_rollup_class_counts",
-    "a4_pricing_summary",
-    "a5_masked_mean_pool",
-    "a6_last4_mean",
-    "a7_ensemble_argmax",
-    "a8_argmax",
+    # --- r05-stale cohort (complete, minus s6 fronted above) ---
+    "a11_distinct",
+    "a12_approx_distinct",
+    "e2_ngram_jaccard",
+    "e2c_simhash",
+    "e2e_cosine_neardup",
+    "e2f_ml_minhash_lsh",
+    "e2h_levenshtein_fuzzy",
+    "e2j_char_shingle_lsh_pairs",
+    "e2k_salted_lsh_pairs",
+    "e34_nospace_exact_dedup",
+    "e5_multimodal_manifest",
+    "e5b_multimodal_join",
+    "e5c_decode_features",
+    "f10_mask_arithmetic",
+    "f11_cosine_pairs",
+    "f12_softmax_stats",
+    "f14_batch_permutation",
+    "f7b_char_tokenize",
+    "f8_budget_cascade",
+    "f_array_breadth",
+    "o1_stride_sample",
+    "o3_pad_to_length",
+    "u2_sequence_concat",
+    "w4_head_tail_truncate",
+    "x1_pandas_udf_token_stats",
+    "x2_apply_in_pandas_fold",
+    "x3_python_udtf_shingles",
+    "x4_map_in_pandas_scoring",
+    "x4b_ensemble_scoring",
+    "x4c_broadcast_weights_scoring",
+    # --- oldest r06 seats in registration order (fill to 50) ---
+    "e2g_minhash_lsh_production",
+    "e2m_char_lsh_production",
+    "e25_incremental_dedup",
+    "e9_dedup_clusters",
+    "e9b_triangle_count",
+    "e28_cluster_survivors",
+    "e9c_verified_clusters",
+    "e18_cdc_chunking",
+    "e20_chunk_dedup",
+    "e23_ffd_packing",
+    "e24_length_bucketing",
+    "e7c_funnel_accounting",
+    "e30_dataset_card",
+    "e10_decontamination",
+    "x7_bloom_decontaminate",
+    "f19_minmax_scale",
+    "x9_cogroup_attribution",
 ]
 
 
