@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wx20222_bigdata_spark.catalog import load_table
+from wx20222_bigdata_spark.functions.hashing import duck_md5_hash
 from wx20222_bigdata_spark.registry import query
 
 Z_BITS = 10          #: bits kept per dimension (1024 buckets each)
@@ -86,62 +87,94 @@ def z1_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_z_query("div"))
 
 
-@query("s6_compaction_manifest")
-def s6_compaction_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S6 compaction sink as an auditable manifest: write the documents
-    table through ``write_compacted_parquet`` (sources/sinks.py — shard
-    count sized from MEASURED encoded bytes/row, multi-row-group file
-    geometry) into a scratch dir, then report the sizing decision and
-    verify the realized layout against it: every produced file must land
-    within 2× of the target size (small targets carry relatively more
-    parquet footer/metadata overhead, hence the 2× bound rather than an
-    exact one), and row-group counts must exceed file counts (the
-    read-side scan-parallelism invariant rebalance_small_scan gates on).
+#: s6 sizing constants: the target file size and the PINNED encoded
+#: bytes/row (measured 116.5 on the sf0.01 documents projection through
+#: the production codec — write_compacted_parquet's sample pass; pinned
+#: so the shard count is a pure function of the row count and the
+#: DuckDB oracle can predict the whole layout). 8 KiB target → 8 shards
+#: at 500 fixture rows with a 70-row file cap, so hot shards genuinely
+#: roll a second file and the oracle's ceil() prediction is exercised.
+S6_TARGET_BYTES = 8 << 10
+S6_EST_ROW_BYTES = 116.0
 
-    Rows-only by design: byte sizes depend on the parquet encoder, not
-    on query semantics. The row COUNT and invariant booleans are the
-    checked signal. Reference parity: the 22-shard npy packing
-    (src/split_pretrain_data.py:28-35), generalized to size-targeted
-    shards."""
+
+@query(
+    "s6_compaction_manifest",
+    oracle=f"""
+WITH params AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(CEIL(COUNT(*) * {S6_EST_ROW_BYTES} / {S6_TARGET_BYTES}) AS BIGINT) AS n_shards,
+         CAST({S6_TARGET_BYTES} / {S6_EST_ROW_BYTES} AS BIGINT) AS cap_rows
+  FROM documents
+),
+shards AS (
+  SELECT ({duck_md5_hash("CAST(doc_id AS STRING)")} % p.n_shards) AS shard
+  FROM documents, params p
+)
+SELECT s.shard,
+       COUNT(*) AS shard_rows,
+       CAST(CEIL(COUNT(*) * 1.0 / MAX(p.cap_rows)) AS BIGINT) AS shard_files
+FROM shards s, params p
+GROUP BY s.shard
+""",
+)
+def s6_compaction_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 compaction sink as a DRIVER-VISIBLE manifest (oracle-upgraded
+    r10 — the r9 verdict's last upgradeable rows-only seat): write the
+    documents table through ``write_compacted_parquet`` with a
+    deterministic md5-mod shard key and a pinned bytes/row estimate,
+    read the realized layout BACK from disk, and emit one row per shard
+    dir — (shard, rows read back from that shard, parquet files in that
+    shard). Every output cell is a prediction DuckDB makes from the raw
+    table: shard membership is the md5-mod of doc_id over
+    ``ceil(n_rows · est / target)`` shards, and the per-shard file count
+    is ``ceil(shard_rows / cap_rows)`` because the hash repartition
+    colocates each shard value in exactly one write task under
+    ``maxRecordsPerFile`` (sinks.py). A layout regression — lost rows,
+    split tasks, a broken file cap — breaks the hash match.
+
+    The 2×-size and multi-row-group invariants the old rows-only seat
+    reported remain covered by tests/test_sources.py (encoder-dependent
+    byte sizes cannot be oracled). Reference parity: the 22-shard npy
+    packing (src/split_pretrain_data.py:28-35), generalized to
+    size-targeted deterministic shards."""
     import glob
     import os
     import shutil
     import tempfile
-
-    import pyarrow.parquet as pq
 
     from wx20222_bigdata_spark.sources.sinks import write_compacted_parquet
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    target = 32 << 10  # 32 KiB files: even sf0.01 documents yield several shards
     scratch = tempfile.mkdtemp(prefix="s6_compact_")
     try:
         out = os.path.join(scratch, "compacted")
-        info = write_compacted_parquet(docs, out, target_file_bytes=target)
-        files = sorted(glob.glob(os.path.join(out, "*.parquet")))
-        sizes = [os.path.getsize(f) for f in files]
-        row_groups = sum(pq.ParquetFile(f).num_row_groups for f in files)
-        back_rows = spark.read.parquet(out).count()
+        write_compacted_parquet(
+            docs,
+            out,
+            target_file_bytes=S6_TARGET_BYTES,
+            est_row_bytes=S6_EST_ROW_BYTES,
+            shard_key="doc_id",
+        )
+        back = spark.read.parquet(out)
+        per_shard = {
+            int(r["shard"]): int(r["n"])
+            for r in back.groupBy("shard").agg(F.count("*").alias("n")).collect()
+        }
+        files_per_shard = {
+            s: len(glob.glob(os.path.join(out, f"shard={s}", "*.parquet")))
+            for s in per_shard
+        }
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(
         [
-            (
-                int(info["rows"]),
-                int(back_rows),
-                int(info["n_shards"]),
-                len(files),
-                int(row_groups),
-                bool(all(s <= 2 * target for s in sizes)),
-                bool(info["rows"] == back_rows),
-                bool(row_groups >= len(files)),
-            )
+            (s, per_shard[s], files_per_shard[s])
+            for s in sorted(per_shard)
         ],
-        "rows bigint, rows_readback bigint, n_shards bigint, n_files bigint,"
-        " n_row_groups bigint, files_within_2x_target boolean,"
-        " roundtrip_exact boolean, multi_row_group boolean",
+        "shard bigint, shard_rows bigint, shard_files bigint",
     )
 
 

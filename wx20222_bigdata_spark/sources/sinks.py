@@ -38,6 +38,7 @@ def write_compacted_parquet(
     est_row_bytes: float | None = None,
     sample_rows: int = 10_000,
     row_group_bytes: int | None = None,
+    shard_key: str | None = None,
 ) -> dict:
     """Target-FILE-SIZE compaction — the write-side dual of
     catalog.rebalance_small_scan: instead of a caller-guessed
@@ -94,9 +95,26 @@ def write_compacted_parquet(
         df.write.mode("overwrite").parquet(path)
         return {"rows": n_rows, "est_row_bytes": 0.0, "n_shards": 0}
     n_shards = max(1, math.ceil(n_rows * est_row_bytes / target_file_bytes))
-    out = df.repartition(n_shards)
-    writer = out.write.mode("overwrite")
     cap_rows = max(1, int(target_file_bytes / est_row_bytes))
+    if shard_key is not None:
+        # Deterministic layout: rows land in shard dirs keyed by an
+        # md5-mod of ``shard_key`` (cross-engine reproducible — the s6
+        # manifest oracle predicts per-shard rows AND file counts from
+        # it), and the hash repartition colocates each shard value in
+        # one task so per-shard file count is exactly
+        # ceil(shard_rows / cap_rows) under maxRecordsPerFile.
+        from pyspark.sql import functions as F
+
+        from wx20222_bigdata_spark.functions.hashing import spark_md5_hash
+
+        out = df.withColumn(
+            "shard",
+            F.expr(spark_md5_hash(f"CAST({shard_key} AS STRING)", n_shards)),
+        ).repartition(n_shards, "shard")
+        writer = out.write.mode("overwrite").partitionBy("shard")
+    else:
+        out = df.repartition(n_shards)
+        writer = out.write.mode("overwrite")
     writer = writer.option("maxRecordsPerFile", cap_rows)
     # Row-group geometry: the default parquet block size equals a whole
     # target-sized file (one row group per file = one scan task per file
@@ -111,6 +129,7 @@ def write_compacted_parquet(
         "rows": n_rows,
         "est_row_bytes": round(est_row_bytes, 2),
         "n_shards": n_shards,
+        "cap_rows": cap_rows,
     }
 
 
