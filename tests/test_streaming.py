@@ -1065,3 +1065,81 @@ def test_salted_sessions_salt_boundary_split_rejoins(spark):
     }
     assert got == {(100, 2, 3.0), (200, 1, 3.0), (200, 1, 4.0)}
     assert SALT_BUCKET_SECONDS % 3600 == 0
+
+
+def test_session_exact_gap_boundary_pinned(spark):
+    """r9 ADVICE #2: two events EXACTLY gap apart must MERGE — in
+    Spark's own session_window (s9c's form), in the salted two-level
+    decomposition (s9g stage 1 + stage 2), and in the lag-cumsum oracle
+    predicate (strict ``>`` break ≡ inclusive ``<=`` merge). Until now
+    this inclusive-boundary agreement was only docstring-asserted; a
+    hand-built exactly-30-min pair pins it, both inside one salt bucket
+    and straddling a bucket boundary, with a gap+1s pair as the split
+    control."""
+    import datetime as dt
+
+    from wx20222_bigdata_spark.streaming.jobs import (
+        merge_sub_sessions,
+        salted_sub_sessions,
+    )
+
+    b = dt.datetime(2024, 1, 1, 6, 0, 0)  # a 6h salt-bucket boundary
+    rows = [
+        # exactly 30 min apart, same salt bucket -> ONE session
+        (1, b + dt.timedelta(hours=1), 100, "c", 1.0),
+        (2, b + dt.timedelta(hours=1, minutes=30), 100, "c", 2.0),
+        # exactly 30 min apart, straddling the bucket boundary -> ONE
+        # session (stage 1 splits, stage 2's inclusive <= must stitch)
+        (3, b - dt.timedelta(minutes=15), 200, "c", 3.0),
+        (4, b + dt.timedelta(minutes=15), 200, "c", 4.0),
+        # 30 min + 1 s apart -> TWO sessions (split control)
+        (5, b + dt.timedelta(hours=3), 300, "c", 5.0),
+        (6, b + dt.timedelta(hours=3, minutes=30, seconds=1), 300, "c", 6.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+
+    # direct session_window (s9c's exact form, batch)
+    direct = {
+        (r.user_id, r.n_events, r.value_sum)
+        for r in ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .collect()
+    }
+    expected = {(100, 2, 3.0), (200, 2, 7.0), (300, 1, 5.0), (300, 1, 6.0)}
+    assert direct == expected  # Spark itself merges AT the boundary
+
+    # salted two-level decomposition agrees bit-for-bit
+    sub = salted_sub_sessions(ev, watermark=None)
+    assert sub.filter(F.col("user_id") == 200).count() == 2  # stage 1 split
+    salted = {
+        (r.user_id, r.n_events, r.value_sum)
+        for r in merge_sub_sessions(sub).collect()
+    }
+    assert salted == expected
+
+    # the lag-cumsum oracle predicate (strict > break) in pure python
+    def sessions(ts_list, gap=dt.timedelta(minutes=30)):
+        out, cur = [], 1
+        for prev, nxt in zip(ts_list, ts_list[1:]):
+            if nxt - prev > gap:
+                out.append(cur)
+                cur = 1
+            else:
+                cur += 1
+        out.append(cur)
+        return out
+
+    assert sessions([rows[0][1], rows[1][1]]) == [2]
+    assert sessions([rows[2][1], rows[3][1]]) == [2]
+    assert sessions([rows[4][1], rows[5][1]]) == [1, 1]

@@ -265,3 +265,19 @@ def test_auto_seats_row_equal_to_canonical_tier(spark):
         c = canon(spark, sf)
         assert a.exceptAll(c).count() == 0
         assert c.exceptAll(a).count() == 0
+
+
+def test_corpus_parquet_bytes_missing_path_degrades_to_canonical():
+    """r9 ADVICE #3: a non-local / missing sf_dir must not raise at
+    plan-build — the size proxy returns 0 and both auto tiers fall back
+    to their canonical small-corpus plan (text / full)."""
+    from wx20222_bigdata_spark.operators.substring import (
+        choose_containment_tier,
+        choose_span_tier,
+        corpus_parquet_bytes,
+    )
+
+    size = corpus_parquet_bytes("s3a://no-such-bucket/sf0.01")
+    assert size == 0
+    assert choose_span_tier(size) == "text"
+    assert choose_containment_tier(size) == "full"

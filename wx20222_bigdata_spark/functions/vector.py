@@ -39,11 +39,45 @@ def dot_fixed(a_col: str, b_col: str, dim: int) -> Column:
     identical to the fold for the same element order (IEEE ``0.0 + x``
     is exact; the only divergence is a ±0.0 total from an all-zero
     product chain, impossible for the float corpora this serves).
-    Out-of-range indexing returns NULL, so callers must guarantee both
-    arrays have ≥ ``dim`` elements."""
+
+    NULL/error semantics (r9 ADVICE #1), stated loudly and pinned in
+    tests/test_vector_guard.py: under ANSI mode (the Spark 4 default,
+    incl. the driver's plain session) a SHORTER-than-``dim`` array
+    fails the whole job with INVALID_ARRAY_INDEX — loud, not latent;
+    only a non-ANSI session turns it into a NULL dot. A NULL ELEMENT
+    inside a full-length array, however, yields a NULL dot in BOTH
+    modes, and a NULL cosine silently DROPS OUT of ``F.max`` pair
+    aggregates — a malformed vector would be reported unique/kept
+    rather than failing. Latent-only for the fixed-DIM corpora these
+    seats construct themselves; a pipeline ingesting UNTRUSTED
+    embeddings should use :func:`dot_fixed_strict`, which raises a
+    labeled error per row on short arrays in either ANSI mode (NULL
+    elements cannot be guarded without a per-element scan — validate
+    those at ingest). Keeping the guard in a separate function leaves
+    this fast path's codegen shape untouched for every hot seat."""
+    chain = " + ".join(
+        f"CAST({a_col}[{i}] AS DOUBLE) * CAST({b_col}[{i}] AS DOUBLE)"
+        for i in range(dim)
+    )
+    return F.expr(chain)
+
+
+def dot_fixed_strict(a_col: str, b_col: str, dim: int) -> Column:
+    """:func:`dot_fixed` with a loud size guard: raises (via
+    ``raise_error``, with the offending sizes in the message) on any
+    row where either array has fewer than ``dim`` elements — in BOTH
+    ANSI modes, instead of ANSI's bare INVALID_ARRAY_INDEX or
+    non-ANSI's silent NULL-drop. One extra ``size()`` comparison per
+    pair — use at trust boundaries, not in the
+    self-constructed-corpus hot loops."""
+    chain = " + ".join(
+        f"CAST({a_col}[{i}] AS DOUBLE) * CAST({b_col}[{i}] AS DOUBLE)"
+        for i in range(dim)
+    )
     return F.expr(
-        " + ".join(
-            f"CAST({a_col}[{i}] AS DOUBLE) * CAST({b_col}[{i}] AS DOUBLE)"
-            for i in range(dim)
-        )
+        f"CASE WHEN size({a_col}) >= {dim} AND size({b_col}) >= {dim}"
+        f" THEN {chain}"
+        f" ELSE raise_error(concat('dot_fixed_strict: embedding shorter"
+        f" than {dim}: sizes ', size({a_col}), ', ', size({b_col})))"
+        f" END"
     )

@@ -609,7 +609,17 @@ E37_PREFIX_MIN_BYTES = 18 << 20    #: documents ≥ this → prefix filtering
 
 
 def corpus_parquet_bytes(sf_dir: str, table: str = "documents") -> int:
-    """Compressed on-disk bytes of a table — file or directory layout."""
+    """Compressed on-disk bytes of a table — file or directory layout.
+
+    Size proxy caveats (r9 ADVICE #3): this measures the LOCAL
+    filesystem only, and only the ``documents`` side of the corpus —
+    a deliberate proxy (the snippets/query side scales with it on every
+    fixture and in any real corpus the dedup target dominates). On a
+    non-local ``sf_dir`` (object store URI, renamed layout) there is no
+    local path to stat — return 0 so the auto tiers degrade to their
+    canonical (small-corpus) plan instead of raising at plan-build;
+    callers on a real cluster should pass table stats explicitly via
+    ``choose_*_tier(known_bytes)``."""
     import os
 
     p = os.path.join(sf_dir, f"{table}.parquet")
@@ -619,6 +629,8 @@ def corpus_parquet_bytes(sf_dir: str, table: str = "documents") -> int:
             for root, _, files in os.walk(p)
             for f in files
         )
+    if not os.path.exists(p):
+        return 0
     return os.path.getsize(p)
 
 
