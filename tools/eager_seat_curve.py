@@ -82,6 +82,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
+    from tools.calib import calib_stamp
+
     out_path = Path(REPO_ROOT) / "SCALING_CURVE.json"
     curve = json.load(open(out_path)) if out_path.exists() else {}
     for name in seats:
@@ -100,7 +102,13 @@ def main() -> None:
                 ).save()
                 samples.append(time.perf_counter() - t0)
             row[tier] = round(statistics.median(samples), 3)
-            print(f"{tier:6s} {name:32s} {row[tier]:8.3f}s", flush=True)
+            stamp = calib_stamp(spark)
+            curve.setdefault("_calib", {}).setdefault(name, {})[tier] = stamp
+            print(
+                f"{tier:6s} {name:32s} {row[tier]:8.3f}s"
+                f"  (calib {stamp['sec']}s ratio {stamp['ratio']})",
+                flush=True,
+            )
         curve[name] = row
         json.dump(curve, open(out_path, "w"), indent=1, sort_keys=True)
     print(f"merged into {out_path}")

@@ -126,8 +126,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    results: dict[str, dict[str, float]] = {n: {} for n in seats}
+    from tools.calib import calib_stamp
+
+    results: dict[str, dict] = {n: {} for n in seats}
     for tier, sf_dir in tiers:
+        tier_stamp = calib_stamp(spark)
+        print(f"{tier}: calib {tier_stamp['sec']}s ratio {tier_stamp['ratio']}")
+        results.setdefault("_calib", {})[tier] = tier_stamp
         for name in seats:
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()  # warm

@@ -48,6 +48,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     from wx20222_bigdata_spark.registry import all_queries
 
+    from tools.calib import calib_stamp
+
     q = all_queries()
     out_path = REPO / "SF100_PROBE.json"
     probe = json.load(open(out_path)) if out_path.exists() else {}
@@ -56,7 +58,12 @@ def main() -> None:
         q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         sec = round(time.perf_counter() - t0, 1)
         probe[name] = sec
-        print(f"{name}: {sec}s", flush=True)
+        stamp = calib_stamp(spark)
+        probe.setdefault("_calib", {})[name] = stamp
+        print(
+            f"{name}: {sec}s (calib {stamp['sec']}s ratio {stamp['ratio']})",
+            flush=True,
+        )
         json.dump(probe, open(out_path, "w"), indent=1)
     print(json.dumps(probe, indent=1))
 
