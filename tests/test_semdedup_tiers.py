@@ -174,9 +174,9 @@ def test_choose_semdedup_tier_measured_anchors():
     )
 
     assert choose_semdedup_tier(800) == "uncapped"          # sf0.01 fixture
-    assert choose_semdedup_tier(458_800) == "uncapped"      # sf1 estimate
-    assert choose_semdedup_tier(46_594_800) == "uncapped"   # sf10 estimate (12.3 s)
-    assert choose_semdedup_tier(4_647_344_800) == "capped"  # ×1000 estimate (killed)
+    assert choose_semdedup_tier(458_800) == "uncapped"      # sf1 (tiers tie)
+    assert choose_semdedup_tier(46_594_800) == "capped"     # sf10 (capped 1.9x)
+    assert choose_semdedup_tier(4_647_344_800) == "capped"  # ×1000 (uncapped killed)
     assert choose_semdedup_tier(HP_PAIR_BUDGET) == "capped"  # boundary inclusive
 
 

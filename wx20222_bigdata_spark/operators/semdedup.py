@@ -608,16 +608,21 @@ def _hp_prune_capped(sig: DataFrame) -> DataFrame:
 
 #: Estimated banded-pair budget above which the capped tier (e35c) is
 #: chosen. Measured anchors on the replica fixtures (exact band-pair
-#: counts via the same numpy signature, SCALE.md "semantic-dedup tier
-#: rule"):
-#:   sf10  (100-copy saturation): 45.8 M pairs — e35b completes in 12.3 s
-#:   ×1000 (1000-copy saturation): 4.62 B pairs — e35b KILLED at 69 min
-#: Boundary pinned at the geometric midpoint ≈ 450 M: below it the
-#: uncapped join's pair volume is minutes of work at worst on one box
-#: (and embarrassingly parallel on a cluster); above it the pair
-#: explosion dominates every other stage and only the linear capped
-#: tier is safe.
-HP_PAIR_BUDGET = 450_000_000
+#: counts via the same numpy signature; walls re-measured r10 in a
+#: calibration-stamped QUIET window, ratios 0.57–0.94 — SCALE.md r10):
+#:   sf1   (10-copy saturation):  0.46 M pairs — e35b 2.74 s ≈ e35c 2.76 s
+#:   sf10  (100-copy saturation): 45.8 M pairs — e35b 90.9 s vs e35c 47.4 s
+#:                                (the capped tier already wins 1.9×)
+#:   ×1000 (1000-copy saturation): 4.62 B pairs — e35b KILLED at 69 min;
+#:                                e35c 555 s, e35d (probe + capped) 599 s
+#: Boundary pinned at the geometric midpoint of the even point and the
+#: clear capped win ≈ 4.5 M estimated pairs: below it exact-max is free
+#: (the tiers tie); above it the uncapped join's Σ C(bucket, 2) work is
+#: the dominant term and only grows — conservative toward capped, which
+#: degrades gracefully where uncapped degrades quadratically and can
+#: die outright. (The r9 verdict's "e35b 3.7× faster at sf10" rested on
+#: a pre-eager 12.3 s row the r10 re-measure exposed as an artifact.)
+HP_PAIR_BUDGET = 4_500_000
 
 #: Deterministic probe sample rate: keep vec_ids whose 60-bit md5-prefix
 #: hash ≡ 0 (mod 20), i.e. a 5% sample that is reproducible across runs,
