@@ -87,6 +87,9 @@ SHOWN = [
     ("s9g_salted_sessions", "salted two-level sessions (r9): stage-1 session_window per (user, 6h time salt) — hot-key state spread across salt buckets; stage-2 inclusive-gap lag/cumsum stitch over O(sessions) summary rows; equals s9c bit-for-bit"),
     ("e36c_span_trim_auto", "auto tier (r9): dispatches e36 text-key vs e36b md5-int-key on measured corpus-size rule (180 MiB boundary); plan IS the chosen tier's plan — same oracle either way"),
     ("s5_prediction_sink_roundtrip", "S5/S7 round-trip (r9): ordered CSV sink + JSON manifest written then re-read; returned plan scans the re-parsed CSV (eager materialize before scratch cleanup, s6/s11 discipline)"),
+    # --- round-10 additions ---
+    ("e35d_semdedup_auto", "auto tier (r10): a sampled saturation probe (md5 1/20 vec_id sample -> banded-pair estimate) dispatches e35b uncapped vs e35c capped on the measured 4.5M-pair budget; plan IS the chosen tier's plan — fixture sits in the uncapped regime, same e35 oracle"),
+    ("s6_compaction_manifest", "S6 deterministic compaction manifest (r10): md5-mod shard key + hash repartition + partitionBy write under maxRecordsPerFile; returned plan scans the collected per-shard (rows, files) audit — every cell DuckDB-predicted"),
 ]
 
 
