@@ -73,7 +73,15 @@ def e17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     any lower-id cluster-mate (−1 for the cluster's min member), and the
     keep flag. ``is_kept`` compares the UNROUNDED max so the boundary
     agrees bit-for-bit with the oracle (ordered folds make every pair
-    cosine cross-engine identical)."""
+    cosine cross-engine identical).
+
+    Scale contract, stated plainly (SCALE.md r10 "e17's own saturation
+    exposure"): with the fixed K=4 quantizer the pair join is
+    Σ C(n/K, 2) ≈ n²/2K — 5.0 B pairs already at sf10, 5×10¹¹ at
+    ×1000 — so this is the ORACLE/semantics tier; the at-scale entry
+    point for embedding near-dup is :func:`e35d_semdedup_auto`
+    (collision-bounded + capped), or raise K with n per the SemDeDup
+    paper if the trained-quantizer form is required."""
     a2 = lloyd2_assignment(spark, sf_dir)
     mem = a2.select("vec_id", "k", "embedding").withColumn("nrm", norm("embedding"))
     a = mem.select(
