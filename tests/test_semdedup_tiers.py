@@ -226,3 +226,16 @@ def test_probe_picks_capped_on_saturated_corpus(spark, tmp_path):
     est = estimate_semdedup_pairs(spark, str(tmp_path))
     assert est >= HP_PAIR_BUDGET, est
     assert choose_semdedup_tier(est) == "capped"
+
+
+def test_e35d_shares_e35_oracle_verbatim():
+    """The auto seat's driver oracle IS e35's (the uncapped regime the
+    fixture sits in); if someone forks the SQL the sharing contract —
+    and the reasoning in e35d's docstring — silently breaks. Pin it."""
+    import wx20222_bigdata_spark.operators.semdedup  # noqa: F401 (registers)
+    from wx20222_bigdata_spark.registry import ORACLES
+
+    assert (
+        ORACLES["e35d_semdedup_auto"]
+        == ORACLES["e35_hyperplane_semdedup"]
+    )
