@@ -117,3 +117,36 @@ def test_s11_schema_evolution_merges_generations(spark):
     # post-evolution groups are the real priority values, none NULL
     post = [p for p in rows if p != "<pre-evolution>"]
     assert post and all(p is not None for p in post)
+
+
+def test_s6_oracle_parity_cross_sf(spark):
+    """s6 cross-sf regression (r10 ADVICE, medium): the rounding
+    divergence — DuckDB CAST rounding the oracle's row cap to 71 while
+    Spark's int() truncates to 70 — was invisible at the sf0.01 parity
+    gate (hot shard 78 rows: ceil(78/70) == ceil(78/71)) and fired only
+    at sf0.1 (a real 71-row shard: 2 files written, 1 predicted). Run
+    the full seat-vs-oracle comparison at sf0.1 so any future cap or
+    bytes/row drift is caught at a scale where shard populations
+    actually straddle the cap."""
+    import duckdb
+
+    from tests.test_oracle_parity import compare_frames
+    from wx20222_bigdata_spark.registry import all_oracles, all_queries
+
+    sf_dir = "/root/testdata/sf0.1"
+    spark_pdf = all_queries()["s6_compaction_manifest"](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        duck_pdf = con.execute(
+            all_oracles()["s6_compaction_manifest"]
+        ).fetchdf()
+    finally:
+        con.close()
+    # the scale must actually exercise the cap: at least one shard rolls
+    # a second file (otherwise this test degrades to the sf0.01 gate)
+    assert (spark_pdf["shard_files"] > 1).any()
+    compare_frames("s6_compaction_manifest@sf0.1", spark_pdf, duck_pdf)

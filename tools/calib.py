@@ -49,8 +49,13 @@ def calib_stamp(spark, n: int = 3) -> dict:
     sec = calib_median(spark, n)
     try:
         ref = json.load(open(REPO_ROOT / "bench_budgets.json")).get("_calib_ref")
-    except FileNotFoundError:
+    except (FileNotFoundError, json.JSONDecodeError) as e:
+        print(f"calib: WARNING bench_budgets.json unreadable ({e!r}) — ratio=null")
         ref = None
+    if not ref:
+        # A null ratio makes the row unstamped-equivalent (a rumor, per
+        # NOTES_r10) — say so loudly instead of silently writing null.
+        print("calib: WARNING no _calib_ref — stamping ratio=null")
     return {
         "sec": sec,
         "ratio": round(sec / ref, 3) if ref else None,

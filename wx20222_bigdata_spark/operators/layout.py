@@ -88,14 +88,22 @@ def z1_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: s6 sizing constants: the target file size and the PINNED encoded
-#: bytes/row (measured 116.5 on the sf0.01 documents projection through
-#: the production codec — write_compacted_parquet's sample pass; pinned
-#: so the shard count is a pure function of the row count and the
-#: DuckDB oracle can predict the whole layout). 8 KiB target → 8 shards
-#: at 500 fixture rows with a 70-row file cap, so hot shards genuinely
-#: roll a second file and the oracle's ceil() prediction is exercised.
+#: bytes/row — pinned at the MEASURED value (116.5 on the sf0.01
+#: documents projection through the production codec —
+#: write_compacted_parquet's sample pass) so the shard count is a pure
+#: function of the row count and the DuckDB oracle can predict the
+#: whole layout. 8 KiB target → 8 shards at 500 fixture rows with a
+#: 70-row file cap, so hot shards genuinely roll a second file and the
+#: oracle's ceil() prediction is exercised. (r10 shipped an unexplained
+#: 116.0 pin, which made the oracle's row cap land on x.62 — where
+#: DuckDB's CAST rounds to 71 while Spark's int() truncates to 70; the
+#: r10 ADVICE verified the ceil(rows/70) vs ceil(rows/71) divergence
+#: fires on a real 71-row shard at sf0.1. Fixed two ways: the measured
+#: 116.5 pin restored, and the oracle cap now FLOORs explicitly so BOTH
+#: engines truncate for any future pin — cross-sf regression in
+#: tests/test_layout.py.)
 S6_TARGET_BYTES = 8 << 10
-S6_EST_ROW_BYTES = 116.0
+S6_EST_ROW_BYTES = 116.5
 
 
 @query(
@@ -104,7 +112,7 @@ S6_EST_ROW_BYTES = 116.0
 WITH params AS (
   SELECT COUNT(*) AS n_rows,
          CAST(CEIL(COUNT(*) * {S6_EST_ROW_BYTES} / {S6_TARGET_BYTES}) AS BIGINT) AS n_shards,
-         CAST({S6_TARGET_BYTES} / {S6_EST_ROW_BYTES} AS BIGINT) AS cap_rows
+         CAST(FLOOR({S6_TARGET_BYTES} / {S6_EST_ROW_BYTES}) AS BIGINT) AS cap_rows
   FROM documents
 ),
 shards AS (

@@ -702,5 +702,19 @@ def e35d_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted on a hand-built saturated corpus in the same test file."""
     tier = choose_semdedup_tier(estimate_semdedup_pairs(spark, sf_dir))
     if tier == "capped":
+        # Regime guard (r10 ADVICE): the registered oracle is e35's
+        # UNCAPPED semantics — valid only while the corpus sits below
+        # HP_PAIR_BUDGET. The capped tier returns max_lower_cosine=1.0
+        # sentinels that are NOT row-equal to that oracle, so if a
+        # parity/driver fixture ever saturates into this branch the
+        # mismatch must be diagnosable, not silent. (The sf0.01 fixture
+        # is asserted uncapped in tests/test_semdedup_tiers.py.)
+        import warnings
+
+        warnings.warn(
+            "e35d picked the CAPPED tier — the shared e35 oracle does not "
+            "apply in this regime (expected on dup-saturated corpora only)",
+            stacklevel=2,
+        )
         return e35c_hyperplane_semdedup_capped(spark, sf_dir)
     return e35b_hyperplane_semdedup_production(spark, sf_dir)
