@@ -59,7 +59,13 @@ ARROW_QUERIES = {
     "x4_map_in_pandas_scoring",
     "e5d_frame_sample",
     "f7b_char_tokenize",
-    "etl_prepare_features",
+    # etl_prepare_features was listed here from r5, a leftover of its
+    # original pandas-UDF tokenizer; the current prepare_text_features is
+    # pure JVM higher-order exprs (0 ArrowEvalPython/MapInPandas nodes in
+    # the executed plan — verified r11), so its budget must scale with the
+    # JVM probe. The misclassification was the whole r9→r10 "drift": raw
+    # 0.500→0.676 s (×1.35) tracked the r10 JVM calib ratio (1.21–1.50)
+    # while the clean Arrow ratio (1.006) left the budget unscaled.
 }
 
 #: Queries that execute work EAGERLY at call time (driver-loop iteration
@@ -72,6 +78,7 @@ ARROW_QUERIES = {
 #: timing (bench_budgets.json `_repin_r8`).
 EAGER_QUERIES = {
     "e9c_verified_clusters",
+    "e9d_verified_clusters_capped",  # r11: capped tier, same eager CC loop
     "e35_hyperplane_semdedup",
     "e35b_hyperplane_semdedup_production",
     "e35d_semdedup_auto",  # r10: sampled saturation probe runs at call time
@@ -137,6 +144,8 @@ HEADLINE = [
     "e7d_dedup_funnel",           # one gram pass feeds containment + span gates
     # round-10 addition: the semantic-dedup auto tier (probe + chosen tier)
     "e35d_semdedup_auto",         # sampled saturation probe -> e35b/e35c
+    # round-11 addition: the capped cluster tier (the e9c scale fix)
+    "e9d_verified_clusters_capped",
 ]
 
 

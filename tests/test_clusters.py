@@ -165,3 +165,38 @@ def test_o13b_production_split_laws(spark):
         # source (e2g's recall law, end to end) — hence same split
         assert cluster_of[m] == cluster_of[m - 100000]
         assert split_of[m] == split_of[m - 100000]
+
+
+def test_e9d_cap_inactive_equality(spark):
+    """e9d (capped verify-before-closure) must be ROW-IDENTICAL to e9c on
+    any corpus whose (band, bucket) populations all sit below
+    PROD_MAX_BUCKET_SIZE — the fixtures are, by a wide margin, so the cap
+    is provably inactive here and the tiers must agree bit-for-bit (the
+    law that lets e9d share e9c's semantics everywhere except degenerate
+    boilerplate buckets). Also assert the precondition itself, so a
+    fixture change that saturates a bucket fails loudly rather than
+    silently voiding the equality."""
+    from wx20222_bigdata_spark.operators.clusters import (
+        e9c_verified_clusters,
+        e9d_verified_clusters_capped,
+    )
+    from wx20222_bigdata_spark.operators.dedup import (
+        PROD_MAX_BUCKET_SIZE,
+        _corpus_with_mutants_spark,
+        minhash_band_keys,
+    )
+
+    max_bucket = (
+        minhash_band_keys(_corpus_with_mutants_spark(spark, SF))
+        .groupBy("band", "bucket_key")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert max_bucket <= PROD_MAX_BUCKET_SIZE, (
+        f"fixture bucket {max_bucket} saturates the cap — equality law void"
+    )
+    cols = ["doc_id", "cluster_id", "cluster_size", "is_canonical"]
+    capped = {tuple(r) for r in e9d_verified_clusters_capped(spark, SF).select(cols).collect()}
+    uncapped = {tuple(r) for r in e9c_verified_clusters(spark, SF).select(cols).collect()}
+    assert capped == uncapped

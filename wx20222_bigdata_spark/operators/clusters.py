@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 
 from wx20222_bigdata_spark.operators.dedup import (
     LSH_BANDS_DUCK_CTES,
+    PROD_MAX_BUCKET_SIZE,
     _corpus_with_mutants_spark,
     lsh_candidate_pairs,
     minhash_band_keys,
@@ -337,6 +338,87 @@ def e9c_verified_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = minhash_band_keys(corpus)
     edges = (
         lsh_candidate_pairs(bands)
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("band").alias("n_shared_bands"))
+        .filter(F.col("n_shared_bands") >= 2)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    comp = connected_components(edges)
+    sizes = comp.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
+    )
+
+
+@query(
+    "e9d_verified_clusters_capped",
+    oracle=f"""
+WITH RECURSIVE {LSH_BANDS_DUCK_CTES},
+capped AS (
+  SELECT doc_id, band, bucket_key FROM (
+    SELECT doc_id, band, bucket_key,
+           COUNT(*) OVER (PARTITION BY band, bucket_key) AS _bsz
+    FROM bands
+  ) WHERE _bsz <= {PROD_MAX_BUCKET_SIZE}
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.bucket_key = b.bucket_key AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(DISTINCT a.band) >= 2
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(node, root) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (
+  SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM comp
+""",
+)
+def e9d_verified_clusters_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e9c with FREQUENT-BUCKET PRUNING in front of the verify join — the
+    r10 verdict's top item: e9c carried the worst stamped scale row in the
+    ledger (3.1/4.3/138.8 s at sf0.1/sf1/sf10) because its ≥2-shared-band
+    verify join consumes the UNCAPPED candidate stream, and the
+    squared-family sf10 fixture drives Σ C(bucket, 2) superlinear — the
+    exact failure class e35b had before e35c. The fix is the guard the
+    production LSH tiers (e2g/e2m, o13b) already use: buckets larger than
+    ``PROD_MAX_BUCKET_SIZE`` are dropped BEFORE the self-join
+    (dedup.py:lsh_candidate_pairs) — degenerate boilerplate buckets carry
+    no discriminating signal and belong to the linear exact-dedup tier
+    (e1/e34) anyway.
+
+    Unlike o13b (production xxhash64 → rows-only), this seat keeps the
+    ORACLE hash tier, and the cap rule — a window count over
+    (band, bucket_key) — is pure integer arithmetic on md5-derived keys,
+    so DuckDB mirrors the capped join exactly: the whole capped pipeline
+    (prune → verify ≥2 bands → transitive closure) is cross-engine
+    bit-exact, a FULL oracle, not a weaker rows-only check. On any corpus
+    whose buckets all sit below the cap (the sf* fixtures) the output is
+    row-identical to e9c — the cap-inactive equality law in
+    tests/test_clusters.py; the dup-saturated replica corpora where the
+    tiers differ are covered by the sf10/×1000 scale rows in SCALE.md.
+    Same output contract as e9/e9c: (doc_id, cluster_id, cluster_size,
+    is_canonical), cluster id = min doc_id of the component."""
+    corpus = _corpus_with_mutants_spark(spark, sf_dir)
+    bands = minhash_band_keys(corpus)
+    edges = (
+        lsh_candidate_pairs(bands, max_bucket_size=PROD_MAX_BUCKET_SIZE)
         .groupBy("id_a", "id_b")
         .agg(F.countDistinct("band").alias("n_shared_bands"))
         .filter(F.col("n_shared_bands") >= 2)

@@ -47,68 +47,67 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # CORRECTNESS row yet — plus anything new/changed this round — get checked
 # before already-driver-verified ones. See NOTES_r2.md.
 _FRONT: list[str] = [
-    # Round-10 rotation (r9 verdict item 1): seats ADDED or CHANGED this
-    # round first (e35d new auto tier; s6 rewritten with a driver-visible
-    # shard-manifest oracle; flagship re-fronted after the explicit
-    # broadcast hints on its one-row crossJoins), then the ENTIRE
-    # 31-seat r05-stale cohort (drive-sim pre-verified green in r9 — 10
-    # of them independently re-verified by the judge — driver rows still
-    # wanted), then the oldest r06 seats in registration order to fill
-    # the 50-seat window. After this round the staleness floor rises to
-    # r06 (28 r06 seats remain for the r11 rotation).
+    # Round-11 rotation (r10 verdict item 2): seats ADDED or CHANGED this
+    # round first (e9d new capped cluster tier — full oracle; s6 re-fronted
+    # after the FLOOR/116.5 oracle rounding fix), then the ENTIRE 28-seat
+    # r06-stale cohort (pre-verified green in r10's full-registry drive-sim
+    # AND independently re-verified by the r10 judge), then the 20 oldest
+    # r07 seats in registration order to fill the 50-seat window. After
+    # this round the staleness floor rises to r07 (30 r07 seats remain for
+    # the r12 rotation).
     # --- NEW / CHANGED this round ---
-    "e35d_semdedup_auto",
+    "e9d_verified_clusters_capped",
     "s6_compaction_manifest",
-    "flagship_two_level_metrics",
-    # --- r05-stale cohort (complete, minus s6 fronted above) ---
-    "a11_distinct",
-    "a12_approx_distinct",
-    "e2_ngram_jaccard",
-    "e2c_simhash",
-    "e2e_cosine_neardup",
-    "e2f_ml_minhash_lsh",
-    "e2h_levenshtein_fuzzy",
-    "e2j_char_shingle_lsh_pairs",
-    "e2k_salted_lsh_pairs",
-    "e34_nospace_exact_dedup",
-    "e5_multimodal_manifest",
-    "e5b_multimodal_join",
-    "e5c_decode_features",
-    "f10_mask_arithmetic",
-    "f11_cosine_pairs",
-    "f12_softmax_stats",
-    "f14_batch_permutation",
-    "f7b_char_tokenize",
-    "f8_budget_cascade",
-    "f_array_breadth",
-    "o1_stride_sample",
-    "o3_pad_to_length",
-    "u2_sequence_concat",
-    "w4_head_tail_truncate",
-    "x1_pandas_udf_token_stats",
-    "x2_apply_in_pandas_fold",
-    "x3_python_udtf_shingles",
-    "x4_map_in_pandas_scoring",
-    "x4b_ensemble_scoring",
-    "x4c_broadcast_weights_scoring",
-    # --- oldest r06 seats in registration order (fill to 50) ---
-    "e2g_minhash_lsh_production",
-    "e2m_char_lsh_production",
-    "e25_incremental_dedup",
-    "e9_dedup_clusters",
-    "e9b_triangle_count",
-    "e28_cluster_survivors",
-    "e9c_verified_clusters",
-    "e18_cdc_chunking",
-    "e20_chunk_dedup",
-    "e23_ffd_packing",
-    "e24_length_bucketing",
-    "e7c_funnel_accounting",
-    "e30_dataset_card",
-    "e10_decontamination",
-    "x7_bloom_decontaminate",
-    "f19_minmax_scale",
-    "x9_cogroup_attribution",
+    # --- r06-stale cohort (complete) ---
+    "i1_power_iteration",
+    "i2_pagerank_2iter",
+    "i3_label_propagation",
+    "z1_zorder_stats",
+    "j2_broadcast_dim_join",
+    "j3_inner_join_revenue",
+    "j3_anti_join_integrity",
+    "j3_semi_join",
+    "j1_positional_zip_join",
+    "j4_file_key_join",
+    "u1_union_all",
+    "set_intersect_except",
+    "o4_top_k_orders",
+    "q5_local_supplier_volume",
+    "u3_bag_set_ops",
+    "s10_python_datasource",
+    "e26_quality_classifier",
+    "dq2_order_reconciliation",
+    "dq3_distribution_drift",
+    "e31_dsir_importance",
+    "rrf1_hybrid_retrieval",
+    "o5_stratified_holdout",
+    "o7_seeded_shuffle",
+    "e3b_lsh_bucket_ann",
+    "e4g_char_ngram_stats",
+    "e33_ngram_novelty",
+    "f7c_wordpiece",
+    "a9_ema_ordered_fold",
+    # --- oldest r07 seats in registration order (fill to 50) ---
+    "e6_sequence_packing",
+    "e8_document_chunking",
+    "e7_curation_pipeline",
+    "e14_kmeans_assign",
+    "f13_mlm_corruption",
+    "e12_mixture_sampling",
+    "e5d_frame_sample",
+    "q9_product_profit",
+    "e13_bm25_retrieval",
+    "e16_tfidf_keywords",
+    "o2_sample_restore_order",
+    "o11_weighted_sample",
+    "o12_consistent_sample",
+    "e3_cosine_topk",
+    "e3c_ivf_probe_ann",
+    "e29_random_projection",
+    "a13_percentiles",
+    "a13b_approx_percentiles",
+    "a14_moments",
+    "m3_snapshot_diff",
 ]
 
 
