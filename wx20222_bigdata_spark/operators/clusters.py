@@ -48,6 +48,7 @@ from wx20222_bigdata_spark.operators.dedup import (
     LSH_BANDS_DUCK_CTES,
     PROD_MAX_BUCKET_SIZE,
     _corpus_with_mutants_spark,
+    count_shared_bands,
     lsh_candidate_pairs,
     minhash_band_keys,
 )
@@ -338,8 +339,7 @@ def e9c_verified_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = minhash_band_keys(corpus)
     edges = (
         lsh_candidate_pairs(bands)
-        .groupBy("id_a", "id_b")
-        .agg(F.countDistinct("band").alias("n_shared_bands"))
+        .transform(count_shared_bands)
         .filter(F.col("n_shared_bands") >= 2)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
@@ -419,8 +419,7 @@ def e9d_verified_clusters_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = minhash_band_keys(corpus)
     edges = (
         lsh_candidate_pairs(bands, max_bucket_size=PROD_MAX_BUCKET_SIZE)
-        .groupBy("id_a", "id_b")
-        .agg(F.countDistinct("band").alias("n_shared_bands"))
+        .transform(count_shared_bands)
         .filter(F.col("n_shared_bands") >= 2)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
@@ -499,8 +498,7 @@ def o13_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = minhash_band_keys(corpus)
     edges = (
         lsh_candidate_pairs(bands)
-        .groupBy("id_a", "id_b")
-        .agg(F.countDistinct("band").alias("n_shared_bands"))
+        .transform(count_shared_bands)
         .filter(F.col("n_shared_bands") >= 2)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
@@ -562,8 +560,7 @@ def o13b_cluster_split_production(
     bands = minhash_band_keys(corpus, production_hash=True)
     edges = (
         lsh_candidate_pairs(bands, max_bucket_size=PROD_MAX_BUCKET_SIZE)
-        .groupBy("id_a", "id_b")
-        .agg(F.countDistinct("band").alias("n_shared_bands"))
+        .transform(count_shared_bands)
         .filter(F.col("n_shared_bands") >= 2)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )

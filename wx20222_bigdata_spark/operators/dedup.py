@@ -428,6 +428,25 @@ def lsh_candidate_pairs(
     ).select("id_a", "id_b", "band")
 
 
+def count_shared_bands(pairs: DataFrame) -> DataFrame:
+    """``(id_a, id_b, band)`` pair rows → ``(id_a, id_b,
+    n_shared_bands)`` via plain ``count(*)``, NOT ``countDistinct(band)``:
+    ``minhash_band_keys`` emits exactly ONE bucket key per (doc, band),
+    so a pair can collide at most once per band and the pair rows are
+    unique on (id_a, id_b, band) — ``count(*)`` is value-identical (the
+    uniqueness precondition and the equality are law-tested in
+    tests/test_lsh_cap.py) while skipping the distinct-aggregate
+    expansion, which at scale is the verify stage's dominant term:
+    measured r11 on the sf10 capped word-mode pair stream (90.8M rows →
+    26.1M pairs), countDistinct 29.5 s vs count(*) 5.1 s. The DuckDB
+    oracles keep ``COUNT(DISTINCT a.band)`` — the values are equal, the
+    SQL states the semantic intent, and DuckDB's planner is not the
+    100 TB cost model."""
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.count("*").alias("n_shared_bands")
+    )
+
+
 def lsh_candidate_pairs_grouped(
     bands: DataFrame, max_bucket_size: int
 ) -> DataFrame:
@@ -640,8 +659,7 @@ def e2b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = minhash_band_keys(corpus)
     return (
         lsh_candidate_pairs(bands)
-        .groupBy("id_a", "id_b")
-        .agg(F.countDistinct("band").alias("n_shared_bands"))
+        .transform(count_shared_bands)
     )
 
 
@@ -668,8 +686,7 @@ def e2k_salted_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = minhash_band_keys(corpus)
     return (
         lsh_candidate_pairs_salted(bands, n_cells=8, hot_threshold=1)
-        .groupBy("id_a", "id_b")
-        .agg(F.countDistinct("band").alias("n_shared_bands"))
+        .transform(count_shared_bands)
     )
 
 
@@ -697,8 +714,7 @@ def e2j_char_shingle_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = minhash_band_keys(corpus, whitespace=False)
     return (
         lsh_candidate_pairs(bands)
-        .groupBy("id_a", "id_b")
-        .agg(F.countDistinct("band").alias("n_shared_bands"))
+        .transform(count_shared_bands)
     )
 
 
@@ -804,8 +820,7 @@ def e2g_minhash_lsh_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = minhash_band_keys(corpus, production_hash=True)
     return (
         lsh_candidate_pairs(bands, max_bucket_size=PROD_MAX_BUCKET_SIZE)
-        .groupBy("id_a", "id_b")
-        .agg(F.countDistinct("band").alias("n_shared_bands"))
+        .transform(count_shared_bands)
     )
 
 
@@ -830,8 +845,7 @@ def e2m_char_lsh_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = minhash_band_keys(corpus, production_hash=True, whitespace=False)
     return (
         lsh_candidate_pairs(bands, max_bucket_size=PROD_MAX_BUCKET_SIZE)
-        .groupBy("id_a", "id_b")
-        .agg(F.countDistinct("band").alias("n_shared_bands"))
+        .transform(count_shared_bands)
     )
 
 
