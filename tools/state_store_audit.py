@@ -47,7 +47,11 @@ mitigation, if ever needed, is the same two-level pattern as
 skew_salted_agg (operators/skew.py).
 
 Usage: python tools/state_store_audit.py [--events N] [--files K]
-       [--provider hdfs|rocksdb] [--skew] [--out FILE]
+       [--provider hdfs|rocksdb] [--skew] [--jobs a,b,c] [--out FILE]
+
+``--jobs`` (r11) filters the case list by name — the 25M-row-per-batch
+scale step re-runs only the jobs under test (salted sessions vs plain,
+incremental dedup) instead of paying the full matrix at 100M events.
 """
 
 from __future__ import annotations
@@ -171,6 +175,11 @@ def main() -> None:
                 "salted_sub_sessions",
             )
         }
+    if "--jobs" in argv:
+        wanted = set(argv[argv.index("--jobs") + 1].split(","))
+        unknown = wanted - set(cases)
+        assert not unknown, f"unknown jobs {unknown}; have {sorted(cases)}"
+        cases = {k: v for k, v in cases.items() if k in wanted}
 
     results: dict[str, dict] = {}
     for name, (make, mode) in cases.items():

@@ -392,16 +392,20 @@ FROM comp
 )
 def e9d_verified_clusters_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """e9c with FREQUENT-BUCKET PRUNING in front of the verify join — the
-    r10 verdict's top item: e9c carried the worst stamped scale row in the
-    ledger (3.1/4.3/138.8 s at sf0.1/sf1/sf10) because its ≥2-shared-band
-    verify join consumes the UNCAPPED candidate stream, and the
-    squared-family sf10 fixture drives Σ C(bucket, 2) superlinear — the
-    exact failure class e35b had before e35c. The fix is the guard the
-    production LSH tiers (e2g/e2m, o13b) already use: buckets larger than
-    ``PROD_MAX_BUCKET_SIZE`` are dropped BEFORE the self-join
-    (dedup.py:lsh_candidate_pairs) — degenerate boilerplate buckets carry
-    no discriminating signal and belong to the linear exact-dedup tier
-    (e1/e34) anyway.
+    r10 verdict's top item. Building it exposed the real killer in e9c's
+    138.8 s sf10 row: the phase decomposition (SCALE.md r11) showed the
+    verify ``countDistinct(band)`` expand was 29.5 s of it and the CC
+    loop only ~26 s — the ``count_shared_bands`` swap alone brought e9c
+    to 52.8 s. What the cap adds is the regime the word-mode fixture
+    never reaches: buckets larger than ``PROD_MAX_BUCKET_SIZE`` are
+    dropped BEFORE the self-join (dedup.py:lsh_candidate_pairs), the
+    guard the production LSH tiers (e2g/e2m, o13b) already use — at the
+    char-mode sf10 stress ONE 17,727-doc bucket is 157M pairs through a
+    single reducer, and at ×1000 saturation the uncapped join dies the
+    way e35b did. Degenerate boilerplate buckets carry no discriminating
+    signal and belong to the linear exact-dedup tier (e1/e34) anyway.
+    Measured cost of the insurance at word-mode sf10: 57.0 vs 52.8 s
+    (+8%, the window pre-count; both stamped, SCALING_CURVE.json).
 
     Unlike o13b (production xxhash64 → rows-only), this seat keeps the
     ORACLE hash tier, and the cap rule — a window count over
