@@ -90,6 +90,8 @@ SHOWN = [
     # --- round-10 additions ---
     ("e35d_semdedup_auto", "auto tier (r10): a sampled saturation probe (md5 1/20 vec_id sample -> banded-pair estimate) dispatches e35b uncapped vs e35c capped on the measured 4.5M-pair budget; plan IS the chosen tier's plan — fixture sits in the uncapped regime, same e35 oracle"),
     ("s6_compaction_manifest", "S6 deterministic compaction manifest (r10): md5-mod shard key + hash repartition + partitionBy write under maxRecordsPerFile; returned plan scans the collected per-shard (rows, files) audit — every cell DuckDB-predicted"),
+    # --- round-11 additions ---
+    ("e9d_verified_clusters_capped", "capped verified clusters (r11): frequent-bucket window count prunes degenerate buckets BEFORE the band self-join (the exchange is shared — ReusedExchange), count(*) shared-band verify (rows unique per (pair, band) — no distinct expand), min-label CC over localCheckpointed rounds; returned plan scans the final checkpointed labels + one small sizes join"),
 ]
 
 
