@@ -226,6 +226,23 @@ def test_probe_picks_capped_on_saturated_corpus(spark, tmp_path):
     est = estimate_semdedup_pairs(spark, str(tmp_path))
     assert est >= HP_PAIR_BUDGET, est
     assert choose_semdedup_tier(est) == "capped"
+    # r11 (r10 ADVICE #3): entering the capped regime must be LOUD —
+    # the registered oracle covers only the uncapped regime, so a
+    # saturated driver fixture would otherwise mismatch silently.
+    import warnings
+
+    from wx20222_bigdata_spark.operators.semdedup import (
+        _emb_corpus_with_mutants,
+        e35d_semdedup_auto,
+    )
+
+    expected = _emb_corpus_with_mutants(spark, str(tmp_path)).count()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = e35d_semdedup_auto(spark, str(tmp_path))
+        # capped semantics still cover every corpus vector (incl. mutants)
+        assert out.count() == expected
+    assert any("CAPPED tier" in str(w.message) for w in caught)
 
 
 def test_e35d_shares_e35_oracle_verbatim():
