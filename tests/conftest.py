@@ -16,7 +16,10 @@ from wx20222_bigdata_spark.catalog import TABLE_NAMES as TABLES  # noqa: E402
 SF_SMOKE = "/root/testdata/sf0.001"
 #: the driver compares at sf0.01; override to run the same sweep at another
 #: scale, e.g. ``SPARK_GRAFT_ORACLE_SF_DIR=/tmp/sf1 pytest tests/test_oracle_parity.py``
-#: after ``python bench.py --sf1`` (the sf1 soak, SCALE.md).
+#: after ``python bench.py --sf1`` (the sf1 soak, SCALE.md). At sf1 also set
+#: ``PYSPARK_SUBMIT_ARGS="--driver-memory 48g pyspark-shell"`` — the default
+#: heap OOMs around the LSH family and every later test fails with
+#: ConnectionRefused (measured r11; the engine is fine, the fixture JVM died).
 SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
