@@ -65,11 +65,23 @@ def connected_components(
     orientation). Returns (node, label). Pure DataFrame iteration — no RDDs,
     no driver-side graph; per-round cost is one join + one groupBy, both
     partitioned on node id.
+
+    The symmetrized edge frame is deliberately NOT deduplicated (r11):
+    min-label propagation is idempotent over duplicate neighbor rows —
+    ``min`` over a multiset equals ``min`` over its support, so duplicate
+    edges cannot change the fixpoint, only add rows to the per-round join
+    — while a ``distinct()`` here is a full exchange+sort of 2·|E| rows
+    before the loop even starts (52M rows at sf10 — measured as the
+    single largest avoidable stage). Every registered caller already
+    passes a deduplicated edge set (the verify ``groupBy(id_a, id_b)``
+    or an explicit ``.distinct()``), and the two union branches cannot
+    collide with each other because pair edges are oriented
+    ``id_a < id_b``. A caller with a heavily duplicated raw edge stream
+    should dedup upstream, where the duplication structure is known.
     """
     sym = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
-        .distinct()
         .localCheckpoint(eager=True)
     )
     labels = sym.select(F.col("u").alias("node")).distinct().select(
