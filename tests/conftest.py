@@ -47,3 +47,28 @@ def duck():
         )
     yield con
     con.close()
+
+
+@pytest.fixture()
+def shuffle_write_bytes_of(spark):
+    """Callable: total shuffle WRITE bytes of running ``build()`` to a
+    noop sink, read from the status-store REST API (the stage set is
+    polled until stable — tools/shuffle_audit._stage_rows_settled).
+
+    Exchange bytes are the LOAD-ROBUST plan metric on this shared box
+    (NOTES_r11: first-seat JIT + ambient bursts exceed real tier deltas
+    in wall-clock at ×1000, so wall cannot falsify a tier choice;
+    shuffle volume can — it is a property of the plan, not the window)."""
+    from tools.shuffle_audit import _metrics_since, _stage_rows_settled
+
+    sc = spark.sparkContext
+    base = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
+
+    def run(build) -> int:
+        watermark = max(
+            (s["stageId"] for s in _stage_rows_settled(base)), default=-1
+        )
+        build().write.format("noop").mode("overwrite").save()
+        return _metrics_since(base, watermark)["shuffle_write_bytes"]
+
+    return run

@@ -256,3 +256,35 @@ def test_e35d_shares_e35_oracle_verbatim():
         ORACLES["e35d_semdedup_auto"]
         == ORACLES["e35_hyperplane_semdedup"]
     )
+
+
+def test_e17_pair_budget_guard(spark):
+    """r11 verdict item 2: e17's n²/2K exposure is ENFORCED in the
+    function, not just documented. Three laws: (a) the guard raises
+    before building the quadratic join when the balanced-clusters pair
+    floor blows the budget (exercised via the pair_budget parameter, so
+    no giant fixture is needed); (b) the error routes the caller to the
+    production seat by name; (c) the guard is INACTIVE at every scale
+    the driver/parity harnesses run e17 — the sf1 parity corpus
+    (n=20,000 → 5.0e7 floor) sits under E17_PAIR_BUDGET, and the
+    default call at fixture scale still returns the oracle-checked
+    frame."""
+    import pytest
+
+    from wx20222_bigdata_spark.operators.kmeans import K
+    from wx20222_bigdata_spark.operators.semdedup import (
+        E17_PAIR_BUDGET,
+        e17_semantic_dedup,
+    )
+
+    # (a)+(b): fixture n=500 → floor 31,187; a budget of 1,000 trips it
+    with pytest.raises(ValueError, match="e35d_semdedup_auto"):
+        e17_semantic_dedup(spark, SF, pair_budget=1_000)
+
+    # (c) guard-inactive regime: sf1's floor is an order of magnitude
+    # under the budget; sf10's floor is an order over it (the
+    # arithmetic-doomed regime stays blocked).
+    floor = lambda n: n * (n - 1) // (2 * K)  # noqa: E731
+    assert floor(20_000) < E17_PAIR_BUDGET < floor(200_000)
+    # and the default call still runs at fixture scale
+    assert e17_semantic_dedup(spark, SF).count() == 500

@@ -281,3 +281,99 @@ def test_corpus_parquet_bytes_missing_path_degrades_to_canonical():
     assert size == 0
     assert choose_span_tier(size) == "text"
     assert choose_containment_tier(size) == "full"
+
+
+def test_exchange_volume_tier_laws(spark, shuffle_write_bytes_of):
+    """r11 verdict item 4, refined by its own first run: the ×1000
+    ordering study showed WALL-CLOCK cannot falsify the e36/e37 tier
+    choices on this box (first-seat JIT + ambient bursts exceed the
+    real tier deltas), so each tier case is pinned on a load-robust
+    PLAN property, in the regime where the e36c/e37c rules pick that
+    tier. Two findings from the first run of this law are baked in:
+
+    - e37b's prefix tier moves MORE shuffle bytes than e37 at sf0.1
+      (r12 first run: 20.1 MB vs 18.7 MB) — the rank/count windows cost
+      more than the candidate cut saves on a small dup-light corpus.
+      That ordering is the measured basis of choose_containment_tier
+      picking 'full' below 18 MiB, so it is asserted, not fought.
+    - shuffle BYTES structurally cannot express e37b's large-corpus
+      advantage: the full tier's Σ C(df,2) pair blow-up is map-side
+      combined (groupBy-count) before its exchange, while the prefix
+      tier's exact verify ships per-doc gram ARRAYS that cannot
+      combine. The robust metric for the e37 scale case is candidate-
+      JOIN ROW volume — a deterministic data property — measured here
+      on a dup-saturated corpus from the cores' own shared frames.
+    """
+    from pyspark.sql import functions as F
+
+    from wx20222_bigdata_spark.operators.substring import (
+        _grams_sizes_rare,
+        e36_substring_span_trim,
+        e36b_span_trim_production,
+        e37_containment_pairs,
+        e37b_containment_prefix_production,
+        prefix_index_on,
+    )
+
+    sf = "/root/testdata/sf0.1"
+
+    # e36: 8-byte md5-prefix keys beat ~K-word text keys on the one big
+    # gram exchange at every scale; only hashing CPU (a wall cost,
+    # invisible to bytes) moves the e36c boundary.
+    e36_bytes = shuffle_write_bytes_of(lambda: e36_substring_span_trim(spark, sf))
+    e36b_bytes = shuffle_write_bytes_of(
+        lambda: e36b_span_trim_production(spark, sf)
+    )
+    assert 0 < e36b_bytes < e36_bytes, (
+        f"e36b md5-int tier wrote {e36b_bytes:,} shuffle bytes vs e36 text "
+        f"tier {e36_bytes:,} — the md5-key exchange-byte case no longer holds"
+    )
+
+    # e37 small-corpus ordering: full index cheaper than prefix at sf0.1.
+    e37_bytes = shuffle_write_bytes_of(lambda: e37_containment_pairs(spark, sf))
+    e37b_bytes = shuffle_write_bytes_of(
+        lambda: e37b_containment_prefix_production(spark, sf)
+    )
+    assert 0 < e37_bytes < e37b_bytes, (
+        f"e37 full-index wrote {e37_bytes:,} shuffle bytes vs e37b prefix "
+        f"{e37b_bytes:,} at sf0.1 — the small-corpus basis of the e37c "
+        "'full' choice no longer holds (re-measure the boundary)"
+    )
+
+    # e37 scale case: dup-saturated corpus (40 families x 30 docs
+    # sharing a 30-word body; df=30 <= C_DF_CAP=50 keeps the shared
+    # grams indexable; 2 doc-unique tail words so texts differ).
+    # Candidate volumes from the SAME rare/prefix frames the cores use:
+    # full = Sigma C(df,2) ordered pairs, prefix = |prefix join rare|.
+    fam = F.floor(F.col("id") / 30)
+    body = F.concat_ws(
+        " ",
+        *[F.concat(F.lit(f"w{i}f"), fam.cast("string")) for i in range(30)],
+    )
+    sat = spark.range(1200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", body, F.concat(F.lit("u"), F.col("id").cast("string")),
+            F.concat(F.lit("v"), F.col("id").cast("string")),
+        ).alias("text"),
+    )
+    _, sizes, rare = _grams_sizes_rare(sat)
+    full_cand = (
+        rare.select(F.col("doc_id").alias("id_a"), "g")
+        .join(rare.select(F.col("doc_id").alias("id_b"), "g"), "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .count()
+    )
+    prefix_cand = (
+        prefix_index_on(rare, sizes)
+        .join(rare.select(F.col("doc_id").alias("rid"), "g"), "g")
+        .filter(F.col("doc_id") != F.col("rid"))
+        .count()
+    )
+    assert 0 < prefix_cand < full_cand, (
+        f"prefix candidate join produced {prefix_cand:,} rows vs full "
+        f"{full_cand:,} on the saturated corpus — the SSJoin prefix "
+        "filter's large-corpus case no longer holds"
+    )
+    # the cut must be structural (>=2x), not incidental
+    assert full_cand >= 2 * prefix_cand, (full_cand, prefix_cand)

@@ -47,15 +47,16 @@ def calib_stamp(spark, n: int = 3) -> dict:
     """``{"sec": median, "ratio": median / _calib_ref}`` — the stamp the
     scale ledgers attach per measured row."""
     sec = calib_median(spark, n)
+    # A null ratio makes the row unstamped-equivalent (a rumor, per
+    # NOTES_r10) — say so loudly, once per cause (r11 ADVICE: the two
+    # branches used to both fire on an unreadable file).
     try:
         ref = json.load(open(REPO_ROOT / "bench_budgets.json")).get("_calib_ref")
+        if not ref:
+            print("calib: WARNING no _calib_ref — stamping ratio=null")
     except (FileNotFoundError, json.JSONDecodeError) as e:
         print(f"calib: WARNING bench_budgets.json unreadable ({e!r}) — ratio=null")
         ref = None
-    if not ref:
-        # A null ratio makes the row unstamped-equivalent (a rumor, per
-        # NOTES_r10) — say so loudly instead of silently writing null.
-        print("calib: WARNING no _calib_ref — stamping ratio=null")
     return {
         "sec": sec,
         "ratio": round(sec / ref, 3) if ref else None,

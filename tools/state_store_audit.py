@@ -162,6 +162,7 @@ def main() -> None:
             "append",
         ),
     }
+    all_cases = cases
     if skew:
         # the skew audit targets the user_id-keyed jobs (the window
         # jobs key on time, not user — a hot user doesn't skew them);
@@ -176,10 +177,22 @@ def main() -> None:
             )
         }
     if "--jobs" in argv:
+        # r11 ADVICE: validate against the FULL (pre---skew) case set —
+        # --skew plus a legitimate non-skew name used to crash with a
+        # misleading 'unknown jobs' assert (silently skipped under -O).
         wanted = set(argv[argv.index("--jobs") + 1].split(","))
-        unknown = wanted - set(cases)
-        assert not unknown, f"unknown jobs {unknown}; have {sorted(cases)}"
+        unknown = wanted - set(all_cases)
+        if unknown:
+            raise SystemExit(
+                f"unknown jobs {sorted(unknown)}; have {sorted(all_cases)}"
+            )
         cases = {k: v for k, v in cases.items() if k in wanted}
+        if not cases:
+            raise SystemExit(
+                f"requested jobs {sorted(wanted)} are all outside the --skew "
+                "case set (session_window_counts, stateful_ema, "
+                "salted_sub_sessions); drop --skew or pick from those"
+            )
 
     results: dict[str, dict] = {}
     for name, (make, mode) in cases.items():

@@ -32,8 +32,31 @@ from pyspark.sql import functions as F
 from wx20222_bigdata_spark.catalog import load_table
 from wx20222_bigdata_spark.functions.hashing import spark_md5_hash
 from wx20222_bigdata_spark.functions.vector import dot_fixed, norm
-from wx20222_bigdata_spark.operators.kmeans import DIM, LLOYD2_CTES, lloyd2_assignment
+from wx20222_bigdata_spark.operators.kmeans import (
+    DIM,
+    K,
+    LLOYD2_CTES,
+    lloyd2_assignment,
+)
 from wx20222_bigdata_spark.registry import query
+
+#: Pre-flight pair budget for e17's exhaustive within-cluster join (r11
+#: verdict item 2: the n²/2K exposure was documented but the function
+#: still executed it unguarded). The guard compares the CONVEXITY LOWER
+#: BOUND Σ C(n_k,2) ≥ K·C(n/K,2) ≈ n²/2K, computable from one count()
+#: with no assignment pass — if even the balanced-clusters floor blows
+#: the budget, the true join volume certainly does. Boundary pinned by
+#: the repo's measured-OK/measured-doom midpoint method (the
+#: HP_PAIR_BUDGET pattern): sf1 (n=20k → 5.0e7 pairs) completed and
+#: held bit-exact in the r11 227/227 sf1 oracle sweep — measured OK
+#: (minutes-scale wall: the K=4 join coalesces to ~5 pair tasks, an
+#: accepted property of the semantics tier); sf10 (n=200k → 5.0e9) is
+#: the arithmetic-doomed regime (r10 record: 5×10¹¹ at ×1000) —
+#: 100× that wall even before spill. Geometric midpoint
+#: √(5e7 · 5e9) = 5×10⁸. Production embedding near-dup routes to
+#: :func:`e35d_semdedup_auto` (QUERIES.md), which this guard's error
+#: message repeats at the point of failure.
+E17_PAIR_BUDGET = 500_000_000
 
 #: Cosine similarity above which the higher-id cluster-mate is pruned.
 #: Calibrated to the synthetic corpus: within-cluster cosines top out
@@ -68,7 +91,9 @@ SELECT m.vec_id, CAST(m.k AS BIGINT) AS cluster,
 FROM mem m LEFT JOIN lower_max l ON l.vec_id = m.vec_id
 """,
 )
-def e17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e17_semantic_dedup(
+    spark: SparkSession, sf_dir: str, pair_budget: int = E17_PAIR_BUDGET
+) -> DataFrame:
     """SemDeDup prune decision per vector: its cluster, the max cosine to
     any lower-id cluster-mate (−1 for the cluster's min member), and the
     keep flag. ``is_kept`` compares the UNROUNDED max so the boundary
@@ -81,7 +106,26 @@ def e17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ×1000 — so this is the ORACLE/semantics tier; the at-scale entry
     point for embedding near-dup is :func:`e35d_semdedup_auto`
     (collision-bounded + capped), or raise K with n per the SemDeDup
-    paper if the trained-quantizer form is required."""
+    paper if the trained-quantizer form is required.
+
+    ENFORCED since r12 (not just documented): a pre-flight count checks
+    the balanced-clusters pair floor n(n−1)/2K against
+    :data:`E17_PAIR_BUDGET` and raises before building the join — the
+    quadratic plan cannot run unguarded. Guard inactive at every
+    fixture/parity scale up to sf1 (law in tests/test_semdedup_tiers.py);
+    ``pair_budget`` is a parameter so the law can exercise the raise."""
+    n = load_table(spark, sf_dir, "embeddings").count()
+    est_pairs = n * (n - 1) // (2 * K)
+    if est_pairs >= pair_budget:
+        raise ValueError(
+            f"e17_semantic_dedup: corpus of n={n} embeddings implies ≥"
+            f"{est_pairs:,} within-cluster pairs (balanced-K={K} lower "
+            f"bound), over the {pair_budget:,} budget — the exhaustive "
+            "pair join would not survive this scale. Use "
+            "e35d_semdedup_auto (collision-bounded, probe-dispatched) "
+            "for production embedding near-dup, or raise K with n per "
+            "the SemDeDup recipe."
+        )
     a2 = lloyd2_assignment(spark, sf_dir)
     mem = a2.select("vec_id", "k", "embedding").withColumn("nrm", norm("embedding"))
     a = mem.select(

@@ -240,10 +240,16 @@ def e37_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_on(corpus)
 
 
-def containment_on(corpus: DataFrame) -> DataFrame:
-    """e37's core over an arbitrary ``(doc_id, text)`` frame — split out
-    so the curation funnel (e7d) and the containment laws can run it on
-    staged/hand-built corpora."""
+def _grams_sizes_rare(
+    corpus: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared stage-1 of both containment cores: DISTINCT {K}-gram
+    shingles per doc, per-doc gram counts, and the df-capped rare-gram
+    index. Split out so the tier laws (tests/test_substring.py) can
+    measure candidate-join volumes from the SAME expressions the cores
+    execute — candidate ROW volume, not shuffle bytes, is the metric
+    that distinguishes the e37 tiers (the full tier's Σ df² pair blow-up
+    is map-side combined before its exchange, so bytes never see it)."""
     words = corpus.select(
         "doc_id",
         F.expr("filter(split(lower(text), ' '), x -> length(x) > 0)").alias("ws"),
@@ -265,6 +271,14 @@ def containment_on(corpus: DataFrame) -> DataFrame:
     rare = grams.withColumn(
         "df", F.count("*").over(Window.partitionBy("g"))
     ).filter((F.col("df") >= 2) & (F.col("df") <= C_DF_CAP))
+    return grams, sizes, rare
+
+
+def containment_on(corpus: DataFrame) -> DataFrame:
+    """e37's core over an arbitrary ``(doc_id, text)`` frame — split out
+    so the curation funnel (e7d) and the containment laws can run it on
+    staged/hand-built corpora."""
+    _, sizes, rare = _grams_sizes_rare(corpus)
     a = rare.select(F.col("doc_id").alias("id_a"), "g")
     b = rare.select(F.col("doc_id").alias("id_b"), "g")
     pairs = (
@@ -498,27 +512,15 @@ def e37b_containment_prefix_production(spark: SparkSession, sf_dir: str) -> Data
         ).alias("text"),
     )
     corpus = docs.unionByName(snippets)
-    words = corpus.select(
-        "doc_id",
-        F.expr("filter(split(lower(text), ' '), x -> length(x) > 0)").alias("ws"),
-    )
-    grams = (
-        words.filter(F.expr(f"size(ws) >= {K}"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(ws) - {K - 1}),"
-                    f" j -> concat_ws(' ', slice(ws, j, {K})))"
-                )
-            ).alias("g"),
-        )
-        .distinct()
-    )
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    rare = grams.withColumn(
-        "df", F.count("*").over(Window.partitionBy("g"))
-    ).filter((F.col("df") >= 2) & (F.col("df") <= C_DF_CAP))
+    return containment_prefix_on(corpus)
+
+
+def prefix_index_on(rare: DataFrame, sizes: DataFrame) -> DataFrame:
+    """The SSJoin prefix index over a rare-gram frame: each doc's
+    rarest ``n_rare − ⌈t·n_grams⌉ + 1`` shingles (df asc, gram-text
+    tiebreak — the same ordering both engines). Split out so the tier
+    law can count the candidate volumes the full and prefix joins
+    would generate from identical inputs."""
     ranked = rare.join(sizes, "doc_id").select(
         "doc_id",
         "g",
@@ -528,12 +530,25 @@ def e37b_containment_prefix_production(spark: SparkSession, sf_dir: str) -> Data
         F.count("*").over(Window.partitionBy("doc_id")).alias("n_rare"),
         "n_grams",
     )
-    prefix = ranked.filter(
+    return ranked.filter(
         F.col("rk")
         <= F.col("n_rare")
         - F.expr(f"CAST(ceil({C_THRESHOLD} * n_grams) AS BIGINT)")
         + 1
     ).select("doc_id", "g")
+
+
+def containment_prefix_on(corpus: DataFrame) -> DataFrame:
+    """e37b's SSJoin prefix-filter core over an arbitrary ``(doc_id,
+    text)`` frame — split out (the :func:`containment_on` pattern) so
+    the exchange-byte tier law (tests/test_substring.py, r11 verdict
+    item 4) can run BOTH tiers on hand-built corpora: the prefix
+    filter's candidate-row savings only exceed its rank-window
+    overhead on dup-saturated/large corpora (the ≥18 MiB regime the
+    e37c rule encodes via E37_PREFIX_MIN_BYTES), which no fixture-scale
+    table exhibits."""
+    _, sizes, rare = _grams_sizes_rare(corpus)
+    prefix = prefix_index_on(rare, sizes)
     cand = (
         prefix.join(
             rare.select(F.col("doc_id").alias("rid"), "g"), "g"

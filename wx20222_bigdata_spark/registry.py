@@ -47,67 +47,68 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # CORRECTNESS row yet — plus anything new/changed this round — get checked
 # before already-driver-verified ones. See NOTES_r2.md.
 _FRONT: list[str] = [
-    # Round-11 rotation (r10 verdict item 2): seats ADDED or CHANGED this
-    # round first (e9d new capped cluster tier — full oracle; s6 re-fronted
-    # after the FLOOR/116.5 oracle rounding fix), then the ENTIRE 28-seat
-    # r06-stale cohort (pre-verified green in r10's full-registry drive-sim
-    # AND independently re-verified by the r10 judge), then the 20 oldest
-    # r07 seats in registration order to fill the 50-seat window. After
-    # this round the staleness floor rises to r07 (30 r07 seats remain for
-    # the r12 rotation).
-    # --- NEW / CHANGED this round ---
-    "e9d_verified_clusters_capped",
-    "s6_compaction_manifest",
-    # --- r06-stale cohort (complete) ---
-    "i1_power_iteration",
-    "i2_pagerank_2iter",
-    "i3_label_propagation",
-    "z1_zorder_stats",
-    "j2_broadcast_dim_join",
-    "j3_inner_join_revenue",
-    "j3_anti_join_integrity",
-    "j3_semi_join",
-    "j1_positional_zip_join",
-    "j4_file_key_join",
-    "u1_union_all",
-    "set_intersect_except",
-    "o4_top_k_orders",
-    "q5_local_supplier_volume",
-    "u3_bag_set_ops",
-    "s10_python_datasource",
-    "e26_quality_classifier",
-    "dq2_order_reconciliation",
-    "dq3_distribution_drift",
-    "e31_dsir_importance",
-    "rrf1_hybrid_retrieval",
-    "o5_stratified_holdout",
-    "o7_seeded_shuffle",
-    "e3b_lsh_bucket_ann",
-    "e4g_char_ngram_stats",
-    "e33_ngram_novelty",
-    "f7c_wordpiece",
-    "a9_ema_ordered_fold",
-    # --- oldest r07 seats in registration order (fill to 50) ---
-    "e6_sequence_packing",
-    "e8_document_chunking",
-    "e7_curation_pipeline",
-    "e14_kmeans_assign",
-    "f13_mlm_corruption",
-    "e12_mixture_sampling",
-    "e5d_frame_sample",
-    "q9_product_profit",
-    "e13_bm25_retrieval",
-    "e16_tfidf_keywords",
-    "o2_sample_restore_order",
-    "o11_weighted_sample",
-    "o12_consistent_sample",
-    "e3_cosine_topk",
-    "e3c_ivf_probe_ann",
-    "e29_random_projection",
-    "a13_percentiles",
-    "a13b_approx_percentiles",
-    "a14_moments",
-    "m3_snapshot_diff",
+    # Round-12 rotation (r11 verdict item 1): seats CHANGED this round
+    # first (e17 gained the E17_PAIR_BUDGET pre-flight guard — behavior
+    # at fixture scale unchanged, re-front to prove it), then the ENTIRE
+    # 30-seat r07-stale cohort in registration order (21 of the 30 were
+    # independently re-verified green by the r11 judge's own drive-sim;
+    # all 226 were green in the r11 closing full-registry sim), then the
+    # 19 oldest r08 seats in registration order to fill the 50-seat
+    # window. After this round the staleness floor rises to r08 (29 r08
+    # seats remain for the r13 rotation).
+    # --- CHANGED this round ---
+    "e17_semantic_dedup",
+    # --- r07-stale cohort (complete, registration order) ---
+    "a15_value_histogram",
+    "m4_incremental_agg",
+    "x8_hll_sketch_union",
+    "a16_regression_stats",
+    "a17_winsorized_stats",
+    "m5_changefeed_apply",
+    "s9f_stream_static_enrich",
+    "t8_grouping_sets",
+    "t9_date_spine",
+    "t5b_unpivot",
+    "e4_group_stats",
+    "e4b_token_freq_topk",
+    "e4c_language_id",
+    "e4d_quality_score",
+    "e4e_doc_fingerprint",
+    "e4f_token_count",
+    "e11_repetition_filter",
+    "e15_pii_redaction",
+    "e19_unigram_logprob",
+    "e22_feature_hashing",
+    "f7_vocab_tokenize",
+    "e21_bpe_pair_counts",
+    "e27b_bpe_nospacing",
+    "e27_bpe_apply",
+    "w7_gap_fill",
+    "w8_rolling_zscore",
+    "w9_sessionization",
+    "w10_rank_surface",
+    "w11_cumulative_actives",
+    "w12_range_frame",
+    # --- oldest r08 seats in registration order (fill to 50) ---
+    "e32_paragraph_dedup",
+    "o13_cluster_aware_split",
+    "o13b_cluster_split_production",
+    "f20_robust_scale",
+    "s11_schema_evolution",
+    "e12b_temperature_mixture",
+    "prof1_table_profile",
+    "q17_small_quantity_revenue",
+    "j5_outer_join_family",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q19_discounted_revenue",
+    "q21_sole_supplier_orders",
+    "q13_customer_distribution",
+    "q20_part_promotion_suppliers",
+    "q2_min_cost_supplier",
 ]
 
 
