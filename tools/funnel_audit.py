@@ -84,12 +84,16 @@ def main() -> None:
     shutil.rmtree(WORK, ignore_errors=True)
     src = f"{WORK}/docs_in"
 
-    # deterministic text from content_id: 24 vocab words + every 5th
-    # content carries a 25-period token (punct/char ~0.15 -> gate FAIL)
+    # deterministic text from content_id: one word carries the FULL
+    # content id (texts distinct per content — a %-vocab-only derivation
+    # collapses contents mod the vocab size and breaks the
+    # source-is-a-function-of-content invariant; found by the smoke
+    # run), 23 shared-vocab words for realistic token statistics, and
+    # every 5th content a 25-period token (punct/char ~0.15 -> gate FAIL)
     content = F.col("id") % n_distinct
-    words = [
-        F.concat(F.lit(f"w{i}c"), ((content * (i + 7)) % 997).cast("string"))
-        for i in range(24)
+    words = [F.concat(F.lit("c"), content.cast("string"))] + [
+        F.concat(F.lit(f"w{i}v"), ((content * (i + 7)) % 997).cast("string"))
+        for i in range(23)
     ]
     text = F.concat_ws(" ", *words)
     text = F.when(content % 5 == 0, F.concat(text, F.lit(" " + "." * 25))).otherwise(
