@@ -48,11 +48,12 @@ from wx20222_bigdata_spark.registry import query
 #: the budget, the true join volume certainly does. Boundary pinned by
 #: the repo's measured-OK/measured-doom midpoint method (the
 #: HP_PAIR_BUDGET pattern): sf1 (n=20k → 5.0e7 pairs) completed and
-#: held bit-exact in the r11 227/227 sf1 oracle sweep — measured OK
-#: (minutes-scale wall: the K=4 join coalesces to ~5 pair tasks, an
-#: accepted property of the semantics tier); sf10 (n=200k → 5.0e9) is
-#: the arithmetic-doomed regime (r10 record: 5×10¹¹ at ×1000) —
-#: 100× that wall even before spill. Geometric midpoint
+#: held bit-exact in the r11 227/227 sf1 oracle sweep, measured r12 at
+#: 462.2 s in a clean window (calib 0.608 — the K=4 join coalesces to
+#: ~5 pair tasks, an accepted property of the semantics tier); sf10
+#: (n=200k → 5.0e9) is the doomed regime — 100× the pair volume
+#: extrapolates to ~13 h before spill (r10 record: 5×10¹¹ at ×1000).
+#: Geometric midpoint
 #: √(5e7 · 5e9) = 5×10⁸. Production embedding near-dup routes to
 #: :func:`e35d_semdedup_auto` (QUERIES.md), which this guard's error
 #: message repeats at the point of failure.
