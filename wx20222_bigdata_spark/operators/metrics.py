@@ -54,27 +54,48 @@ def macro_f1(preds: DataFrame, truth: str, pred: str) -> DataFrame:
     """Per-class F1 averaged over classes (sklearn ``average='macro'``,
     ``util.py:143,145``). Returns a 1-row DataFrame with column ``f1``.
 
-    Uses the identity 2*TP + FP + FN = support_true + support_pred, so only
-    three small aggregations are needed.
-    """
-    n_true = preds.groupBy(F.col(truth).alias("c")).agg(F.count("*").alias("n_true"))
-    n_pred = preds.groupBy(F.col(pred).alias("c")).agg(F.count("*").alias("n_pred"))
-    tp = (
-        preds.filter(F.col(truth) == F.col(pred))
-        .groupBy(F.col(truth).alias("c"))
-        .agg(F.count("*").alias("tp"))
-    )
+    Uses the identity 2*TP + FP + FN = support_true + support_pred, and
+    computes all three per-class counts in ONE pass: each row is unpivoted
+    into a truth-side contribution (n_true, and tp when truth == pred) and
+    a pred-side contribution (n_pred), so one map-side-combinable groupBy
+    on the class id replaces three aggregates full-outer-joined on it.
+    Full-outer joins cannot broadcast, so the join form ran as three fact
+    scans + two sort-merge joins (r12 plan audit: 11 shuffle stages, 8 SMJ
+    operators for the flagship); this form is one scan, one |classes|-row
+    exchange, zero joins. Classes appearing only among predictions still
+    surface (their pred-side struct carries the class id), matching the
+    full-outer semantics; the per-class arithmetic is unchanged
+    (2.0 * tp / (n_true + n_pred) over the same integer counts)."""
     per_class = (
-        n_true.join(n_pred, "c", "full_outer")
-        .join(tp, "c", "full_outer")
+        preds.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(truth).alias("c"),
+                        F.lit(1).alias("t"),
+                        F.lit(0).alias("p"),
+                        F.when(F.col(truth) == F.col(pred), 1)
+                        .otherwise(0)
+                        .alias("tp"),
+                    ),
+                    F.struct(
+                        F.col(pred).alias("c"),
+                        F.lit(0).alias("t"),
+                        F.lit(1).alias("p"),
+                        F.lit(0).alias("tp"),
+                    ),
+                )
+            ).alias("x")
+        )
+        .groupBy(F.col("x.c"))
+        .agg(
+            F.sum("x.t").alias("n_true"),
+            F.sum("x.p").alias("n_pred"),
+            F.sum("x.tp").alias("tp"),
+        )
         .select(
             (
-                2.0
-                * F.coalesce(F.col("tp"), F.lit(0))
-                / (
-                    F.coalesce(F.col("n_true"), F.lit(0))
-                    + F.coalesce(F.col("n_pred"), F.lit(0))
-                )
+                2.0 * F.col("tp") / (F.col("n_true") + F.col("n_pred"))
             ).alias("class_f1")
         )
     )
@@ -182,30 +203,42 @@ FROM t FULL JOIN p USING (class_id) FULL JOIN tp USING (class_id)
 def a1_per_class_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 grouped per-class F1 (``util.py:143`` before the macro mean)."""
     preds = predictions(spark, sf_dir)
-    n_true = preds.groupBy(F.col("lv2").alias("class_id")).agg(
-        F.count("*").alias("n_true")
-    )
-    n_pred = preds.groupBy(F.col("pred_lv2").alias("class_id")).agg(
-        F.count("*").alias("n_pred")
-    )
-    tp = (
-        preds.filter(F.col("lv2") == F.col("pred_lv2"))
-        .groupBy(F.col("lv2").alias("class_id"))
-        .agg(F.count("*").alias("tp"))
-    )
+    # Same one-pass unpivot as macro_f1 (full-outer joins cannot
+    # broadcast; one |classes|-row exchange replaces 3 scans + 2 SMJs).
     return (
-        n_true.join(n_pred, "class_id", "full_outer")
-        .join(tp, "class_id", "full_outer")
+        preds.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("lv2").alias("class_id"),
+                        F.lit(1).alias("t"),
+                        F.lit(0).alias("p"),
+                        F.when(F.col("lv2") == F.col("pred_lv2"), 1)
+                        .otherwise(0)
+                        .alias("tp"),
+                    ),
+                    F.struct(
+                        F.col("pred_lv2").alias("class_id"),
+                        F.lit(0).alias("t"),
+                        F.lit(1).alias("p"),
+                        F.lit(0).alias("tp"),
+                    ),
+                )
+            ).alias("x")
+        )
+        .groupBy(F.col("x.class_id"))
+        .agg(
+            F.sum("x.t").alias("n_true"),
+            F.sum("x.p").alias("n_pred"),
+            F.sum("x.tp").alias("tp"),
+        )
         .select(
             "class_id",
-            F.coalesce("n_true", F.lit(0)).alias("n_true"),
-            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
-            F.coalesce("tp", F.lit(0)).alias("tp"),
+            "n_true",
+            "n_pred",
+            "tp",
             F.round(
-                2.0
-                * F.coalesce("tp", F.lit(0))
-                / (F.coalesce("n_true", F.lit(0)) + F.coalesce("n_pred", F.lit(0))),
-                6,
+                2.0 * F.col("tp") / (F.col("n_true") + F.col("n_pred")), 6
             ).alias("f1"),
         )
     )
