@@ -83,6 +83,12 @@ EAGER_QUERIES = {
     "e35b_hyperplane_semdedup_production",
     "e35d_semdedup_auto",  # r10: sampled saturation probe runs at call time
     "e7d_dedup_funnel",  # r9: fused gram frame is an eager localCheckpoint
+    # r12 optimization round: scored frame materialized so the per-doc
+    # ordered fold runs once instead of once per branch — the seat's
+    # algorithm now executes at call time, so the timer must start
+    # before the call (same rule as the seats above; the old lazy
+    # timing would cover only the final boundary-join stage).
+    "e19_unigram_logprob",
 }
 
 #: Headline suite: one representative per operator family (SURVEY.md §2,

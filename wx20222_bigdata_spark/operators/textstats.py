@@ -593,8 +593,22 @@ def e19_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (a, s) -> aggregate(sequence(1, int(s.k)), a, (b, i) -> b + s.lp))"
         ).alias("slp"),
     )
-    scored = agg.select(
-        "doc_id", "n_tok", (F.col("slp") / F.col("n_tok")).alias("avg_raw")
+    # scored feeds BOTH the output projection and the tercile-boundary
+    # aggregate. Left lazy, AQE stage reuse shares everything below the
+    # doc_id exchange, but the per-doc ordered FOLD (array_sort +
+    # nested aggregate — the seat's dominant CPU) sits ABOVE it and ran
+    # twice, once per branch (r12 runtime-plan audit). Materializing the
+    # narrow (doc_id, n_tok, avg_raw) frame runs the fold once; the
+    # boundary aggregate reads the checkpoint (measured interleaved
+    # median-of-9 at sf0.1: 1.54 → 1.37 s). Same "score once, then
+    # aggregate the sketch" layout as e35's signature table; the seat is
+    # call-time-eager now (bench.py EAGER_QUERIES).
+    from wx20222_bigdata_spark.plans.caching import materialize
+
+    scored = materialize(
+        agg.select(
+            "doc_id", "n_tok", (F.col("slp") / F.col("n_tok")).alias("avg_raw")
+        )
     )
     bands = scored.agg(
         F.expr("percentile(avg_raw, 1.0/3)").alias("b1"),
