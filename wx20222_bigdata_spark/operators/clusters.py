@@ -84,11 +84,24 @@ def connected_components(
         .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
         .localCheckpoint(eager=True)
     )
-    labels = sym.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
+    # Round 1 fused into initialization (r12): with labels initialized to
+    # label(v) = v, the first propagation round reduces to
+    # label(u) = min(u, min N(u)) — one groupBy over sym, no init
+    # ``distinct`` exchange, no init sum job, no round-1 three-way join.
+    # The label trajectory from here on is identical to the explicit
+    # init + round-1 form, so the fixpoint (and every output) is
+    # unchanged; the loop below continues from round 2.
+    labels = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("nmin"))
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("u"), F.col("nmin")).alias("label"),
+        )
+        .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(max_iter):
+    for _ in range(max_iter - 1):
         lab_v = labels.select(
             F.col("node").alias("v"), F.col("label").alias("vlabel")
         )
