@@ -94,9 +94,22 @@ def test_vocab_stats_window_form_has_no_equi_join(spark):
     vocab; the interim join form paid an avoidable exchange). Pin: the
     physical plan contains NO equi-join operator at all — the only joins
     allowed are the documented one-row BroadcastNestedLoopJoin crosses
-    (corpus size / corpus total / tercile bounds)."""
-    for name in ["e16_tfidf_keywords", "e19_unigram_logprob"]:
-        plan = formatted_plan(_q(name)(spark, SF_ORACLE))
+    (corpus size / corpus total / tercile bounds).
+
+    e19 materializes its scored frame since r12 (the fold ran once per
+    branch otherwise), which would hide the upstream lineage from this
+    law — so the law drives it with ``materialize_scored=False`` to
+    assert the shape across the FULL lazy plan."""
+    from wx20222_bigdata_spark.operators.textstats import e19_unigram_logprob
+
+    frames = {
+        "e16_tfidf_keywords": _q("e16_tfidf_keywords")(spark, SF_ORACLE),
+        "e19_unigram_logprob": e19_unigram_logprob(
+            spark, SF_ORACLE, materialize_scored=False
+        ),
+    }
+    for name, df in frames.items():
+        plan = formatted_plan(df)
         for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
             assert op not in plan, f"{name}: unexpected {op} — vocab join is back"
         assert "hashpartitioning(tok" in plan, f"{name}: lost the tok window exchange"

@@ -523,7 +523,9 @@ SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
 FROM scored CROSS JOIN bands
 """,
 )
-def e19_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e19_unigram_logprob(
+    spark: SparkSession, sf_dir: str, materialize_scored: bool = True
+) -> DataFrame:
     """E19 language-model quality score — the CCNet/RedPajama perplexity
     filter with the LM reduced to its oracle-checkable core: each document
     scored by the mean log-probability of its tokens under the corpus's
@@ -603,13 +605,17 @@ def e19_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # median-of-9 at sf0.1: 1.54 → 1.37 s). Same "score once, then
     # aggregate the sketch" layout as e35's signature table; the seat is
     # call-time-eager now (bench.py EAGER_QUERIES).
+    # ``materialize_scored=False`` keeps the whole plan lazy so the
+    # window-form plan law (tests/test_plans.py) can assert the tok
+    # window / no-vocab-join shape across the FULL lineage, which a
+    # checkpoint would otherwise hide.
     from wx20222_bigdata_spark.plans.caching import materialize
 
-    scored = materialize(
-        agg.select(
-            "doc_id", "n_tok", (F.col("slp") / F.col("n_tok")).alias("avg_raw")
-        )
+    scored = agg.select(
+        "doc_id", "n_tok", (F.col("slp") / F.col("n_tok")).alias("avg_raw")
     )
+    if materialize_scored:
+        scored = materialize(scored)
     bands = scored.agg(
         F.expr("percentile(avg_raw, 1.0/3)").alias("b1"),
         F.expr("percentile(avg_raw, 2.0/3)").alias("b2"),
