@@ -884,7 +884,13 @@ def make_curation_funnel_batch(
         if os.path.exists(marker):
             return  # fully committed batch — replay is a no-op
 
-        feats = quality_features(batch_df)
+        # feats feeds three evaluations per batch: the admitted-set
+        # materialization (via quality), the per-source raw counts, and
+        # the quality counts — without a persist the tokenize/feature
+        # pass over the raw batch runs ~3x (observed as numInputRows ≈
+        # 3x the batch size in the r12 state-store audit). Persist for
+        # the batch scope; released with admitted below.
+        feats = quality_features(batch_df).persist()
         quality = quality_gate(feats)
         # admission: first occurrence within the batch ...
         w = Window.partitionBy("content_key").orderBy("doc_id")
@@ -979,6 +985,7 @@ def make_curation_funnel_batch(
                 shutil.rmtree(old)
 
         admitted.unpersist()
+        feats.unpersist()
         # commit point 3: full-batch marker
         with open(marker, "w") as f:
             f.write("ok")
