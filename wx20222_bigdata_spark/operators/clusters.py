@@ -91,6 +91,16 @@ def connected_components(
     # The label trajectory from here on is identical to the explicit
     # init + round-1 form, so the fixpoint (and every output) is
     # unchanged; the loop below continues from round 2.
+    # Convergence detection rides the checkpoint job (r12): an
+    # ``observe`` of sum(label) is attached to each iterate, so the
+    # eager localCheckpoint that materializes the round ALSO emits the
+    # monotone-sum fixpoint signal — no separate per-round aggregate
+    # action re-scanning the checkpointed labels (verified: eager
+    # localCheckpoint completes the observed metric; one driver action
+    # per round instead of two, same sums, same trajectory).
+    from pyspark.sql import Observation
+
+    obs = Observation()
     labels = (
         sym.groupBy("u")
         .agg(F.min("v").alias("nmin"))
@@ -98,9 +108,10 @@ def connected_components(
             F.col("u").alias("node"),
             F.least(F.col("u"), F.col("nmin")).alias("label"),
         )
+        .observe(obs, F.sum("label").alias("s"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    prev_sum = obs.get["s"]
     for _ in range(max_iter - 1):
         lab_v = labels.select(
             F.col("node").alias("v"), F.col("label").alias("vlabel")
@@ -108,6 +119,7 @@ def connected_components(
         nmin = sym.join(lab_v, "v").groupBy("u").agg(
             F.min("vlabel").alias("nmin")
         )
+        obs = Observation()
         labels = (
             labels.join(nmin.withColumnRenamed("u", "node"), "node", "left")
             .select(
@@ -116,9 +128,10 @@ def connected_components(
                     F.col("label"), F.coalesce("nmin", F.col("label"))
                 ).alias("label"),
             )
+            .observe(obs, F.sum("label").alias("s"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
