@@ -554,6 +554,14 @@ def e7d_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # group with no quality row has no winner either way). Non-winner
     # rows drop their token array (`ws` nulled) so the checkpoint stores
     # the survivor corpus once, narrow rows for everything else.
+    # Four projections, not a withColumn chain (r12): every DataFrame op
+    # EAGERLY re-analyzes its whole plan, and here that plan contains the
+    # five-branch staged-corpus union with heavy HOF expressions —
+    # measured at several hundred ms per analysis pass. The withColumn
+    # chain analyzed that tree 6 times per call; the consolidated selects
+    # analyze it 4 times. Values and checkpoint schema are unchanged
+    # (is_winner's expression is inlined twice in the last projection —
+    # cheap boolean ops, identical results).
     tok = (
         raw.select(
             "doc_id",
@@ -563,24 +571,37 @@ def e7d_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "filter(split(lower(text), ' '), x -> length(x) > 0)"
             ).alias("ws"),
         )
-        .withColumn("n_tokens", F.size("ws"))
-        .withColumn("pass_q", F.col("n_tokens") >= E7D_MIN_TOKENS)
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy(F.md5("text")).orderBy(
-                    F.col("pass_q").desc(), "doc_id"
-                )
-            ),
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            "ws",
+            F.size("ws").alias("n_tokens"),
+            (F.size("ws") >= E7D_MIN_TOKENS).alias("pass_q"),
         )
-        .withColumn("is_winner", F.col("pass_q") & (F.col("rn") == 1))
         .select(
             "doc_id",
             "source",
             "n_tokens",
             "pass_q",
-            "is_winner",
-            F.when(F.col("is_winner"), F.col("ws")).alias("ws"),
+            F.row_number()
+            .over(
+                Window.partitionBy(F.md5("text")).orderBy(
+                    F.col("pass_q").desc(), "doc_id"
+                )
+            )
+            .alias("rn"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "pass_q",
+            (F.col("pass_q") & (F.col("rn") == 1)).alias("is_winner"),
+            F.when(
+                F.col("pass_q") & (F.col("rn") == 1), F.col("ws")
+            ).alias("ws"),
         )
         .localCheckpoint(eager=True)
     )
