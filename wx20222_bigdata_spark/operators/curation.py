@@ -507,201 +507,168 @@ def e7d_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-repeated prefixes (span-gate signal: within-doc repetition
     survives every DOC-level dedup stage — exactly what the positional
     span gate exists to catch), so every stage's drop is observable on
-    the all-unique fixture."""
+    the all-unique fixture.
+
+    Driver-side plan build (r13, guide §5 — "the driver should do
+    almost no data work" applied to plan CONSTRUCTION): each stage is
+    ONE ``spark.sql`` block instead of a chain of DataFrame ops. Every
+    PySpark DataFrame op eagerly re-analyzes its whole plan and pays
+    py4j round trips per expression; with the five-branch HOF staged
+    union in the tree that cost ~1.7 s/call build+analysis and ~3 s of
+    py4j chatter (r12 cProfile: 1,983 round trips). The SQL blocks
+    analyze each tree once: measured 4,202 → 130 py4j ``send_command``
+    calls per call, interleaved A/B in one JVM 4.415 → 3.754 s median,
+    SQL form won 7/7 pairs (tools/r13_e7d_sql_ab.py; results proven
+    row-identical at sf0.001/0.01/0.1 before adoption). The exact-dedup
+    window runs among quality survivors in the oracle; ordering quality
+    rows first inside each text group makes ``rn = 1 AND pass_q`` pick
+    exactly the min-doc_id quality row. Non-winner rows drop their
+    token array (``ws`` nulled) so the checkpoint stores the survivor
+    corpus once, narrow rows for everything else."""
     from wx20222_bigdata_spark.operators.substring import C_DF_CAP, C_THRESHOLD, K
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    copies = docs.filter(F.col("doc_id") % E7D_COPY_MOD == 0).select(
-        (F.col("doc_id") + E7D_COPY_OFFSET).alias("doc_id"), "source", "text"
-    )
-    snippets = docs.filter(F.col("doc_id") % E7D_SNIP_MOD == 0).select(
-        (F.col("doc_id") + E7D_SNIP_OFFSET).alias("doc_id"),
-        "source",
-        F.expr(
-            "concat_ws(' ', slice(filter(split(lower(text), ' '),"
-            f" x -> length(x) > 0), 1, {E7D_SNIP_LEN}))"
-        ).alias("text"),
-    )
-    stubs = docs.filter(F.col("doc_id") % E7D_STUB_MOD == 0).select(
-        (F.col("doc_id") + E7D_STUB_OFFSET).alias("doc_id"),
-        "source",
-        F.expr(
-            "concat_ws(' ', slice(filter(split(lower(text), ' '),"
-            f" x -> length(x) > 0), 1, {E7D_STUB_LEN}))"
-        ).alias("text"),
-    )
-    repeats = docs.filter(F.col("doc_id") % E7D_REPEAT_MOD == 0).select(
-        (F.col("doc_id") + E7D_REPEAT_OFFSET).alias("doc_id"),
-        "source",
-        F.expr(
-            "concat_ws(' ', flatten(array_repeat("
-            "slice(filter(split(lower(text), ' '), x -> length(x) > 0),"
-            f" 1, {E7D_REPEAT_LEN}), 3)))"
-        ).alias("text"),
-    )
-    raw = (
-        docs.unionByName(copies)
-        .unionByName(snippets)
-        .unionByName(stubs)
-        .unionByName(repeats)
-    )
-    # ONE tokenize pass + ONE md5-text window over the whole staged
-    # corpus. The exact-dedup window runs among quality survivors in the
-    # oracle; ordering quality rows first inside each text group makes
-    # "rn == 1 AND pass_q" pick exactly the min-doc_id quality row (a
-    # group with no quality row has no winner either way). Non-winner
-    # rows drop their token array (`ws` nulled) so the checkpoint stores
-    # the survivor corpus once, narrow rows for everything else.
-    # Four projections, not a withColumn chain (r12): every DataFrame op
-    # EAGERLY re-analyzes its whole plan, and here that plan contains the
-    # five-branch staged-corpus union with heavy HOF expressions —
-    # measured at several hundred ms per analysis pass. The withColumn
-    # chain analyzed that tree 6 times per call; the consolidated selects
-    # analyze it 4 times. Values and checkpoint schema are unchanged
-    # (is_winner's expression is inlined twice in the last projection —
-    # cheap boolean ops, identical results).
-    tok = (
-        raw.select(
-            "doc_id",
-            "source",
-            "text",
-            F.expr(
-                "filter(split(lower(text), ' '), x -> length(x) > 0)"
-            ).alias("ws"),
+    # Stage frame: staged corpus -> tokenize -> quality flag -> exact-dedup
+    # window, one analysis pass.
+    tok = spark.sql(
+        f"""
+        WITH raw AS (
+          SELECT doc_id, source, text FROM {{docs}}
+          UNION ALL
+          SELECT doc_id + {E7D_COPY_OFFSET} AS doc_id, source, text
+          FROM {{docs}} WHERE doc_id % {E7D_COPY_MOD} = 0
+          UNION ALL
+          SELECT doc_id + {E7D_SNIP_OFFSET} AS doc_id, source,
+                 concat_ws(' ', slice(filter(split(lower(text), ' '),
+                   x -> length(x) > 0), 1, {E7D_SNIP_LEN})) AS text
+          FROM {{docs}} WHERE doc_id % {E7D_SNIP_MOD} = 0
+          UNION ALL
+          SELECT doc_id + {E7D_STUB_OFFSET} AS doc_id, source,
+                 concat_ws(' ', slice(filter(split(lower(text), ' '),
+                   x -> length(x) > 0), 1, {E7D_STUB_LEN})) AS text
+          FROM {{docs}} WHERE doc_id % {E7D_STUB_MOD} = 0
+          UNION ALL
+          SELECT doc_id + {E7D_REPEAT_OFFSET} AS doc_id, source,
+                 concat_ws(' ', flatten(array_repeat(
+                   slice(filter(split(lower(text), ' '), x -> length(x) > 0),
+                         1, {E7D_REPEAT_LEN}), 3))) AS text
+          FROM {{docs}} WHERE doc_id % {E7D_REPEAT_MOD} = 0
         )
-        .select(
-            "doc_id",
-            "source",
-            "text",
-            "ws",
-            F.size("ws").alias("n_tokens"),
-            (F.size("ws") >= E7D_MIN_TOKENS).alias("pass_q"),
-        )
-        .select(
-            "doc_id",
-            "source",
-            "n_tokens",
-            "pass_q",
-            F.row_number()
-            .over(
-                Window.partitionBy(F.md5("text")).orderBy(
-                    F.col("pass_q").desc(), "doc_id"
-                )
+        SELECT doc_id, source, n_tokens, pass_q,
+               (pass_q AND rn = 1) AS is_winner,
+               CASE WHEN pass_q AND rn = 1 THEN ws END AS ws
+        FROM (
+          SELECT doc_id, source, text, ws, n_tokens, pass_q,
+                 ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                    ORDER BY pass_q DESC, doc_id) AS rn
+          FROM (
+            SELECT doc_id, source, text, ws,
+                   size(ws) AS n_tokens,
+                   (size(ws) >= {E7D_MIN_TOKENS}) AS pass_q
+            FROM (
+              SELECT doc_id, source, text,
+                     filter(split(lower(text), ' '), x -> length(x) > 0) AS ws
+              FROM raw
             )
-            .alias("rn"),
-            "ws",
+          )
         )
-        .select(
-            "doc_id",
-            "source",
-            "n_tokens",
-            "pass_q",
-            (F.col("pass_q") & (F.col("rn") == 1)).alias("is_winner"),
-            F.when(
-                F.col("pass_q") & (F.col("rn") == 1), F.col("ws")
-            ).alias("ws"),
-        )
-        .localCheckpoint(eager=True)
-    )
+        """,
+        docs=docs,
+    ).localCheckpoint(eager=True)
     # The single positional gram frame — both dedup gates feed from it.
-    occ = (
-        tok.filter(F.col("is_winner") & (F.col("n_tokens") >= K))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(ws) - {K - 1}),"
-                    f" j -> struct(j AS j, concat_ws(' ', slice(ws, j, {K})) AS g))"
-                )
-            ).alias("o"),
-        )
-        .select("doc_id", "o.j", "o.g")
-        .localCheckpoint(eager=True)
-    )
+    occ = spark.sql(
+        f"""
+        SELECT doc_id, o.j AS j, o.g AS g
+        FROM (SELECT doc_id, ws FROM {{tok}}
+              WHERE is_winner AND n_tokens >= {K})
+        LATERAL VIEW explode(transform(sequence(1, size(ws) - {K - 1}),
+          j -> struct(j AS j, concat_ws(' ', slice(ws, j, {K})) AS g))) t AS o
+        """,
+        tok=tok,
+    ).localCheckpoint(eager=True)
     # Containment gate (e37 core) from the distinct-gram view of occ.
-    grams = occ.select("doc_id", "g").distinct()
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    rare = grams.withColumn(
-        "df", F.count("*").over(Window.partitionBy("g"))
-    ).filter((F.col("df") >= 2) & (F.col("df") <= C_DF_CAP))
-    cpairs = (
-        rare.select(F.col("doc_id").alias("id_a"), "g")
-        .join(rare.select(F.col("doc_id").alias("id_b"), "g"), "g")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_shared"))
-    )
-    cq = (
-        cpairs.join(
-            sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("n_a")),
-            "id_a",
+    drops = spark.sql(
+        f"""
+        WITH grams AS (SELECT DISTINCT doc_id, g FROM {{occ}}),
+        sizes AS (
+          SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+        ),
+        rare AS (
+          SELECT doc_id, g FROM (
+            SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM grams
+          ) WHERE df >= 2 AND df <= {C_DF_CAP}
+        ),
+        cpairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+          FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        cq AS (
+          SELECT id_a, id_b, sa.n_grams AS n_a, sb.n_grams AS n_b
+          FROM cpairs
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE n_shared / LEAST(sa.n_grams, sb.n_grams) >= {C_THRESHOLD}
         )
-        .join(
-            sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("n_b")),
-            "id_b",
-        )
-        .filter(F.col("n_shared") / F.least("n_a", "n_b") >= C_THRESHOLD)
-    )
-    drops = (
-        cq.select(
-            F.when(F.col("n_a") < F.col("n_b"), F.col("id_a"))
-            .when(F.col("n_b") < F.col("n_a"), F.col("id_b"))
-            .otherwise(F.greatest("id_a", "id_b"))
-            .alias("doc_id")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    # Span gate (e36 core) from the positional view of occ, restricted
-    # to containment survivors BEFORE the duplicate-count window (the
-    # oracle counts occurrences within c1 only).
-    occ_c1 = occ.join(drops, "doc_id", "left_anti")
-    dup = occ_c1.withColumn(
-        "cnt", F.count("*").over(Window.partitionBy("g"))
-    ).filter(F.col("cnt") >= 2)
-    cov = dup.select(
-        "doc_id", F.explode(F.expr(f"sequence(j, j + {K - 1})")).alias("pos")
-    ).distinct()
-    covagg = cov.groupBy("doc_id").agg(F.count("*").alias("ndup"))
-    # One-pass stage accounting: stages are nested subsets, so per-doc
-    # max-stage-reached + count(st >= k) reproduces the tagged-union
-    # counts without re-executing upstream lineage per stage.
-    winners = (
-        tok.filter("is_winner")
-        .select("doc_id", "source", "n_tokens")
-        .join(drops.withColumn("dropped", F.lit(True)), "doc_id", "left")
-        .join(covagg, "doc_id", "left")
-        .withColumn(
-            "st",
-            F.when(F.col("dropped"), F.lit(2))
-            .when(
-                F.round(
-                    F.coalesce("ndup", F.lit(0)) / F.col("n_tokens"), 6
-                )
-                >= E7D_SPAN_MAX,
-                F.lit(3),
-            )
-            .otherwise(F.lit(4)),
-        )
-        .select("source", "st")
-    )
-    losers = tok.filter(~F.col("is_winner")).select(
-        "source",
-        F.when(F.col("pass_q"), F.lit(1)).otherwise(F.lit(0)).alias("st"),
-    )
-    return (
-        winners.unionByName(losers)
-        .groupBy("source")
-        .agg(
-            *[
-                F.count(F.when(F.col("st") >= i, 1))
-                .cast("bigint")
-                .alias(name)
-                for i, name in enumerate(
-                    ["n_raw", "n_quality", "n_exact", "n_containment", "n_final"]
-                )
-            ]
-        )
+        SELECT DISTINCT CASE WHEN n_a < n_b THEN id_a
+                             WHEN n_b < n_a THEN id_b
+                             ELSE GREATEST(id_a, id_b) END AS doc_id
+        FROM cq
+        """,
+        occ=occ,
+    ).localCheckpoint(eager=True)
+    # Span gate (e36 core) from the positional view of occ restricted to
+    # containment survivors BEFORE the duplicate-count window (the oracle
+    # counts occurrences within c1 only), then one-pass stage accounting:
+    # stages are nested subsets, so per-doc max-stage-reached +
+    # count(st >= k) reproduces the tagged-union counts without
+    # re-executing upstream lineage per stage.
+    return spark.sql(
+        f"""
+        WITH occ_c1 AS (
+          SELECT o.* FROM {{occ}} o
+          LEFT ANTI JOIN {{drops}} d ON o.doc_id = d.doc_id
+        ),
+        dup AS (
+          SELECT doc_id, j FROM (
+            SELECT doc_id, j, COUNT(*) OVER (PARTITION BY g) AS cnt
+            FROM occ_c1
+          ) WHERE cnt >= 2
+        ),
+        cov AS (
+          SELECT DISTINCT doc_id, pos
+          FROM dup LATERAL VIEW explode(sequence(j, j + {K - 1})) t AS pos
+        ),
+        covagg AS (SELECT doc_id, COUNT(*) AS ndup FROM cov GROUP BY doc_id),
+        winners AS (
+          SELECT t.source,
+                 CASE WHEN d.doc_id IS NOT NULL THEN 2
+                      WHEN ROUND(COALESCE(c.ndup, 0) / t.n_tokens, 6)
+                           >= {E7D_SPAN_MAX} THEN 3
+                      ELSE 4 END AS st
+          FROM {{tok}} t
+          LEFT JOIN {{drops}} d ON t.doc_id = d.doc_id
+          LEFT JOIN covagg c ON t.doc_id = c.doc_id
+          WHERE t.is_winner
+        ),
+        losers AS (
+          SELECT source, CASE WHEN pass_q THEN 1 ELSE 0 END AS st
+          FROM {{tok}} WHERE NOT is_winner
+        ),
+        tagged AS (SELECT * FROM winners UNION ALL SELECT * FROM losers)
+        SELECT source,
+               CAST(COUNT(CASE WHEN st >= 0 THEN 1 END) AS BIGINT) AS n_raw,
+               CAST(COUNT(CASE WHEN st >= 1 THEN 1 END) AS BIGINT)
+                 AS n_quality,
+               CAST(COUNT(CASE WHEN st >= 2 THEN 1 END) AS BIGINT) AS n_exact,
+               CAST(COUNT(CASE WHEN st >= 3 THEN 1 END) AS BIGINT)
+                 AS n_containment,
+               CAST(COUNT(CASE WHEN st >= 4 THEN 1 END) AS BIGINT) AS n_final
+        FROM tagged GROUP BY source
+        """,
+        tok=tok,
+        occ=occ,
+        drops=drops,
     )
