@@ -78,7 +78,19 @@ def connected_components(
     collide with each other because pair edges are oriented
     ``id_a < id_b``. A caller with a heavily duplicated raw edge stream
     should dedup upstream, where the duplication structure is known.
+
+    ``max_iter`` counts propagation rounds and the fused initialization
+    below already performs round 1, so the effective minimum is one
+    round; ``max_iter <= 0`` returns identity labels (node = label) to
+    preserve the pre-r12 zero-rounds contract (r12 ADVICE).
     """
+    if max_iter <= 0:
+        return (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .select("node", F.col("node").alias("label"))
+        )
     sym = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))

@@ -65,7 +65,16 @@ def macro_f1(preds: DataFrame, truth: str, pred: str) -> DataFrame:
     exchange, zero joins. Classes appearing only among predictions still
     surface (their pred-side struct carries the class id), matching the
     full-outer semantics; the per-class arithmetic is unchanged
-    (2.0 * tp / (n_true + n_pred) over the same integer counts)."""
+    (2.0 * tp / (n_true + n_pred) over the same integer counts).
+
+    NULL-class-id nuance (r12 verdict, documented not changed): the
+    unpivot groups NULL truth/pred ids into ONE class row, where the
+    old full-outer-join form produced two (nulls never equi-join).
+    Unobservable here — every registered caller derives class ids from
+    non-null dictionary codes, and the DuckDB oracles' own ``FULL JOIN
+    USING (class_id)`` has the same null-keyed two-row semantics as the
+    join form — so parity holds by construction; a caller with nullable
+    class columns should filter nulls on both engines first."""
     per_class = (
         preds.select(
             F.explode(

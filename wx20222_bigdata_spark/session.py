@@ -36,14 +36,23 @@ DEFAULT_CONF: dict[str, str] = {
     # Join strategy: allow shuffled-hash join where its size conditions
     # hold instead of always preferring sort-merge (guide §3.1/§9). The
     # engine's heaviest plans are pair-producing self-equi-joins over
-    # fingerprint/band frames; SHJ skips both per-side sorts, and the
-    # planner/AQE only pick it under bounded build sizes (plan stats /
-    # every post-shuffle partition ≤ the 64 MiB threshold below), so at
-    # cluster scale oversized partitions fall back to sort-merge
-    # automatically. Measured r12 (two interleaved A/B rounds, 36 pairs
-    # across e7d/e9d/e35/e35b): SHJ side won 27/36 pairwise, medians
-    # −3–20% — small but consistent, and the sort removal is the
-    # structural win at 100 TB.
+    # fingerprint/band frames; SHJ skips both per-side sorts. Two paths
+    # pick SHJ, with different guards (r12 ADVICE): the AQE rewrite is
+    # runtime-safe (fires only when every post-shuffle partition ≤ the
+    # 64 MiB threshold below, measured sizes — oversized partitions fall
+    # back to sort-merge automatically), but the STATIC planner can also
+    # pick SHJ from plan-stat ESTIMATES (canBuildLocalHashMap), and
+    # stats on HOF/explode-heavy intermediates can be badly wrong — a
+    # mis-estimated build side has no sort-merge fallback and can OOM an
+    # executor at cluster scale. Acceptable here because the engine's
+    # shuffle-join build sides are bounded by construction (band/gram
+    # buckets are df-capped, per-doc frames are SF-linear narrow rows);
+    # a deployment with unbounded build-side skew should leave
+    # preferSortMergeJoin=true and rely on the AQE threshold alone.
+    # Measured r12 (two interleaved A/B rounds, 36 pairs across
+    # e7d/e9d/e35/e35b): SHJ side won 27/36 pairwise, medians −3–20% —
+    # small but consistent, and the sort removal is the structural win
+    # at 100 TB.
     "spark.sql.join.preferSortMergeJoin": "false",
     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "67108864",
     # Scan-split floor. Spark sizes file splits as

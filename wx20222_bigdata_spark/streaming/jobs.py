@@ -891,101 +891,111 @@ def make_curation_funnel_batch(
         # 3x the batch size in the r12 state-store audit). Persist for
         # the batch scope; released with admitted below.
         feats = quality_features(batch_df).persist()
-        quality = quality_gate(feats)
-        # admission: first occurrence within the batch ...
-        w = Window.partitionBy("content_key").orderBy("doc_id")
-        firsts = (
-            quality.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        # ... and unseen by the persistent index. The index read is
-        # guarded to batch_id < current so a markerless replay cannot
-        # anti-join its own crashed attempt's keys away (the
-        # streaming_ingest_dedup crash-window fix, same contract).
-        index_path = os.path.join(index_dir, "keys")
-        if os.path.exists(index_path):
-            seen = (
-                spark.read.parquet(index_path)
-                .filter(F.col("batch_id") < F.lit(batch_id))
-                .select("content_key")
+        admitted = None
+        try:
+            quality = quality_gate(feats)
+            # admission: first occurrence within the batch ...
+            w = Window.partitionBy("content_key").orderBy("doc_id")
+            firsts = (
+                quality.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
             )
-            admitted = firsts.join(seen, "content_key", "left_anti")
-        else:
-            admitted = firsts
-        # the join output feeds three sinks below; evaluate it once
-        admitted = admitted.persist()
-
-        # commit point 1: admitted docs + index keys, batch-partitioned
-        admitted.select("doc_id", "source", "content_key", "n_tok").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
-        admitted.select("content_key").write.mode("overwrite").parquet(
-            os.path.join(index_path, f"batch_id={batch_id}")
-        )
-
-        # per-batch retention partial (tiny: one row per source)
-        raw = feats.groupBy("source").agg(F.count("*").alias("n_raw"))
-        qc = quality.groupBy("source").agg(F.count("*").alias("n_quality"))
-        adm = admitted.groupBy("source").agg(
-            F.count("*").alias("n_admitted"),
-            F.sum("n_tok").cast("bigint").alias("admitted_tokens"),
-        )
-        partial = (
-            raw.join(qc, "source", "left")
-            .join(adm, "source", "left")
-            .select(
-                "source",
-                "n_raw",
-                F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
-                F.coalesce("n_admitted", F.lit(0)).alias("n_admitted"),
-                F.coalesce("admitted_tokens", F.lit(0)).alias("admitted_tokens"),
-            )
-        )
-
-        # commit point 2: accounting merge with the agg-merge replay guard
-        lineage = _lineage_id()
-        cur = os.path.join(state_dir, "current")
-        applied = os.path.join(cur, "_last_batch")
-        already_merged = False
-        if os.path.exists(applied):
-            with open(applied) as f:
-                rec = f.read().strip()
-            rec_lineage, _, rec_id = rec.rpartition(":")
-            same_lineage = (
-                lineage is None or rec_lineage == "" or rec_lineage == lineage
-            )
-            already_merged = same_lineage and batch_id <= int(rec_id)
-        if not already_merged:
-            if os.path.exists(cur):
-                prev = spark.read.parquet(cur)
-                merged = (
-                    prev.unionByName(partial)
-                    .groupBy("source")
-                    .agg(
-                        F.sum("n_raw").cast("bigint").alias("n_raw"),
-                        F.sum("n_quality").cast("bigint").alias("n_quality"),
-                        F.sum("n_admitted").cast("bigint").alias("n_admitted"),
-                        F.sum("admitted_tokens")
-                        .cast("bigint")
-                        .alias("admitted_tokens"),
-                    )
+            # ... and unseen by the persistent index. The index read is
+            # guarded to batch_id < current so a markerless replay cannot
+            # anti-join its own crashed attempt's keys away (the
+            # streaming_ingest_dedup crash-window fix, same contract).
+            index_path = os.path.join(index_dir, "keys")
+            if os.path.exists(index_path):
+                seen = (
+                    spark.read.parquet(index_path)
+                    .filter(F.col("batch_id") < F.lit(batch_id))
+                    .select("content_key")
                 )
+                admitted = firsts.join(seen, "content_key", "left_anti")
             else:
-                merged = partial
-            nxt = os.path.join(state_dir, f"_staging_{batch_id}")
-            merged.write.mode("overwrite").parquet(nxt)
-            with open(os.path.join(nxt, "_last_batch"), "w") as f:
-                f.write(f"{lineage or ''}:{batch_id}")
-            old = os.path.join(state_dir, f"_old_{batch_id}")
-            if os.path.exists(cur):
-                os.rename(cur, old)
-            os.rename(nxt, cur)  # atomic swap: state + applied-id together
-            if os.path.exists(old):
-                shutil.rmtree(old)
+                admitted = firsts
+            # the join output feeds three sinks below; evaluate it once
+            admitted = admitted.persist()
 
-        admitted.unpersist()
-        feats.unpersist()
+            # commit point 1: admitted docs + index keys, batch-partitioned
+            admitted.select("doc_id", "source", "content_key", "n_tok").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
+            admitted.select("content_key").write.mode("overwrite").parquet(
+                os.path.join(index_path, f"batch_id={batch_id}")
+            )
+
+            # per-batch retention partial (tiny: one row per source)
+            raw = feats.groupBy("source").agg(F.count("*").alias("n_raw"))
+            qc = quality.groupBy("source").agg(F.count("*").alias("n_quality"))
+            adm = admitted.groupBy("source").agg(
+                F.count("*").alias("n_admitted"),
+                F.sum("n_tok").cast("bigint").alias("admitted_tokens"),
+            )
+            partial = (
+                raw.join(qc, "source", "left")
+                .join(adm, "source", "left")
+                .select(
+                    "source",
+                    "n_raw",
+                    F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+                    F.coalesce("n_admitted", F.lit(0)).alias("n_admitted"),
+                    F.coalesce("admitted_tokens", F.lit(0)).alias("admitted_tokens"),
+                )
+            )
+
+            # commit point 2: accounting merge with the agg-merge replay guard
+            lineage = _lineage_id()
+            cur = os.path.join(state_dir, "current")
+            applied = os.path.join(cur, "_last_batch")
+            already_merged = False
+            if os.path.exists(applied):
+                with open(applied) as f:
+                    rec = f.read().strip()
+                rec_lineage, _, rec_id = rec.rpartition(":")
+                same_lineage = (
+                    lineage is None or rec_lineage == "" or rec_lineage == lineage
+                )
+                already_merged = same_lineage and batch_id <= int(rec_id)
+            if not already_merged:
+                if os.path.exists(cur):
+                    prev = spark.read.parquet(cur)
+                    merged = (
+                        prev.unionByName(partial)
+                        .groupBy("source")
+                        .agg(
+                            F.sum("n_raw").cast("bigint").alias("n_raw"),
+                            F.sum("n_quality").cast("bigint").alias("n_quality"),
+                            F.sum("n_admitted").cast("bigint").alias("n_admitted"),
+                            F.sum("admitted_tokens")
+                            .cast("bigint")
+                            .alias("admitted_tokens"),
+                        )
+                    )
+                else:
+                    merged = partial
+                nxt = os.path.join(state_dir, f"_staging_{batch_id}")
+                merged.write.mode("overwrite").parquet(nxt)
+                with open(os.path.join(nxt, "_last_batch"), "w") as f:
+                    f.write(f"{lineage or ''}:{batch_id}")
+                old = os.path.join(state_dir, f"_old_{batch_id}")
+                if os.path.exists(cur):
+                    os.rename(cur, old)
+                os.rename(nxt, cur)  # atomic swap: state + applied-id together
+                if os.path.exists(old):
+                    shutil.rmtree(old)
+
+        finally:
+            # Release the batch-scoped caches even when a write between
+            # persist and unpersist raises (r12 ADVICE): repeated failing
+            # batch retries in a long-lived stream would otherwise
+            # accumulate cached blocks until executor storage evicts
+            # them. unpersist on a never-persisted frame is a no-op, so
+            # the pre-persist admitted assignment is safe here too.
+            if admitted is not None:
+                admitted.unpersist()
+            feats.unpersist()
         # commit point 3: full-batch marker
         with open(marker, "w") as f:
             f.write("ok")
