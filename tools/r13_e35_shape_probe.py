@@ -1,19 +1,19 @@
 #!/usr/bin/env python
 """r13: diagnose + A/B the e35 flat-SQL signature pass (VERDICT r12 item 3).
 
-Modes:
-  diag  — row counts, executed plan of the signature projection (is there
-          a WholeStageCodegen span? does CODEGEN_ONLY factory mode throw?),
-          per-stage timing split (plane-dot projection alone vs + packing)
-  ab    — interleaved A/B/.. of candidate signature shapes at sf0.1,
-          each timed as corpus -> shape -> noop (no checkpoint, so the
-          timed region is exactly the projection work)
-  full  — interleaved A/B of the FULL e35 seat (current vs adopted shape)
+Diagnosis (mode diag, findings recorded in OPTIMIZATION_r13.md):
+  - the plane-dot projection is EXCLUDED from WholeStageCodegen because it
+    carries the HOF ``norm`` (CodegenFallback), and its standalone
+    UnsafeProjection compile of ~3.6k flat nodes is janino-hostile (a
+    flat-only variant OOMs the compiler's buildLocalVariableMap on a 1 g
+    heap) — so the 64x~57-term dot pass evaluates INTERPRETED per row.
 
-Shapes:
-  A  current: Project[pl = array(64 plane dots)] -> Project[4 band packs]
-  B  struct-packed: Project[8 structs x 8 dot fields] -> Project[4 packs]
-  C  one-shot: single Project computing the 4 band keys with dots inlined
+Shapes (mode ab; all bitwise-identical per-plane arithmetic):
+  A  current: one Project [norm + pl = array(64 plane dots)] -> pack
+  S  stacked: Project[norm] -> 8 x Project[pl_k = array(8 dots)] -> pack
+     (each 8-dot array is referenced 8x by the pack, so CollapseProject
+     keeps the stack; each projection is a small codegen unit)
+  B  struct-packed: one Project [norm + 8 structs x 8 dot fields] -> pack
 """
 
 from __future__ import annotations
@@ -41,18 +41,18 @@ from wx20222_bigdata_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
 N = 7
+GROUP = 8  #: planes per stacked projection
 
 
 def _session(extra=None):
     conf = {"spark.ui.showConsoleProgress": "false"}
     conf.update(extra or {})
-    spark = get_spark(
+    return get_spark(
         app_name="r13-e35-shape",
         master="local[32]",
         shuffle_partitions=32,
         extra_conf=conf,
     )
-    return spark
 
 
 def shape_a(corpus):
@@ -75,6 +75,41 @@ def shape_a(corpus):
     )
 
 
+def shape_s(corpus):
+    df = corpus.select("vec_id", "embedding", norm("embedding").alias("nrm"))
+    n_groups = HP_PLANES // GROUP
+    for g in range(n_groups):
+        df = df.select(
+            "*",
+            F.array(
+                *[
+                    F.expr(_hp_plane_dot_spark(g * GROUP + i))
+                    for i in range(GROUP)
+                ]
+            ).alias(f"pl{g}"),
+        )
+
+    def band_from_groups(b: int) -> str:
+        terms = []
+        for bit in range(HP_BITS):
+            j = b * HP_BITS + bit
+            terms.append(
+                f"CASE WHEN pl{j // GROUP}[{j % GROUP}] > 0"
+                f" THEN {2 ** bit} ELSE 0 END"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    return df.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        *[
+            F.expr(band_from_groups(b)).cast("int").alias(f"band{b}")
+            for b in range(HP_BANDS)
+        ],
+    )
+
+
 def shape_b(corpus):
     structs = corpus.select(
         "vec_id",
@@ -83,11 +118,11 @@ def shape_b(corpus):
         *[
             F.struct(
                 *[
-                    F.expr(_hp_plane_dot_spark(s * 8 + f)).alias(f"p{f}")
-                    for f in range(8)
+                    F.expr(_hp_plane_dot_spark(s * GROUP + f)).alias(f"p{f}")
+                    for f in range(GROUP)
                 ]
             ).alias(f"pl{s}")
-            for s in range(HP_PLANES // 8)
+            for s in range(HP_PLANES // GROUP)
         ],
     )
 
@@ -96,7 +131,8 @@ def shape_b(corpus):
         for bit in range(HP_BITS):
             j = b * HP_BITS + bit
             terms.append(
-                f"CASE WHEN pl{j // 8}.p{j % 8} > 0 THEN {2 ** bit} ELSE 0 END"
+                f"CASE WHEN pl{j // GROUP}.p{j % GROUP} > 0"
+                f" THEN {2 ** bit} ELSE 0 END"
             )
         return "(" + " + ".join(terms) + ")"
 
@@ -111,74 +147,30 @@ def shape_b(corpus):
     )
 
 
-def shape_c(corpus):
-    def band_inline(b: int) -> str:
-        terms = []
-        for bit in range(HP_BITS):
-            j = b * HP_BITS + bit
-            terms.append(
-                f"CASE WHEN ({_hp_plane_dot_spark(j)}) > 0"
-                f" THEN {2 ** bit} ELSE 0 END"
-            )
-        return "(" + " + ".join(terms) + ")"
-
-    return corpus.select(
-        "vec_id",
-        "embedding",
-        norm("embedding").alias("nrm"),
-        *[
-            F.expr(band_inline(b)).cast("int").alias(f"band{b}")
-            for b in range(HP_BANDS)
-        ],
-    )
-
-
-SHAPES = {"A": shape_a, "B": shape_b, "C": shape_c}
+SHAPES = {"A": shape_a, "S": shape_s, "B": shape_b}
 
 
 def diag() -> None:
     spark = _session()
     spark.sparkContext.setLogLevel("WARN")
     corpus = _emb_corpus_with_mutants(spark, SF_DIR)
-    n = corpus.count()
-    print(f"corpus rows: {n}")
-    sig = shape_a(corpus)
-    sig.write.format("noop").mode("overwrite").save()
-    plan = sig._jdf.queryExecution().executedPlan().toString()
-    print("=== executed plan (shape A, first 80 lines) ===")
-    print("\n".join(plan.splitlines()[:80]))
-    print("WholeStageCodegen spans:", plan.count("WholeStageCodegen"))
-    # timing split: norm-only, planes-only, planes+pack
-    for label, df in [
-        ("norm only", corpus.select("vec_id", norm("embedding").alias("nrm"))),
-        (
-            "planes array",
-            corpus.select(
-                "vec_id",
-                F.array(
-                    *[F.expr(_hp_plane_dot_spark(j)) for j in range(HP_PLANES)]
-                ).alias("pl"),
-            ),
-        ),
-        ("full sig (A)", sig),
-    ]:
-        s = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            s.append(time.perf_counter() - t0)
-        print(f"{label}: median {statistics.median(s):.3f}s {[round(x,3) for x in s]}")
-    spark.stop()
-    # CODEGEN_ONLY probe in a fresh session: does the projection compile?
-    spark = _session({"spark.sql.codegen.factoryMode": "CODEGEN_ONLY"})
-    spark.sparkContext.setLogLevel("WARN")
-    try:
-        shape_a(_emb_corpus_with_mutants(spark, SF_DIR)).write.format(
-            "noop"
-        ).mode("overwrite").save()
-        print("CODEGEN_ONLY: shape A executed fine (codegen compiles)")
-    except Exception as exc:  # noqa: BLE001
-        print(f"CODEGEN_ONLY: FAILED -> {type(exc).__name__}: {str(exc)[:400]}")
+    print(f"corpus rows: {corpus.count()}")
+    for nm in sys.argv[2:] or list(SHAPES):
+        sig = SHAPES[nm](corpus)
+        t0 = time.perf_counter()
+        sig.write.format("noop").mode("overwrite").save()
+        sec = time.perf_counter() - t0
+        plan = sig._jdf.queryExecution().executedPlan().toString()
+        starred = sum(
+            1 for ln in plan.splitlines() if ln.lstrip(" :+-").startswith("*(")
+        )
+        import re
+
+        stars = sorted(set(re.findall(r"\*\((\d+)\)", plan)))
+        print(
+            f"shape {nm}: first write {sec:.3f}s, plan lines {len(plan.splitlines())},"
+            f" starred ops {starred}, codegen ids {stars}"
+        )
     spark.stop()
 
 
@@ -207,12 +199,12 @@ def ab() -> None:
         }
         for nm, s in samples.items()
     }
-    # equality of band keys across shapes (sorted collect compare)
+    # equality of band keys + nrm across shapes (sorted collect compare)
     base = None
     for nm in names:
         pdf = (
             SHAPES[nm](corpus)
-            .select("vec_id", *[f"band{b}" for b in range(HP_BANDS)])
+            .select("vec_id", "nrm", *[f"band{b}" for b in range(HP_BANDS)])
             .toPandas()
             .sort_values("vec_id")
             .reset_index(drop=True)
@@ -220,8 +212,8 @@ def ab() -> None:
         if base is None:
             base = pdf
         else:
-            assert base.equals(pdf), f"shape {nm} band keys differ!"
-    out["band_keys_identical"] = True
+            assert base.equals(pdf), f"shape {nm} band keys/nrm differ!"
+    out["keys_identical"] = True
     print(json.dumps(out))
     spark.stop()
 
